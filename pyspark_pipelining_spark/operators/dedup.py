@@ -1,0 +1,236 @@
+"""Deduplication operators for training-data pipelines
+(beyond-reference scope — SURVEY §7.2 step 12).
+
+Four families, each a standard large-corpus technique:
+
+* **exact**: group by content (or fingerprint) hash, keep the smallest
+  id — one shuffle, the 100 TB workhorse.
+* **MinHash + LSH**: shingle → minhash signature → band buckets →
+  candidate pairs.  Signatures/bands are array columns built entirely
+  from JVM higher-order functions; the only shuffles are the band-bucket
+  self-join (on band hash) and the optional portable-id join.
+* **SimHash**: per-bit majority vote over token hashes → 32-bit
+  signature; near-dups share signatures (or differ in few bits).
+* **n-gram Jaccard**: exact similarity on candidate pairs via bigram-set
+  intersection — the verification stage after LSH at scale.
+
+Portability note: the correctness-gate variants derive token/shingle ids
+with a ``dense_rank`` over the distinct tokens (reproducible in any SQL
+engine) rather than ``xxhash64`` (Spark-specific).  At 100 TB you flip
+``portable_ids=False`` and the global-sort id join disappears in favor
+of direct hashing — the algorithm is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators.text import with_words
+
+MERSENNE = (1 << 31) - 1  # 2147483647, prime — minhash universe
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (smallest id) per distinct value of ``key_cols``.
+
+    Hash-groupBy dedup: one shuffle on the content key; at 100 TB the
+    key should be a fingerprint/hash column, not raw text.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, *key_cols)
+    )
+
+
+def word_ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Word n-gram array via higher-order functions (no UDF)."""
+    out = with_words(df, text_col)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("words") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at("words", (i + j).cast("int")) for j in range(n)]),
+    )
+    return out.withColumn("ngrams", gram)
+
+
+def _portable_shingle_ids(grams: DataFrame) -> DataFrame:
+    """(doc_id, shingle_id) with dense_rank ids — engine-portable."""
+    exploded = grams.select("doc_id", F.explode("ngrams").alias("shingle")).dropDuplicates(
+        ["doc_id", "shingle"]
+    )
+    ids = (
+        exploded.select("shingle")
+        .distinct()
+        .withColumn("shingle_id", F.dense_rank().over(Window.orderBy("shingle")).cast("long"))
+    )
+    return exploded.join(ids, "shingle").select("doc_id", "shingle_id")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    ngram: int = 2,
+    portable_ids: bool = True,
+) -> DataFrame:
+    """Per-document minhash signature as an array<long> column.
+
+    Hash family: ``h_i(x) = (a_i·x + b_i) mod M`` with deterministic
+    odd coefficients; signature element i is the min over the document's
+    shingle ids.  Output: doc_id, sig (array<long> of length
+    ``num_hashes``).
+    """
+    grams = word_ngrams(df, ngram)
+    if portable_ids:
+        shingles = _portable_shingle_ids(grams)
+    else:
+        shingles = grams.select(
+            "doc_id", F.explode("ngrams").alias("shingle")
+        ).withColumn("shingle_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE))).select(
+            "doc_id", "shingle_id"
+        )
+    coeffs = [(2 * i + 1, 7919 * (i + 1) % MERSENNE) for i in range(num_hashes)]
+    mins = [
+        F.min((F.col("shingle_id") * a + b) % MERSENNE).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_doc = shingles.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    ngram: int = 2,
+    portable_ids: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents agreeing on at least one
+    LSH band (``bands`` bands of ``num_hashes/bands`` rows), with their
+    estimated Jaccard (signature agreement rate).
+
+    Output: doc_1, doc_2 (doc_1 < doc_2), est_jaccard.  Scale: the
+    self-join keys on (band index, band signature slice) so only
+    same-bucket documents ever meet — the standard LSH shuffle shape.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, ngram, portable_ids)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.slice("sig", b * rows + 1, rows).cast("array<long>").alias("bsig"),
+        ),
+    )
+    banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("b")).select(
+        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
+    )
+    left = banded.alias("l")
+    right = banded.select("doc_id", "band", "bsig").alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bsig") == F.col("r.bsig"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_1"),
+            F.col("r.doc_id").alias("doc_2"),
+            F.col("l.sig").alias("sig1"),
+        )
+        .dropDuplicates(["doc_1", "doc_2"])
+    )
+    sig2 = sigs.select(F.col("doc_id").alias("doc_2"), F.col("sig").alias("sig2"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x
+        )
+    )
+    return (
+        cand.join(sig2, "doc_2")
+        .select(
+            "doc_1",
+            "doc_2",
+            (agree.cast("double") / num_hashes).alias("est_jaccard"),
+        )
+        .orderBy("doc_1", "doc_2")
+    )
+
+
+def simhash(df: DataFrame, bits: int = 32, portable_ids: bool = True) -> DataFrame:
+    """Per-document SimHash: bit b is 1 iff the majority of the
+    document's (distinct) tokens have bit b set in their token hash.
+
+    Output: doc_id, simhash (long).  One explode + one groupBy with
+    ``bits`` conditional sums — all codegen'd.
+    """
+    words = with_words(df).select("doc_id", F.explode("words").alias("token")).dropDuplicates(
+        ["doc_id", "token"]
+    )
+    if portable_ids:
+        ids = (
+            words.select("token")
+            .distinct()
+            .withColumn("token_id", F.dense_rank().over(Window.orderBy("token")).cast("long"))
+        )
+        toks = words.join(ids, "token")
+        # spread ids into a pseudo-random 32-bit pattern (multiplicative
+        # hashing by a Knuth constant, portable integer arithmetic)
+        h = F.pmod(F.col("token_id") * F.lit(2654435761), F.lit(1 << 32))
+    else:
+        toks = words.withColumn("token_id", F.xxhash64("token"))
+        h = F.pmod(F.col("token_id"), F.lit(1 << 32))
+    toks = toks.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 2, group_col: str = "source", threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all document pairs within a
+    ``group_col`` partition (the blocking key — at 100 TB this is the
+    LSH bucket; here ``source`` keeps the pair count bounded).
+
+    Output: doc_1, doc_2, jaccard.
+    """
+    grams = word_ngrams(df, n).select(
+        "doc_id", F.col(group_col).alias("grp"), F.explode("ngrams").alias("g")
+    ).dropDuplicates(["doc_id", "g"])
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.select("doc_id", "grp", "g").alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.grp") == F.col("b.grp"), F.col("a.g") == F.col("b.g"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("doc_1"), F.col("b.doc_id").alias("doc_2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_2"), F.col("n_grams").alias("n2"))
+    out = (
+        inter.join(s1, "doc_1")
+        .join(s2, "doc_2")
+        .select(
+            "doc_1",
+            "doc_2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out.orderBy("doc_1", "doc_2")

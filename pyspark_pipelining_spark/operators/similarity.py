@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (beyond-reference scope).
+
+Two tiers, the standard ANN architecture:
+
+* **brute-force cosine top-k** — the exact baseline: broadcast the query
+  set, compute cosine with JVM higher-order functions
+  (``zip_with`` + ``aggregate`` left-fold — deterministic summation
+  order, unlike a shuffle-order-dependent explode/sum), rank with a
+  per-query window.  At 100 TB this is one broadcast-join map stage +
+  one top-k shuffle on query_id.
+* **LSH-bucketed** — random-hyperplane signatures (sign of dot with H
+  deterministic hyperplanes) shrink the candidate set to same-bucket
+  vectors before exact re-ranking; the scale path when the corpus side
+  is too big for full scans per query.
+
+All dots are computed in double precision over the float32 embeddings;
+the left-fold makes results bit-deterministic and oracle-comparable
+(rounded to 6 decimals to absorb engine-side float→double cast noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``query_df`` must have (query_id, query_vec).  Output:
+    query_id, vec_id, cosine (rounded 6dp), rank.
+    """
+    joined = emb_df.crossJoin(F.broadcast(query_df)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    scored = joined.select(
+        "query_id", F.col(id_col), F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_signature(vec_col, num_planes: int = 8, dim: int = 64):
+    """Deterministic random-hyperplane LSH signature (bit b = sign of
+    dot with plane b).  Plane coefficients come from a portable integer
+    formula (no RNG), so any engine reproduces them."""
+    sig = None
+    for p in range(num_planes):
+        # dot with an integer plane whose coefficients are the portable
+        # pseudo-random formula ((i*31 + p*17 + 7) % 7) - 3 ∈ {-3..3}
+        terms = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double") * (((i * 31 + p * 17 + 7) % 7) - 3).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # round before the sign test so engine-level summation noise in
+        # the last ulp cannot flip a bucket bit near zero
+        bit = F.when(F.round(terms, 6) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_cosine_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane
+    bucket; exact cosine re-rank within the bucket.
+
+    Output: query_id, vec_id, cosine, rank (rank within bucket).
+    At scale, the equi-join on ``bucket`` replaces the full cross
+    product — recall is tuned by ``num_planes`` (fewer planes → bigger
+    buckets → higher recall, more compute).
+    """
+    corpus = emb_df.withColumn("bucket", hyperplane_signature(F.col(vec_col), num_planes, dim))
+    queries = query_df.withColumn(
+        "bucket", hyperplane_signature(F.col("query_vec"), num_planes, dim)
+    )
+    joined = corpus.join(F.broadcast(queries), on="bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    scored = joined.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: vectors
+    sharing a hyperplane bucket whose exact cosine ≥ threshold.
+    Output: id_1, id_2, cosine."""
+    sig = emb_df.withColumn("bucket", hyperplane_signature(F.col(vec_col), num_planes, dim))
+    a = sig.alias("a")
+    b = sig.select(id_col, vec_col, "bucket").alias("b")
+    cand = a.join(
+        b,
+        on=[F.col("a.bucket") == F.col("b.bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+    )
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        _norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))
+    )
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_1", "id_2")
+    )

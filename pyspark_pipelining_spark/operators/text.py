@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(beyond-reference scope; no analogue in xiaowei1234/pySpark-Pipelining —
+SURVEY §7.2 step 12).
+
+Everything is built from JVM-side higher-order functions
+(``transform`` / ``aggregate`` / ``filter`` over word arrays) — no
+Python UDFs in the hot path, so the whole stage stays inside
+whole-stage codegen and scales linearly over a 100 TB documents table.
+
+Determinism contract: all scores are arithmetic over exact ints and
+left-fold hashes, so results are bit-identical across engines (each
+operator has a DuckDB oracle in queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Real deployments plug in fastText/CLD3 via a Pandas UDF;
+#: the heuristic keeps the engine dependency-free and deterministic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "est"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
+    "zh": ("de", "shi", "le", "zai", "you", "he", "wo", "ta"),
+}
+
+FNV_MOD = 1_000_000_007
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lowercased whitespace tokenization as an array column."""
+    return df.withColumn("words", F.split(F.lower(F.col(text_col)), " +"))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: per language, the fraction of the
+    document's words that hit that language's stopword list; prediction
+    is the argmax (ties break by language code order).
+
+    Output: doc_id, per-language ``score_<lang>`` columns, ``pred_lang``.
+    """
+    out = with_words(df, text_col)
+    langs = sorted(STOPWORDS)
+    for lang in langs:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter("words", lambda w: F.array_contains(sw, w)))
+        out = out.withColumn(f"score_{lang}", hits / F.size("words"))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return out.select("doc_id", *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score:
+    word count, mean word length, stopword ratio (English list),
+    alphabetic-character ratio.  Output: doc_id + feature columns +
+    ``quality`` in [0,1]."""
+    words = with_words(df, text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_words = F.size("words")
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    stop_hits = F.size(F.filter("words", lambda w: F.array_contains(sw, w)))
+    feats = words.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_chars / n_words).alias("mean_word_len"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        (alpha_chars / n_chars).alias("alpha_ratio"),
+    )
+    # composite: reward alpha text with moderate word length + some stopwords
+    quality = (
+        F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.25
+        + F.col("alpha_ratio") * 0.5
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.25
+    )
+    return feats.withColumn("quality", quality)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword proxy: number of
+    matches of ``[a-z]+|[0-9]+|[^a-z0-9\\s]`` over the lowercased text
+    (letters runs + digit runs + standalone symbols)."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col(text_col)), " +")).alias("ws_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("subword_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the word sequence
+    (per-word code = 31·len + first-char codepoint, folded left with
+    ``h = (h*31 + code) mod 1e9+7``) — a cheap, portable document
+    fingerprint for exact-duplicate detection at scale."""
+    words = with_words(df, text_col)
+    codes = F.transform(
+        "words", lambda w: (F.length(w) * 31 + F.ascii(F.substring(w, 1, 1))).cast("long")
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % FNV_MOD
+    )
+    return words.select("doc_id", fp.alias("fingerprint"))

@@ -642,6 +642,8 @@ FROM events GROUP BY 1
 # Registry
 # ---------------------------------------------------------------------------
 
+from pyspark_pipelining_spark.queries_llm import ORACLES_LLM, QUERIES_LLM  # noqa: E402
+
 QUERIES: dict[str, QueryFn] = {
     "reach_overall": q_reach_overall,
     "reach_by_etype": q_reach_by_etype,
@@ -660,6 +662,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_trailing_window": q_qa_trailing_window,
     "qa_distinct_meta": q_qa_distinct_meta,
     "qa_hourshift": q_qa_hourshift,
+    **QUERIES_LLM,
 }
 
 ORACLES: dict[str, str] = {
@@ -680,4 +683,5 @@ ORACLES: dict[str, str] = {
     "qa_trailing_window": SQL_QA_TRAILING_WINDOW,
     "qa_distinct_meta": SQL_QA_DISTINCT_META,
     "qa_hourshift": SQL_QA_HOURSHIFT,
+    **ORACLES_LLM,
 }

@@ -1,0 +1,405 @@
+"""Beyond-reference query registry: dedup, similarity search, text
+analysis, multimodal plumbing (merged into the driver contract by
+``queries.py``).
+
+Oracle-parity notes: the dedup/simhash correctness variants use
+dense_rank token ids (portable across engines; see operators/dedup.py);
+cosine scores are rounded to 6dp before ranking so float→double cast
+noise cannot flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators import dedup, multimodal, similarity, text
+from pyspark_pipelining_spark.sources.registry import load_table
+
+MERSENNE = dedup.MERSENNE
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = """
+words AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           string_split_regex(lower(text), ' +') AS w
+    FROM documents
+)"""
+
+SQL_BIGRAMS = f"""{SQL_WORDS},
+grams AS (
+    SELECT doc_id, source,
+           list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                          i -> w[i] || ' ' || w[i + 1]) AS ngrams
+    FROM words
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH {SQL_WORDS},
+codes AS (
+    SELECT doc_id,
+           list_transform(w, x -> CAST(length(x) * 31 + ascii(x) AS BIGINT)) AS cs
+    FROM words
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                   (a, b) -> (a * 31 + b) % {text.FNV_MOD}) AS fingerprint
+FROM codes
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(text), ' +')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS subword_tokens
+FROM documents
+"""
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_lang_scores() -> str:
+    score_cols = []
+    for lang in sorted(text.STOPWORDS):
+        lst = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(w, x -> list_contains([{lst}], x))) / len(w) AS score_{lang}"
+        )
+    langs = sorted(text.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH {SQL_WORDS},
+scored AS (SELECT doc_id, {', '.join(score_cols)} FROM words)
+SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)}, {pred} AS pred_lang
+FROM scored
+"""
+
+
+SQL_TEXT_LANGUAGE_ID = _sql_lang_scores()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_EN = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+SQL_TEXT_QUALITY = f"""
+WITH {SQL_WORDS},
+feats AS (
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_words,
+           length(text) / len(w) AS mean_word_len,
+           len(list_filter(w, x -> list_contains([{_EN}], x))) / len(w) AS stopword_ratio,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio
+    FROM words
+)
+SELECT doc_id, n_words, mean_word_len, stopword_ratio, alpha_ratio,
+       least(n_words / 100.0, 1.0) * 0.25 + alpha_ratio * 0.5
+         + least(stopword_ratio * 5.0, 1.0) * 0.25 AS quality
+FROM feats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), ["text"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_minhash(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    coeffs = [(2 * i + 1, 7919 * (i + 1) % MERSENNE) for i in range(num_hashes)]
+    mins = ",\n           ".join(
+        f"min((sid * {a} + {b}) % {MERSENNE}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{j} = b.h{j}" for j in range(bd * rows, (bd + 1) * rows))
+        + ")"
+        for bd in range(bands)
+    )
+    agree = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+    return f"""
+WITH {SQL_BIGRAMS},
+shing AS (SELECT DISTINCT doc_id, unnest(ngrams) AS shingle FROM grams),
+ids AS (
+    SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
+    FROM (SELECT DISTINCT shingle FROM shing)
+),
+ds AS (SELECT s.doc_id, i.sid FROM shing s JOIN ids i ON s.shingle = i.shingle),
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM ds GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
+       ({agree}) / {num_hashes}.0 AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+"""
+
+
+SQL_DEDUP_MINHASH = _sql_minhash()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    total = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+WITH {SQL_WORDS},
+toks AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM words),
+ids AS (
+    SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
+    FROM (SELECT DISTINCT token FROM toks)
+),
+h AS (
+    SELECT t.doc_id, (i.tid * 2654435761) % 4294967296 AS h
+    FROM toks t JOIN ids i ON t.token = i.token
+),
+bs AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM h GROUP BY doc_id
+)
+SELECT doc_id, {total} AS simhash FROM bs
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, group_col="source", threshold=0.2
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SQL_BIGRAMS},
+gset AS (SELECT DISTINCT doc_id, source AS grp, unnest(ngrams) AS g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gset GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2, count(*) AS i
+    FROM gset a JOIN gset b ON a.grp = b.grp AND a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_1, doc_2, i / (s1.n_grams + s2.n_grams - i) AS jaccard
+FROM inter
+JOIN sizes s1 ON inter.doc_1 = s1.doc_id
+JOIN sizes s2 ON inter.doc_2 = s2.doc_id
+WHERE i / (s1.n_grams + s2.n_grams - i) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+DIM = 64
+N_QUERIES = 3
+TOPK = 5
+
+
+def _query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vecs(spark, sf_dir), k=TOPK)
+
+
+_DOT = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[]))"
+_NE = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+_NQ = "sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))"
+SQL_SIM_BRUTEFORCE_TOPK = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id,
+           round({_DOT} / ({_NE} * {_NQ}), 6) AS cosine
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def _sql_bucket(vec_expr: str, num_planes: int) -> str:
+    planes = []
+    for p in range(num_planes):
+        dot = (
+            f"round(list_sum(list_transform(range(0, {DIM}), "
+            f"i -> CAST({vec_expr}[i + 1] AS DOUBLE) * (((i * 31 + {p} * 17 + 7) % 7) - 3))), 6)"
+        )
+        planes.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(planes)
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(emb, _query_vecs(spark, sf_dir), k=TOPK, num_planes=8, dim=DIM)
+
+
+SQL_SIM_LSH_TOPK = f"""
+WITH corpus AS (
+    SELECT *, {_sql_bucket('embedding', 8)} AS bucket FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec, {_sql_bucket('embedding', 8)} AS bucket
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id,
+           round({_DOT} / ({_NE} * {_NQ}), 6) AS cosine
+    FROM corpus e JOIN q ON e.bucket = q.bucket AND e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.2, num_planes=6, dim=DIM)
+
+
+_DOT_AB = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+_NA = "sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+_NB = "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+SQL_SIM_NEAR_DUP = f"""
+WITH sig AS (
+    SELECT *, {_sql_bucket('embedding', 6)} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+       round({_DOT_AB} / ({_NA} * {_NB}), 6) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_DOT_AB} / ({_NA} * {_NB}), 6) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.documents_as_media(docs))
+
+
+SQL_MEDIA_FEATURES = """
+WITH sums AS (
+    SELECT doc_id, text,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           list_sum(list_transform(range(1, length(text) + 1),
+                    i -> CAST(ascii(text[i]) AS BIGINT))) % 1000000007 AS checksum
+    FROM documents
+)
+SELECT doc_id AS media_id, byte_len, checksum,
+       [CAST(byte_len AS DOUBLE), CAST(ascii(text[1]) AS DOUBLE),
+        CAST(ascii(text[length(text)]) AS DOUBLE), CAST(checksum % 256 AS DOUBLE)] AS feature
+FROM sums
+"""
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs).withColumn(
+        "meta",
+        F.col("meta").withField("duration_ms", (F.col("media_id") % 5 * 1000 + 500).cast("long")),
+    )
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+SQL_MEDIA_FRAME_PLAN = """
+SELECT doc_id AS media_id,
+       CAST(t.i AS INTEGER) AS frame_no,
+       t.i * 1000 AS ts_ms
+FROM documents, unnest(range(0, (doc_id % 5 * 1000 + 500) // 1000 + 1)) AS t(i)
+"""
+
+
+QUERIES_LLM = {
+    "text_fingerprint": q_text_fingerprint,
+    "text_tokens": q_text_tokens,
+    "text_language_id": q_text_language_id,
+    "text_quality": q_text_quality,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "sim_bruteforce_topk": q_sim_bruteforce_topk,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_near_dup": q_sim_near_dup,
+    "media_features": q_media_features,
+    "media_frame_plan": q_media_frame_plan,
+}
+
+ORACLES_LLM = {
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_language_id": SQL_TEXT_LANGUAGE_ID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "sim_bruteforce_topk": SQL_SIM_BRUTEFORCE_TOPK,
+    "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+    "sim_near_dup": SQL_SIM_NEAR_DUP,
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
+}
