@@ -47,9 +47,14 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
 def word_ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """Word n-gram array via higher-order functions (no UDF)."""
     out = with_words(df, text_col)
-    gram = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("words") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at("words", (i + j).cast("int")) for j in range(n)]),
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not an
+    # empty array), which would drive element_at out of bounds for docs
+    # shorter than n words — branch to an explicit empty array instead
+    gram = F.when(F.size("words") < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at("words", (i + j).cast("int")) for j in range(n)]),
+        )
     )
     return out.withColumn("ngrams", gram)
 

@@ -1,0 +1,156 @@
+"""Pipeline DAG: composable stages with idempotent materialization —
+the rebuild of the reference's Luigi orchestration (SURVEY §2.11).
+
+Reference semantics being preserved:
+
+* a task declares upstream tasks (`requires`) and an output target whose
+  existence short-circuits re-runs (``HiveTableTarget`` — reference
+  ``metrics/tasks/create_reach_task.py:41-42,58-59``);
+* a fan-in "supertask" runs everything (``consulting_metrics_supertask``);
+* parameterization via typed config (Luigi ``Parameter`` →
+  :class:`PipelineConfig` dataclass).
+
+Rebuild differences: stages are **pure DataFrame functions** registered
+on a :class:`Pipeline`; dependencies are resolved by name (topological);
+materialization targets are parquet directories whose ``_SUCCESS``
+marker provides the same exists→skip idempotency.  No scheduler
+process: the DAG is small, and Spark itself parallelizes within a
+stage, which is where the actual work is at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Typed run parameters (reference: Luigi string parameters,
+    ``create_pairwise_task.py:30-35``)."""
+
+    sf_dir: str
+    output_path: str
+    run_id: str = "dev"
+    dimensions: tuple[str, ...] = ("etype", "campaignid")
+    min_wks: int = 1
+    max_wks: int = 13
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, PipelineConfig, dict[str, DataFrame]], DataFrame]
+    requires: tuple[str, ...] = ()
+    materialize: bool = False
+
+
+class PipelineError(RuntimeError):
+    pass
+
+
+class Pipeline:
+    """Named-stage DAG with parquet-existence idempotency."""
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig):
+        self.spark = spark
+        self.config = config
+        self._stages: dict[str, Stage] = {}
+        self._results: dict[str, DataFrame] = {}
+
+    def stage(self, name: str, requires: tuple[str, ...] = (), materialize: bool = False):
+        """Decorator registering a stage function."""
+
+        def wrap(fn):
+            if name in self._stages:
+                raise PipelineError(f"duplicate stage {name!r}")
+            self._stages[name] = Stage(name, fn, requires, materialize)
+            return fn
+
+        return wrap
+
+    def _target(self, name: str) -> str:
+        return os.path.join(self.config.output_path, self.config.run_id, name)
+
+    def _is_complete(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._target(name), "_SUCCESS"))
+
+    def run(self, name: str, _seen: tuple[str, ...] = ()) -> DataFrame:
+        """Run one stage (and, recursively, its upstreams)."""
+        if name in self._results:
+            return self._results[name]
+        if name not in self._stages:
+            raise PipelineError(f"unknown stage {name!r}; have {sorted(self._stages)}")
+        if name in _seen:
+            raise PipelineError(f"dependency cycle: {' -> '.join(_seen + (name,))}")
+        st = self._stages[name]
+        if st.materialize and self._is_complete(name):
+            df = self.spark.read.parquet(self._target(name))
+            self._results[name] = df
+            return df
+        upstream = {r: self.run(r, _seen + (name,)) for r in st.requires}
+        df = st.fn(self.spark, self.config, upstream)
+        if st.materialize:
+            df.write.mode("overwrite").parquet(self._target(name))
+            df = self.spark.read.parquet(self._target(name))
+        self._results[name] = df
+        return df
+
+    def run_all(self) -> dict[str, DataFrame]:
+        """The fan-in supertask: run every registered stage."""
+        return {name: self.run(name) for name in self._stages}
+
+
+def build_metrics_pipeline(spark: SparkSession, config: PipelineConfig) -> Pipeline:
+    """The full KPI batch as a stage graph (reference
+    ``ConsultingSuperTask``: HHMetrics + Pairwise + Reach + ReachWeek +
+    Frequency sharing one media/projection layer)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators import before_after as ba
+    from pyspark_pipelining_spark.operators import media
+    from pyspark_pipelining_spark.operators.frequency import frequency_histogram
+    from pyspark_pipelining_spark.operators.pairwise import pair_overlap
+    from pyspark_pipelining_spark.operators.reach import reach_all_dims
+    from pyspark_pipelining_spark.operators.reach_week import incremental_weekly_reach
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    p = Pipeline(spark, config)
+
+    @p.stage("media")
+    def media_stage(spark, cfg, up):
+        expo = media.exposures(spark, cfg.sf_dir)
+        proj = media.projection(spark, cfg.sf_dir)
+        return expo.join(F.broadcast(proj), on="household_id", how="inner")
+
+    @p.stage("reach", requires=("media",))
+    def reach_stage(spark, cfg, up):
+        return reach_all_dims(up["media"], list(cfg.dimensions))
+
+    @p.stage("frequency", requires=("media",))
+    def frequency_stage(spark, cfg, up):
+        return frequency_histogram(up["media"])
+
+    @p.stage("reach_week", requires=("media",))
+    def reach_week_stage(spark, cfg, up):
+        return incremental_weekly_reach(up["media"].select("week", "household_id", "projfact"))
+
+    @p.stage("pairwise", requires=("media",))
+    def pairwise_stage(spark, cfg, up):
+        return pair_overlap(up["media"], "etype")
+
+    @p.stage("before_after", requires=("media",))
+    def before_after_stage(spark, cfg, up):
+        purch = media.purchases(spark, cfg.sf_dir)
+        univ = load_table(spark, cfg.sf_dir, "customer").select(
+            F.col("c_custkey").alias("household_id")
+        )
+        expo = [up["media"].select("household_id", "date")]
+        lift, _ = ba.before_after_analysis(purch, expo, univ, cfg.min_wks, cfg.max_wks)
+        return lift
+
+    return p

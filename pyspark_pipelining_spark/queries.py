@@ -643,6 +643,7 @@ FROM events GROUP BY 1
 # ---------------------------------------------------------------------------
 
 from pyspark_pipelining_spark.queries_llm import ORACLES_LLM, QUERIES_LLM  # noqa: E402
+from pyspark_pipelining_spark.queries_relational import ORACLES_REL, QUERIES_REL  # noqa: E402
 
 QUERIES: dict[str, QueryFn] = {
     "reach_overall": q_reach_overall,
@@ -663,6 +664,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_distinct_meta": q_qa_distinct_meta,
     "qa_hourshift": q_qa_hourshift,
     **QUERIES_LLM,
+    **QUERIES_REL,
 }
 
 ORACLES: dict[str, str] = {
@@ -684,4 +686,5 @@ ORACLES: dict[str, str] = {
     "qa_distinct_meta": SQL_QA_DISTINCT_META,
     "qa_hourshift": SQL_QA_HOURSHIFT,
     **ORACLES_LLM,
+    **ORACLES_REL,
 }

@@ -1,0 +1,417 @@
+"""Relational operator-coverage queries on the TPC-H-ish tables
+(FIXTURES.md §B.7): every join flavor, aggregate shape, window form,
+set operation, and sort/limit from SURVEY §2, exercised directly and
+oracle-checked.
+
+Broadcast hints are explicit where a human would know the side is a dim
+(nation/region/customer): on a 100 TB fact scan these become map-side
+joins with zero shuffle of the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.sources.registry import load_table
+
+D = "decimal(18,2)"
+
+
+def _dec_sum(c: str, alias: str):
+    return F.sum(F.col(c).cast(D)).cast("double").alias(alias)
+
+
+# --- A-family: the TPC-H Q1-style pricing summary (P7, A2, A3, F8) ------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # price (2dp) × (1 - discount (2dp)) has exactly 4 decimal places —
+    # decimal(18,4) captures it without per-row rounding (which would
+    # diverge between engines' rounding modes)
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       sum(l_quantity) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- J1/J2 + broadcast: star join over dims -----------------------------
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_REVENUE_BY_REGION = """
+SELECT r_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- J5/J6: semi + anti in one result -----------------------------------
+
+
+def q_customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("bucket", F.lit("with_orders"))
+    )
+    without = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("bucket", F.lit("without_orders"))
+    )
+    return with_orders.unionByName(without).orderBy("bucket", "c_mktsegment")
+
+
+SQL_CUSTOMERS_SEMI_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers, 'with_orders' AS bucket
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, count(*), 'without_orders'
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+# --- J4: full outer stitch of two activity profiles ---------------------
+
+
+def q_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    orders_per = o.groupBy(F.col("o_custkey").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    events_per = ev.groupBy(F.col("user_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        orders_per.join(events_per, on="entity_id", how="full_outer")
+        .select(
+            "entity_id",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+SQL_ACTIVITY_FULL_OUTER = """
+WITH op AS (SELECT o_custkey AS entity_id, count(*) AS n_orders FROM orders GROUP BY o_custkey),
+ep AS (SELECT user_id AS entity_id, count(*) AS n_events FROM events GROUP BY user_id)
+SELECT coalesce(op.entity_id, ep.entity_id) AS entity_id,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_events, 0) AS n_events
+FROM op FULL OUTER JOIN ep ON op.entity_id = ep.entity_id
+"""
+
+
+# --- J7/J10: multi-condition equi + range predicate join ----------------
+
+
+def q_shipped_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            on=[
+                li["l_orderkey"] == o["o_orderkey"],
+                li["l_shipdate"] > o["o_orderdate"],
+            ],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dec_sum("l_extendedprice", "value_shipped"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_SHIPPED_AFTER_ORDER = """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value_shipped
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+GROUP BY o_orderpriority
+"""
+
+
+# --- W-family: ranking, lag, cumulative ---------------------------------
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank
+FROM orders
+QUALIFY rank <= 3
+"""
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    gaps = o.withColumn(
+        "gap_days", F.datediff(F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w)))
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+            (F.sum("gap_days") / F.count("gap_days")).alias("avg_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+SQL_ORDER_GAPS = """
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+)
+SELECT o_custkey, count(gap_days) AS n_gaps,
+       CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
+       sum(gap_days) / count(gap_days) AS avg_gap_days
+FROM g GROUP BY o_custkey
+"""
+
+
+def q_cumulative_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("date"))
+        .agg(F.sum(F.col("value").cast(D)).cast(D).alias("day_value"))
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.withColumn(
+        "cum_value", F.sum("day_value").over(w).cast("double")
+    ).withColumn("day_value", F.col("day_value").cast("double")).orderBy("date")
+
+
+SQL_CUMULATIVE_DAILY_VALUE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_value
+    FROM events GROUP BY 1
+)
+SELECT date, CAST(day_value AS DOUBLE) AS day_value,
+       CAST(sum(day_value) OVER (ORDER BY date ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+FROM daily
+"""
+
+
+# --- U-family + O4: set operations, distinct, top-k ---------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_cust.intersect(o_cust).withColumn("bucket", F.lit("both"))
+    only_f = f_cust.exceptAll(o_cust).withColumn("bucket", F.lit("only_f"))
+    only_o = o_cust.exceptAll(f_cust).withColumn("bucket", F.lit("only_o"))
+    return (
+        both.unionByName(only_f)
+        .unionByName(only_o)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("bucket")
+    )
+
+
+SQL_SET_OPS = """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+tagged AS (
+    SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+    UNION ALL
+    SELECT o_custkey, 'only_f' FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+    UNION ALL
+    SELECT o_custkey, 'only_o' FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+)
+SELECT bucket, count(*) AS n_customers FROM tagged GROUP BY bucket
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --- A12 native: ROLLUP with grouping id --------------------------------
+
+
+def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus", "gid")
+    )
+
+
+SQL_ROLLUP_ORDER_STATUS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --- global stats (A4): one-row multi-aggregate -------------------------
+
+
+def q_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        _dec_sum("l_extendedprice", "total_value"),
+    )
+
+
+SQL_GLOBAL_STATS = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_orders,
+       min(CAST(l_shipdate AS DATE)) AS first_ship,
+       max(CAST(l_shipdate AS DATE)) AS last_ship,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM lineitem
+"""
+
+
+# --- A7 on TPC-H: pivot with pinned values ------------------------------
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .na.fill(0.0, ["A", "N", "R"])
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_PIVOT_RETURNFLAG = """
+SELECT l_linestatus,
+       coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0) AS A,
+       coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0) AS N,
+       coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0) AS R
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+QUERIES_REL = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_region": q_revenue_by_region,
+    "customers_semi_anti": q_customers_semi_anti,
+    "activity_full_outer": q_activity_full_outer,
+    "shipped_after_order": q_shipped_after_order,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "order_gaps": q_order_gaps,
+    "cumulative_daily_value": q_cumulative_daily_value,
+    "set_ops": q_set_ops,
+    "topk_orders": q_topk_orders,
+    "rollup_order_status": q_rollup_order_status,
+    "global_stats": q_global_stats,
+    "pivot_returnflag": q_pivot_returnflag,
+}
+
+ORACLES_REL = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_region": SQL_REVENUE_BY_REGION,
+    "customers_semi_anti": SQL_CUSTOMERS_SEMI_ANTI,
+    "activity_full_outer": SQL_ACTIVITY_FULL_OUTER,
+    "shipped_after_order": SQL_SHIPPED_AFTER_ORDER,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "order_gaps": SQL_ORDER_GAPS,
+    "cumulative_daily_value": SQL_CUMULATIVE_DAILY_VALUE,
+    "set_ops": SQL_SET_OPS,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "rollup_order_status": SQL_ROLLUP_ORDER_STATUS,
+    "global_stats": SQL_GLOBAL_STATS,
+    "pivot_returnflag": SQL_PIVOT_RETURNFLAG,
+}

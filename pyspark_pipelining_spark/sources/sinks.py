@@ -1,0 +1,66 @@
+"""Sinks (SURVEY §2.1 S2/S5/S6): parquet tables, single-file CSV
+reports, and the multi-sheet Excel workbook export.
+
+Reference behaviors preserved:
+
+* table sink = overwrite semantics (``saveAsTable(mode='overwrite')``,
+  reference ``pdf_to_table_excel.py:13``) → parquet overwrite here;
+* CSV report written as ONE file with a header (the QA daily report,
+  ``dailyMain.py:33``) — ``coalesce(1)`` is correct because reports are
+  small aggregates; never coalesce a fact table;
+* errors rendered INTO the report instead of crashing the job
+  (``dataExceptions.py:17-23``) via :func:`error_report`;
+* Excel export is a driver-side convenience for small result frames
+  (``pdf_to_table_excel.py:16-32``) — gated on openpyxl being present.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet table sink; at scale pass ``partition_by`` (e.g. date)
+    so downstream readers get partition pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_report(df: DataFrame, path: str) -> None:
+    """Single-file CSV with header (small report frames only)."""
+    tmp = path + "_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+
+
+def error_report(spark: SparkSession, message: str, path: str) -> None:
+    """Render a failure into the report file (reference
+    ``DataException.to_csv`` behavior) so schedulers see output, not a
+    crash."""
+    spark.createDataFrame([(message,)], ["Error"]).coalesce(1).toPandas().to_csv(
+        path, index=False, encoding="utf-8"
+    )
+
+
+def write_excel_sheets(frames: dict[str, DataFrame], path: str) -> bool:
+    """Multi-sheet Excel export of small result frames.  Returns False
+    (no-op) when no Excel engine is installed — the parquet/CSV sinks
+    are the durable outputs; Excel is presentation only."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        return False
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as xl:
+        for sheet, df in frames.items():
+            df.toPandas().to_excel(xl, sheet_name=sheet[:31], index=False)
+    return True

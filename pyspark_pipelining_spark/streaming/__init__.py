@@ -1,0 +1,13 @@
+from pyspark_pipelining_spark.streaming.windows import (
+    daily_counts_batch,
+    daily_counts_stream,
+    run_stream_to_memory,
+    sliding_counts_batch,
+)
+
+__all__ = [
+    "daily_counts_batch",
+    "daily_counts_stream",
+    "run_stream_to_memory",
+    "sliding_counts_batch",
+]

@@ -1,0 +1,126 @@
+"""Event-time windowed aggregations — batch and Structured Streaming.
+
+The reference is batch-only; its closest streaming-shaped semantics is
+the dataQA daily job: shift event timestamps by N hours, truncate to a
+date, group into 1-day buckets over a trailing period (reference
+``dataQA/dailyQAHelpers.py:43-56``, ``dailyQA.py:44-63`` — SURVEY
+§2.10).  This module expresses that same computation three ways:
+
+* :func:`daily_counts_batch` — ``F.window`` tumbling 1-day buckets over
+  a static frame (semantics identical to the QA temp-table);
+* :func:`sliding_counts_batch` — the trailing-period variant as a
+  sliding window;
+* :func:`daily_counts_stream` — the same plan over ``readStream`` with
+  a watermark for late data; :func:`run_stream_to_memory` executes it
+  with ``trigger(availableNow=True)`` so tests and backfills replay the
+  full history deterministically and terminate.
+
+Scale: windowed streaming aggregation is Spark's native incremental
+shuffle — state is partitioned by (window, keys); the watermark bounds
+state size.  The same code runs continuously on a cluster by swapping
+the trigger and sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _shifted(df: DataFrame, hourshift: int, ts_col: str) -> DataFrame:
+    if hourshift:
+        return df.withColumn(ts_col, F.col(ts_col) + F.expr(f"INTERVAL {hourshift} HOURS"))
+    return df
+
+
+def daily_counts_batch(
+    df: DataFrame, hourshift: int = 0, ts_col: str = "ts", keys: list[str] | None = None
+) -> DataFrame:
+    """1-day tumbling event-time window counts (batch).
+
+    Output: window_start (date), per-key columns, n_events, total_value.
+    """
+    keys = keys or []
+    shifted = _shifted(df, hourshift, ts_col)
+    return (
+        shifted.groupBy(F.window(F.col(ts_col), "1 day").alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").cast("date").alias("window_start"), *keys, "n_events", "total_value")
+        .orderBy("window_start", *keys)
+    )
+
+
+def sliding_counts_batch(
+    df: DataFrame, window: str = "7 days", slide: str = "1 day", ts_col: str = "ts"
+) -> DataFrame:
+    """Trailing-period counts as a sliding event-time window (the QA
+    "last N days" report for every day at once)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            F.col("w.end").cast("date").alias("window_end"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+def daily_counts_stream(
+    spark: SparkSession,
+    events_path: str,
+    hourshift: int = 0,
+    watermark: str = "1 day",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """The streaming twin of :func:`daily_counts_batch` over a parquet
+    file source with a late-data watermark."""
+    keys = keys or []
+    # FileStreamSource requires a directory; wrap a single parquet file
+    # in a temp dir via symlink (production streams point at a dir).
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    static = spark.read.parquet(events_path)  # schema inference for the stream
+    stream = spark.readStream.schema(static.schema).parquet(events_path)
+    if dict(static.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    shifted = _shifted(stream, hourshift, "ts")
+    return (
+        shifted.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "1 day").alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").cast("date").alias("window_start"), *keys, "n_events", "total_value")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Execute a streaming frame with ``availableNow`` into a memory
+    sink (complete mode) and return the result table — deterministic
+    one-shot replay for tests/backfills."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(query_name)

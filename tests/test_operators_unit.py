@@ -1,0 +1,111 @@
+"""Boundary-row unit tests for the operator library, in the reference's
+style (tiny inline frames, one semantic edge per row — SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, word_ngrams
+from pyspark_pipelining_spark.operators.frequency import frequency_histogram
+from pyspark_pipelining_spark.operators.media import make_media, union_frames
+from pyspark_pipelining_spark.operators.reach import reach_count
+from pyspark_pipelining_spark.operators.reach_week import incremental_weekly_reach
+from pyspark_pipelining_spark.sources.registry import SchemaError
+
+
+def test_reach_count_dedup_and_uniqueness(spark):
+    # hh 1: two exposures to same value (dedup to 1, unique), hh 2: two
+    # values (not unique), hh 3: one value + a null (null dropped, unique)
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 2.0), (2, "a", 1.0), (2, "b", 1.0), (3, "b", 3.0), (3, None, 3.0)],
+        ["household_id", "dim", "projfact"],
+    )
+    out = {r["value"]: r for r in reach_count(df, "household_id", "dim", "projfact").collect()}
+    assert out["a"]["count"] == 3.0  # hh1 (2.0) + hh2 (1.0)
+    assert out["a"]["unique"] == 2.0  # only hh1 unique
+    assert out["b"]["count"] == 4.0 and out["b"]["unique"] == 3.0
+    assert out["a"]["duplicates"] == 1.0
+
+
+def test_reach_count_overall_no_dim(spark):
+    df = spark.createDataFrame([(1, 1.0), (1, 1.0), (2, 2.5)], ["household_id", "projfact"])
+    row = reach_count(df, "household_id", None, "projfact").collect()[0]
+    assert row["dimension"] == "all" and row["count"] == 4.0 and row["duplicates"] == 0.0
+
+
+def test_frequency_cap_at_10(spark):
+    rows = [(1, 1.0)] * 12 + [(2, 2.0)] * 3
+    df = spark.createDataFrame(rows, ["household_id", "projfact"])
+    hist = {r["frequency"]: r for r in frequency_histogram(df).collect()}
+    assert set(hist) == {10, 3}  # hh1 capped 12→10
+    assert hist[10]["proj_hh"] == 1 and hist[3]["proj_hh"] == 2
+    assert abs(hist[3]["pct_hh"] - 2.0 / 3.0) < 1e-12
+
+
+def test_incremental_weekly_reach_matches_loop_oracle(spark):
+    import datetime as dt
+
+    w1, w2, w3 = dt.date(2024, 1, 1), dt.date(2024, 1, 8), dt.date(2024, 1, 15)
+    # hh1 first in w1 (again later — ignored), hh2 first in w2, hh3 in w1
+    df = spark.createDataFrame(
+        [(1, w1, 1.0), (1, w3, 1.0), (2, w2, 2.0), (3, w1, 1.5), (2, w3, 2.0)],
+        ["household_id", "week", "projfact"],
+    )
+    out = {r["week"]: r for r in incremental_weekly_reach(df).collect()}
+    assert out[w1]["counts"] == 3  # round(1.0 + 1.5) = 3 (HALF_UP)
+    assert out[w2]["counts"] == 2
+    assert w3 not in out  # nobody NEW in w3
+    assert out[w2]["cum_counts"] == 5
+
+
+def test_incremental_weekly_reach_unprojected(spark):
+    import datetime as dt
+
+    w1 = dt.date(2024, 1, 1)
+    df = spark.createDataFrame([(1, w1, 9.0), (2, w1, 9.0)], ["household_id", "week", "projfact"])
+    out = incremental_weekly_reach(df, project=False).collect()
+    assert out[0]["counts"] == 2  # projfact replaced by 1 (reference bug fixed)
+
+
+def test_make_media_missing_dim_fails_fast(spark):
+    df = spark.createDataFrame([(1, "x")], ["household_id", "etype"])
+    proj = spark.createDataFrame([(1, 1.0)], ["household_id", "projfact"])
+    with pytest.raises(SchemaError, match="missing required columns"):
+        make_media(df, "campaignid", proj)
+
+
+def test_make_media_etype_ratio_rescale(spark):
+    df = spark.createDataFrame([(1, "a", "tv"), (2, "b", "web")], ["household_id", "d", "etype"])
+    proj = spark.createDataFrame([(1, 2.0), (2, 4.0)], ["household_id", "projfact"])
+    ratio = spark.createDataFrame([("tv", 0.5), ("web", 2.0)], ["etype", "ratio"])
+    out = {r["household_id"]: r["projfact"] for r in make_media(df, "d", proj, ratio).collect()}
+    assert out[1] == 1.0 and out[2] == 8.0
+
+
+def test_union_frames_aligns_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    b = spark.createDataFrame([("y", 2)], ["v", "id"])  # reversed column order
+    rows = sorted(union_frames([a, b]).collect())
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame([(5, "t"), (2, "t"), (9, "u")], ["doc_id", "text"])
+    out = {r["text"]: r["doc_id"] for r in exact_dedup(df, ["text"]).collect()}
+    assert out == {"t": 2, "u": 9}
+
+
+def test_word_ngrams_short_doc(spark):
+    df = spark.createDataFrame([(1, "single")], ["doc_id", "text"])
+    row = word_ngrams(df, 2).collect()[0]
+    assert row["ngrams"] == []  # 1 word → no bigrams, no crash
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()
+    assert [(r["doc_1"], r["doc_2"], r["est_jaccard"]) for r in pairs] == [(1, 2, 1.0)]

@@ -1,0 +1,75 @@
+"""Pipeline DAG: dependency resolution, idempotent materialization,
+cycle/missing-stage errors, sinks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark_pipelining_spark.plans import Pipeline, PipelineConfig
+from pyspark_pipelining_spark.plans.dag import PipelineError, build_metrics_pipeline
+from pyspark_pipelining_spark.sources.sinks import write_csv_report, write_table
+from tests.conftest import SF_SMOKE
+
+
+def test_metrics_pipeline_runs_all(spark, tmp_path):
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path), run_id="t1")
+    p = build_metrics_pipeline(spark, cfg)
+    results = p.run_all()
+    assert set(results) == {"media", "reach", "frequency", "reach_week", "pairwise", "before_after"}
+    assert results["reach"].count() > 0
+    assert results["frequency"].count() > 0
+
+
+def test_materialization_is_idempotent(spark, tmp_path):
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path), run_id="t2")
+    p = Pipeline(spark, cfg)
+    calls = {"n": 0}
+
+    @p.stage("base", materialize=True)
+    def base(spark_, cfg_, up):
+        calls["n"] += 1
+        return spark_.range(5).withColumnRenamed("id", "x")
+
+    @p.stage("down", requires=("base",))
+    def down(spark_, cfg_, up):
+        return up["base"]
+
+    assert p.run("down").count() == 5
+    assert calls["n"] == 1
+    # a fresh pipeline over the same output path skips recompute
+    p2 = Pipeline(spark, cfg)
+    p2.stage("base", materialize=True)(base)
+    assert p2.run("base").count() == 5
+    assert calls["n"] == 1  # not re-executed — _SUCCESS short-circuit
+
+
+def test_cycle_and_unknown_stage_errors(spark, tmp_path):
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path))
+    p = Pipeline(spark, cfg)
+
+    @p.stage("a", requires=("b",))
+    def a(spark_, cfg_, up):  # pragma: no cover
+        return None
+
+    @p.stage("b", requires=("a",))
+    def b(spark_, cfg_, up):  # pragma: no cover
+        return None
+
+    with pytest.raises(PipelineError, match="cycle"):
+        p.run("a")
+    with pytest.raises(PipelineError, match="unknown stage"):
+        p.run("nope")
+
+
+def test_sinks(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).withColumnRenamed("id", "k").withColumn("part", F.col("k") % 2)
+    write_table(df, str(tmp_path / "tbl"), partition_by=["part"])
+    assert spark.read.parquet(str(tmp_path / "tbl")).count() == 3
+    report = str(tmp_path / "report.csv")
+    write_csv_report(df.select("k"), report)
+    with open(report) as fh:
+        assert fh.readline().strip() == "k"
