@@ -95,59 +95,53 @@ def tag_before_after(df: DataFrame) -> DataFrame:
     )
 
 
-def agg_by_household(df: DataFrame) -> DataFrame:
-    """Per-(household, side) volume totals (reference ``agg_by_hh``,
-    ``hh_before_after.py:51-55``); exact decimal sums."""
-    return df.groupBy("household_id", "bef_aft", "hh_exposed").agg(
-        F.max("wgt").alias("wgt"),
-        F.sum(F.col("volume_tgt").cast(D)).cast(D).alias("volume_tgt"),
-        F.sum(F.col("volume_cat").cast(D)).cast(D).alias("volume_cat"),
-    )
+def household_sides(df: DataFrame) -> DataFrame:
+    """Per-household before/after totals + zero-side backfill + weights,
+    fused into ONE aggregation.
 
+    Replaces three reference stages (``agg_by_hh`` +
+    ``add_zero_purch``'s two anti-join/unions + ``add_only_bb_hh``'s
+    extra join — ``hh_before_after.py:24-55,78-98``) whose direct
+    translation replicated the whole upstream plan ~6× (measured: 50
+    parquet scans / 46 exchanges at sf0.01 before this fusion).  The
+    key observations:
 
-def add_zero_purchase_sides(df: DataFrame) -> DataFrame:
-    """Backfill the missing before/after side of each household with a
-    zero-volume row (reference ``add_zero_purch``/``get_only_hh``,
-    ``hh_before_after.py:24-43``), via native anti-joins."""
+    * a household that survives ``filter_to_range`` should ALWAYS end
+      up with both a 'before' and an 'after' row (the missing side is
+      zero-volume with the same weight) — so instead of anti-joining
+      the two sides against each other, aggregate BOTH sides'
+      conditional sums in one ``groupBy(household)`` pass and unpivot
+      with ``stack`` (2 rows out per household, zeros built in);
+    * the brand-buyer flag (any positive target volume either side) is
+      visible in that same aggregated row — no window / extra join.
 
-    def missing_side(have: DataFrame, other: DataFrame, side: str) -> DataFrame:
-        return (
-            have.join(other.select("hh_exposed", "household_id"), on=["hh_exposed", "household_id"], how="left_anti")
-            .withColumn("volume_tgt", F.lit(0).cast(D))
-            .withColumn("volume_cat", F.lit(0).cast(D))
-            .withColumn("bef_aft", F.lit(side))
-        )
-
-    before = df.filter(F.col("bef_aft") == "before")
-    after = df.filter(F.col("bef_aft") == "after")
-    cols = df.columns
-    return (
-        df.unionByName(missing_side(before, after, "after").select(*cols))
-        .unionByName(missing_side(after, before, "before").select(*cols))
-    )
-
-
-def add_weights(df: DataFrame) -> DataFrame:
-    """Brand-buyer flags + observation-weighted volumes (reference
-    ``add_only_bb_hh``/``add_weights``, ``hh_before_after.py:78-98``).
-
-    The brand-buyer flag (household had ANY positive target volume) is a
-    window max over the household — join-free, one shuffle shared with
-    the surrounding plan.
+    Output columns match the reference's weighted frame exactly.
     """
-    from pyspark.sql import Window
-
-    bb = F.max(F.when(F.col("volume_tgt") > 0, 1).otherwise(0)).over(
-        Window.partitionBy("household_id")
+    per_hh = df.groupBy("household_id", "hh_exposed").agg(
+        F.max("wgt").alias("wgt"),
+        F.sum(F.when(F.col("bef_aft") == "before", F.col("volume_tgt").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("b_tgt"),
+        F.sum(F.when(F.col("bef_aft") == "before", F.col("volume_cat").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("b_cat"),
+        F.sum(F.when(F.col("bef_aft") == "after", F.col("volume_tgt").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("a_tgt"),
+        F.sum(F.when(F.col("bef_aft") == "after", F.col("volume_cat").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("a_cat"),
     )
-    with_bb = df.withColumn("volume_cat_bb", (F.col("volume_cat") * bb).cast(D))
+    sides = per_hh.select(
+        "household_id",
+        "hh_exposed",
+        "wgt",
+        F.when((F.col("b_tgt") > 0) | (F.col("a_tgt") > 0), 1).otherwise(0).alias("bb"),
+        F.expr(
+            "stack(2, 'before', b_tgt, b_cat, 'after', a_tgt, a_cat) as (bef_aft, volume_tgt, volume_cat)"
+        ),
+    )
     return (
-        with_bb.withColumn("brand_wgt", (F.col("volume_tgt") * F.col("wgt")).cast(D))
+        sides.withColumn("volume_cat_bb", (F.col("volume_cat") * F.col("bb")).cast(D))
+        .withColumn("brand_wgt", (F.col("volume_tgt") * F.col("wgt")).cast(D))
         .withColumn("category_wgt", (F.col("volume_cat") * F.col("wgt")).cast(D))
         .withColumn("category_wgt_bb", (F.col("volume_cat_bb") * F.col("wgt")).cast(D))
         .withColumn("bwgt", F.when(F.col("volume_tgt") > 0, F.col("wgt")))
         .withColumn("cwgt", F.when(F.col("volume_cat") > 0, F.col("wgt")))
         .withColumn("cwgt_bb", F.when(F.col("volume_cat_bb") > 0, F.col("wgt")))
+        .drop("bb")
     )
 
 
@@ -157,9 +151,7 @@ def get_before_after(df: DataFrame, min_wks: int, max_wks: int) -> DataFrame:
     return (
         df.transform(filter_to_range, min_wks, max_wks)
         .transform(tag_before_after)
-        .transform(agg_by_household)
-        .transform(add_zero_purchase_sides)
-        .transform(add_weights)
+        .transform(household_sides)
     )
 
 
