@@ -27,8 +27,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark.operators.text import with_words
+from pyspark_pipelining_spark.sources.registry import spread
 
 MERSENNE = (1 << 31) - 1  # 2147483647, prime — minhash universe
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the ``(a·x + b) mod M`` hash family.
+
+    The multipliers are multiples of Knuth's 2654435761 reduced mod M —
+    large enough that ``a·x`` wraps the modulus many times even for small
+    dense-rank shingle ids.  (Tiny multipliers like ``2i+1`` make every
+    h_i monotone over a dense id space, so all hashes elect the same
+    minimum shingle and the signature degenerates to a function of one
+    shingle.)  ``a·x`` stays under 2^62, so int64 math is exact in both
+    Spark and DuckDB.
+    """
+    return [
+        ((2654435761 * (i + 1)) % MERSENNE, 7919 * (i + 1) % MERSENNE)
+        for i in range(num_hashes)
+    ]
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
@@ -61,8 +79,12 @@ def word_ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
 
 def _portable_shingle_ids(grams: DataFrame) -> DataFrame:
     """(doc_id, shingle_id) with dense_rank ids — engine-portable."""
-    exploded = grams.select("doc_id", F.explode("ngrams").alias("shingle")).dropDuplicates(
-        ["doc_id", "shingle"]
+    # array_distinct BEFORE explode: per-doc dedup happens map-side inside
+    # the array (no shuffle), and the generator input is a cheap column
+    # reference rather than the full ngram-transform expression (which
+    # codegen would otherwise re-evaluate once per generated row)
+    exploded = grams.select("doc_id", F.array_distinct("ngrams").alias("distinct_grams")).select(
+        "doc_id", F.explode("distinct_grams").alias("shingle")
     )
     ids = (
         exploded.select("shingle")
@@ -90,11 +112,11 @@ def minhash_signatures(
         shingles = _portable_shingle_ids(grams)
     else:
         shingles = grams.select(
-            "doc_id", F.explode("ngrams").alias("shingle")
-        ).withColumn("shingle_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE))).select(
-            "doc_id", "shingle_id"
-        )
-    coeffs = [(2 * i + 1, 7919 * (i + 1) % MERSENNE) for i in range(num_hashes)]
+            "doc_id", F.array_distinct("ngrams").alias("distinct_grams")
+        ).select("doc_id", F.explode("distinct_grams").alias("shingle")).withColumn(
+            "shingle_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE))
+        ).select("doc_id", "shingle_id")
+    coeffs = minhash_coeffs(num_hashes)
     mins = [
         F.min((F.col("shingle_id") * a + b) % MERSENNE).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
@@ -121,7 +143,10 @@ def minhash_lsh_pairs(
     same-bucket documents ever meet — the standard LSH shuffle shape.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, ngram, portable_ids)
+    # persist the signature stage: the LSH self-join references it on both
+    # sides, and without the cache the whole shingle→signature pipeline
+    # (including the portable-id assignment) would execute once per branch
+    sigs = minhash_signatures(df, num_hashes, ngram, portable_ids).persist()
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -132,8 +157,10 @@ def minhash_lsh_pairs(
     banded = sigs.select("doc_id", "sig", F.explode(band_arr).alias("b")).select(
         "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bsig").alias("bsig")
     )
+    # both sides carry their full signature through the bucket join, so the
+    # estimated Jaccard needs no extra join back onto the signature table
     left = banded.alias("l")
-    right = banded.select("doc_id", "band", "bsig").alias("r")
+    right = banded.alias("r")
     cand = (
         left.join(
             right,
@@ -147,24 +174,20 @@ def minhash_lsh_pairs(
             F.col("l.doc_id").alias("doc_1"),
             F.col("r.doc_id").alias("doc_2"),
             F.col("l.sig").alias("sig1"),
+            F.col("r.sig").alias("sig2"),
         )
         .dropDuplicates(["doc_1", "doc_2"])
     )
-    sig2 = sigs.select(F.col("doc_id").alias("doc_2"), F.col("sig").alias("sig2"))
     agree = F.size(
         F.filter(
             F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x
         )
     )
-    return (
-        cand.join(sig2, "doc_2")
-        .select(
-            "doc_1",
-            "doc_2",
-            (agree.cast("double") / num_hashes).alias("est_jaccard"),
-        )
-        .orderBy("doc_1", "doc_2")
-    )
+    return cand.select(
+        "doc_1",
+        "doc_2",
+        (agree.cast("double") / num_hashes).alias("est_jaccard"),
+    ).orderBy("doc_1", "doc_2")
 
 
 def simhash(df: DataFrame, bits: int = 32, portable_ids: bool = True) -> DataFrame:
@@ -174,9 +197,10 @@ def simhash(df: DataFrame, bits: int = 32, portable_ids: bool = True) -> DataFra
     Output: doc_id, simhash (long).  One explode + one groupBy with
     ``bits`` conditional sums — all codegen'd.
     """
-    words = with_words(df).select("doc_id", F.explode("words").alias("token")).dropDuplicates(
-        ["doc_id", "token"]
-    )
+    # per-doc distinct tokens map-side (array_distinct) — no dedup shuffle
+    words = with_words(df).select(
+        "doc_id", F.array_distinct("words").alias("toks")
+    ).select("doc_id", F.explode("toks").alias("token"))
     if portable_ids:
         ids = (
             words.select("token")
@@ -214,9 +238,11 @@ def ngram_jaccard_pairs(
 
     Output: doc_1, doc_2, jaccard.
     """
+    # persisted: referenced three times (both join sides + the size agg);
+    # array_distinct dedups per-doc map-side, so no dropDuplicates shuffle
     grams = word_ngrams(df, n).select(
-        "doc_id", F.col(group_col).alias("grp"), F.explode("ngrams").alias("g")
-    ).dropDuplicates(["doc_id", "g"])
+        "doc_id", F.col(group_col).alias("grp"), F.array_distinct("ngrams").alias("gs")
+    ).select("doc_id", "grp", F.explode("gs").alias("g")).persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.select("doc_id", "grp", "g").alias("b")

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_pipelining_spark.sources.registry import spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -54,7 +56,7 @@ def cosine_topk(
     ``query_df`` must have (query_id, query_vec).  Output:
     query_id, vec_id, cosine (rounded 6dp), rank.
     """
-    joined = emb_df.crossJoin(F.broadcast(query_df)).filter(
+    joined = spread(emb_df).crossJoin(F.broadcast(query_df)).filter(
         F.col(id_col) != F.col("query_id")
     )
     cos = _dot(F.col(vec_col), F.col("query_vec")) / (
@@ -112,7 +114,7 @@ def lsh_cosine_topk(
     product — recall is tuned by ``num_planes`` (fewer planes → bigger
     buckets → higher recall, more compute).
     """
-    corpus = emb_df.withColumn("bucket", hyperplane_signature(F.col(vec_col), num_planes, dim))
+    corpus = spread(emb_df).withColumn("bucket", hyperplane_signature(F.col(vec_col), num_planes, dim))
     queries = query_df.withColumn(
         "bucket", hyperplane_signature(F.col("query_vec"), num_planes, dim)
     )
@@ -142,7 +144,11 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via LSH blocking: vectors
     sharing a hyperplane bucket whose exact cosine ≥ threshold.
     Output: id_1, id_2, cosine."""
-    sig = emb_df.withColumn("bucket", hyperplane_signature(F.col(vec_col), num_planes, dim))
+    # persisted: the bucket self-join reads it twice, and the signature is
+    # num_planes folds over the full vector — too costly to compute per branch
+    sig = spread(emb_df).withColumn(
+        "bucket", hyperplane_signature(F.col(vec_col), num_planes, dim)
+    ).persist()
     a = sig.alias("a")
     b = sig.select(id_col, vec_col, "bucket").alias("b")
     cand = a.join(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_pipelining_spark.sources.registry import spread
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic.  Real deployments plug in fastText/CLD3 via a Pandas UDF;
 #: the heuristic keeps the engine dependency-free and deterministic.
@@ -32,8 +34,11 @@ FNV_MOD = 1_000_000_007
 
 
 def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Lowercased whitespace tokenization as an array column."""
-    return df.withColumn("words", F.split(F.lower(F.col(text_col)), " +"))
+    """Lowercased whitespace tokenization as an array column.
+
+    Spreads single-split local scans first so the downstream per-word
+    array work parallelizes (no-op on multi-split cluster scans)."""
+    return spread(df).withColumn("words", F.split(F.lower(F.col(text_col)), " +"))
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:

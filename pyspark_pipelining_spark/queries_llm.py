@@ -142,7 +142,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash(num_hashes: int = 16, bands: int = 8) -> str:
     rows = num_hashes // bands
-    coeffs = [(2 * i + 1, 7919 * (i + 1) % MERSENNE) for i in range(num_hashes)]
+    coeffs = dedup.minhash_coeffs(num_hashes)
     mins = ",\n           ".join(
         f"min((sid * {a} + {b}) % {MERSENNE}) AS h{i}" for i, (a, b) in enumerate(coeffs)
     )

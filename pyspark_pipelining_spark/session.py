@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate clones the generator's input expression
+        # into a filter that is then pushed below exchanges — for explode
+        # over computed arrays (shingling, banding) that re-evaluates the
+        # whole array expression per row on the narrow pre-shuffle side.
+        # The saved empty-array rows never outweigh that at any scale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -169,6 +169,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Ensure at least ``min_parallelism`` partitions before a
+    compute-heavy stage (shingling, signature folds, per-doc features).
+
+    Small local scans arrive as a single parquet split, which would pin
+    all downstream array/codegen work to one core.  At cluster scale a
+    100 TB table has thousands of splits, so the partition count already
+    exceeds the target and this is a no-op — no shuffle is added.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
