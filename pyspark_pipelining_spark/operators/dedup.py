@@ -15,15 +15,15 @@ Four families, each a standard large-corpus technique:
   intersection — the verification stage after LSH at scale.
 
 Portability note: the correctness-gate variants derive token/shingle ids
-with a ``dense_rank`` over the distinct tokens (reproducible in any SQL
-engine) rather than ``xxhash64`` (Spark-specific).  At 100 TB you flip
-``portable_ids=False`` and the global-sort id join disappears in favor
-of direct hashing — the algorithm is unchanged.
+from the first 60 bits of ``md5`` (identical in Spark and DuckDB, so the
+oracle reproduces them bit-for-bit) rather than ``xxhash64``
+(Spark-specific, slightly faster JVM-side).  Both are pure map-side
+hashing — no global id assignment, no extra shuffle, scale-indifferent.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark.operators.text import with_words
@@ -47,6 +47,19 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
         ((2654435761 * (i + 1)) % MERSENNE, 7919 * (i + 1) % MERSENNE)
         for i in range(num_hashes)
     ]
+
+
+def portable_hash_id(col, mod: int):
+    """Engine-portable string→int hash: the first 15 hex chars of md5
+    (60 bits) read as a bigint, reduced mod ``mod``.
+
+    Spark: ``conv(substring(md5(c),1,15),16,10)``; DuckDB oracle:
+    ``('0x' || substr(md5(c),1,15))::BIGINT`` — bit-identical.  Pure
+    map-side work, so id assignment costs no shuffle at any scale
+    (unlike a dense_rank over the distinct values, which funnels the
+    whole vocabulary through one partition).
+    """
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(mod))
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
@@ -78,7 +91,7 @@ def word_ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
 
 
 def _portable_shingle_ids(grams: DataFrame) -> DataFrame:
-    """(doc_id, shingle_id) with dense_rank ids — engine-portable."""
+    """(doc_id, shingle_id) with md5-derived ids — engine-portable."""
     # array_distinct BEFORE explode: per-doc dedup happens map-side inside
     # the array (no shuffle), and the generator input is a cheap column
     # reference rather than the full ngram-transform expression (which
@@ -86,12 +99,7 @@ def _portable_shingle_ids(grams: DataFrame) -> DataFrame:
     exploded = grams.select("doc_id", F.array_distinct("ngrams").alias("distinct_grams")).select(
         "doc_id", F.explode("distinct_grams").alias("shingle")
     )
-    ids = (
-        exploded.select("shingle")
-        .distinct()
-        .withColumn("shingle_id", F.dense_rank().over(Window.orderBy("shingle")).cast("long"))
-    )
-    return exploded.join(ids, "shingle").select("doc_id", "shingle_id")
+    return exploded.select("doc_id", portable_hash_id(F.col("shingle"), MERSENNE).alias("shingle_id"))
 
 
 def minhash_signatures(
@@ -202,19 +210,9 @@ def simhash(df: DataFrame, bits: int = 32, portable_ids: bool = True) -> DataFra
         "doc_id", F.array_distinct("words").alias("toks")
     ).select("doc_id", F.explode("toks").alias("token"))
     if portable_ids:
-        ids = (
-            words.select("token")
-            .distinct()
-            .withColumn("token_id", F.dense_rank().over(Window.orderBy("token")).cast("long"))
-        )
-        toks = words.join(ids, "token")
-        # spread ids into a pseudo-random 32-bit pattern (multiplicative
-        # hashing by a Knuth constant, portable integer arithmetic)
-        h = F.pmod(F.col("token_id") * F.lit(2654435761), F.lit(1 << 32))
+        toks = words.withColumn("h", portable_hash_id(F.col("token"), 1 << 32))
     else:
-        toks = words.withColumn("token_id", F.xxhash64("token"))
-        h = F.pmod(F.col("token_id"), F.lit(1 << 32))
-    toks = toks.withColumn("h", h)
+        toks = words.withColumn("h", F.pmod(F.xxhash64("token"), F.lit(1 << 32)))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

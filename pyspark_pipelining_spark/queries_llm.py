@@ -3,7 +3,7 @@ analysis, multimodal plumbing (merged into the driver contract by
 ``queries.py``).
 
 Oracle-parity notes: the dedup/simhash correctness variants use
-dense_rank token ids (portable across engines; see operators/dedup.py);
+md5-derived token ids (portable across engines; see operators/dedup.py);
 cosine scores are rounded to 6dp before ranking so float→double cast
 noise cannot flip a comparison.
 """
@@ -156,11 +156,11 @@ def _sql_minhash(num_hashes: int = 16, bands: int = 8) -> str:
     return f"""
 WITH {SQL_BIGRAMS},
 shing AS (SELECT DISTINCT doc_id, unnest(ngrams) AS shingle FROM grams),
-ids AS (
-    SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) AS sid
-    FROM (SELECT DISTINCT shingle FROM shing)
+ds AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE} AS sid
+    FROM shing
 ),
-ds AS (SELECT s.doc_id, i.sid FROM shing s JOIN ids i ON s.shingle = i.shingle),
 sig AS (
     SELECT doc_id,
            {mins}
@@ -190,13 +190,10 @@ def _sql_simhash(bits: int = 32) -> str:
     return f"""
 WITH {SQL_WORDS},
 toks AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM words),
-ids AS (
-    SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
-    FROM (SELECT DISTINCT token FROM toks)
-),
 h AS (
-    SELECT t.doc_id, (i.tid * 2654435761) % 4294967296 AS h
-    FROM toks t JOIN ids i ON t.token = i.token
+    SELECT doc_id,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT % 4294967296 AS h
+    FROM toks
 ),
 bs AS (
     SELECT doc_id,
