@@ -133,6 +133,86 @@ def lsh_cosine_topk(
     )
 
 
+def _int_plane_dot(vec_col, j: int, dim: int):
+    """Dot of ``vec_col`` with deterministic integer pseudo-centroid j
+    (coefficients ``((i*13 + j*29 + 5) % 11) - 5`` ∈ {-5..5}) — portable
+    integer formula, rounded 6dp so the cell choice is engine-stable."""
+    terms = F.aggregate(
+        F.zip_with(
+            vec_col,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: x.cast("double") * (((i * 13 + j * 29 + 5) % 11) - 5).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(terms, 6)
+
+
+def ivf_cell_scores(vec_col, k: int, dim: int) -> list:
+    return [_int_plane_dot(vec_col, j, dim) for j in range(k)]
+
+
+def ivf_assign(vec_col, k: int, dim: int):
+    """Coarse-quantizer cell id: argmax dot with the k fixed centroids
+    (ties → smallest j).  This is the IVF *assignment* step; with a
+    trained quantizer the centroids would come from k-means — here they
+    are a deterministic formula so the DuckDB oracle reproduces the
+    index exactly.  Swap `_int_plane_dot` for a broadcast-joined learned
+    centroid table to upgrade; the surrounding plan is unchanged."""
+    scores = ivf_cell_scores(vec_col, k, dim)
+    best = F.greatest(*scores)
+    return F.coalesce(*[F.when(scores[j] == best, F.lit(j)) for j in range(k)])
+
+
+def ivf_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are bucketed into ``cells`` coarse
+    cells once (argmax dot with fixed centroids); each query probes its
+    ``nprobe`` best cells and exact-cosine re-ranks only those vectors.
+
+    Output: query_id, vec_id, cosine, rank.  At 100 TB the corpus side
+    is written partitioned by ``cell`` so a probe is a partition-pruned
+    scan; recall is tuned by ``nprobe`` (cells scanned per query) and
+    ``cells`` (inverse of cell size).
+    """
+    corpus = spread(emb_df).withColumn("cell", ivf_assign(F.col(vec_col), cells, dim))
+    scores = ivf_cell_scores(F.col("query_vec"), cells, dim)
+    probes = (
+        query_df.select(
+            "query_id",
+            "query_vec",
+            F.explode(
+                F.array(*[F.struct(F.lit(j).alias("cell"), scores[j].alias("score")) for j in range(cells)])
+            ).alias("p"),
+        )
+        .select("query_id", "query_vec", F.col("p.cell").alias("cell"), F.col("p.score").alias("score"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cell"))
+    probes = probes.withColumn("probe_rank", F.row_number().over(w_probe)).filter(
+        F.col("probe_rank") <= nprobe
+    ).select("query_id", "query_vec", "cell")
+    joined = corpus.join(F.broadcast(probes), on="cell").filter(F.col(id_col) != F.col("query_id"))
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    scored = joined.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb_df: DataFrame,
     threshold: float = 0.95,

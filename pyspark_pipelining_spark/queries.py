@@ -638,6 +638,39 @@ FROM events GROUP BY 1
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator in streaming/stateful.py — SURVEY §2.10 beyond-reference)."""
+    from pyspark_pipelining_spark.streaming.stateful import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return sessionize_batch(ev, gap_min=30)
+
+
+SQL_SESSIONIZE = """
+WITH lagd AS (
+    SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+flag AS (
+    SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS new_s
+    FROM lagd
+),
+sess AS (
+    SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM flag
+)
+SELECT user_id, session_no,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -663,6 +696,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_trailing_window": q_qa_trailing_window,
     "qa_distinct_meta": q_qa_distinct_meta,
     "qa_hourshift": q_qa_hourshift,
+    "sessionize": q_sessionize,
     **QUERIES_LLM,
     **QUERIES_REL,
 }
@@ -685,6 +719,7 @@ ORACLES: dict[str, str] = {
     "qa_trailing_window": SQL_QA_TRAILING_WINDOW,
     "qa_distinct_meta": SQL_QA_DISTINCT_META,
     "qa_hourshift": SQL_QA_HOURSHIFT,
+    "sessionize": SQL_SESSIONIZE,
     **ORACLES_LLM,
     **ORACLES_REL,
 }

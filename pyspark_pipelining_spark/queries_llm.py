@@ -308,6 +308,61 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _query_vecs(spark, sf_dir), k=TOPK, cells=8, nprobe=2, dim=DIM
+    )
+
+
+def _sql_ivf_score(vec_expr: str, j: int) -> str:
+    return (
+        f"round(list_sum(list_transform(range(0, {DIM}), "
+        f"i -> CAST({vec_expr}[i + 1] AS DOUBLE) * (((i * 13 + {j} * 29 + 5) % 11) - 5))), 6)"
+    )
+
+
+def _sql_ivf(cells: int = 8, nprobe: int = 2) -> str:
+    corp_scores = [_sql_ivf_score("embedding", j) for j in range(cells)]
+    best = "greatest(" + ", ".join(f"s{j}" for j in range(cells)) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN s{j} = {best} THEN {j}" for j in range(cells)
+    ) + " END"
+    score_cols = ", ".join(f"{s} AS s{j}" for j, s in enumerate(corp_scores))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT query_id, query_vec, {j} AS cell, s{j} AS score FROM qs" for j in range(cells)
+    )
+    return f"""
+WITH scored AS (SELECT vec_id, embedding, {score_cols} FROM embeddings),
+corpus AS (SELECT vec_id, embedding, {argmax} AS cell FROM scored),
+qs AS (
+    SELECT vec_id AS query_id, embedding AS query_vec, {score_cols}
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+probes_all AS ({probe_rows}),
+probes AS (
+    SELECT * FROM (
+        SELECT query_id, query_vec, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cell ASC) AS pr
+        FROM probes_all
+    ) WHERE pr <= {nprobe}
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id,
+           round({_DOT} / ({_NE} * {_NQ}), 6) AS cosine
+    FROM corpus e JOIN probes q ON e.cell = q.cell AND e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+SQL_SIM_IVF_TOPK = _sql_ivf()
+
+
 def q_sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.2, num_planes=6, dim=DIM)
@@ -380,6 +435,7 @@ QUERIES_LLM = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_bruteforce_topk": q_sim_bruteforce_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "sim_near_dup": q_sim_near_dup,
     "media_features": q_media_features,
     "media_frame_plan": q_media_frame_plan,
@@ -396,6 +452,7 @@ ORACLES_LLM = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "sim_bruteforce_topk": SQL_SIM_BRUTEFORCE_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+    "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "media_features": SQL_MEDIA_FEATURES,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,

@@ -1,3 +1,7 @@
+from pyspark_pipelining_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
 from pyspark_pipelining_spark.streaming.windows import (
     daily_counts_batch,
     daily_counts_stream,
@@ -9,5 +13,7 @@ __all__ = [
     "daily_counts_batch",
     "daily_counts_stream",
     "run_stream_to_memory",
+    "sessionize_batch",
+    "sessionize_stream",
     "sliding_counts_batch",
 ]

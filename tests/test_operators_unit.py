@@ -109,3 +109,29 @@ def test_minhash_identical_docs_collide(spark):
     )
     pairs = minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()
     assert [(r["doc_1"], r["doc_2"], r["est_jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_ivf_finds_duplicate_vector_in_same_cell(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.similarity import ivf_assign, ivf_topk
+
+    dim = 8
+    base = [float(i % 3 - 1) for i in range(dim)]
+    other = [float((i * 7) % 5 - 2) for i in range(dim)]
+    emb = spark.createDataFrame(
+        [(0, base), (1, base), (2, other)],
+        "vec_id long, embedding array<float>",
+    )
+    # identical vectors must land in the same coarse cell
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select("vec_id", ivf_assign(F.col("embedding"), 4, dim).alias("cell")).collect()
+    }
+    assert cells[0] == cells[1]
+    # and the probe of vec 0's own cell must surface its twin at cosine 1.0
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = ivf_topk(emb, queries, k=1, cells=4, nprobe=1, dim=dim).collect()
+    assert [(r["query_id"], r["vec_id"], r["cosine"]) for r in top] == [(0, 1, 1.0)]

@@ -37,3 +37,52 @@ def test_sliding_window_covers_period(spark):
             v for d, v in daily.items() if r["window_start"] <= d < r["window_end"]
         )
         assert r["n_events"] == total_days
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """The availableNow replay of the stateful sessionizer must emit
+    exactly the batch twin's sessions minus each user's final
+    (still-open) session."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.streaming import sessionize_batch, sessionize_stream
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id", "value")
+    batch = sessionize_batch(ev, gap_min=30).collect()
+    last = {}
+    for r in batch:
+        last[r.user_id] = max(last.get(r.user_id, 0), r.session_no)
+    expected = sorted(
+        (r.user_id, r.session_no, r.start_us, r.end_us, r.n_events, round(r.total_value, 2))
+        for r in batch
+        if r.session_no != last[r.user_id]
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    os.symlink(f"{SF_SMOKE}/events.parquet", os.path.join(d, "events.parquet"))
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = sessionize_stream(stream.select("user_id", "ts", "event_id", "value"), gap_min=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = sorted(
+        (r.user_id, r.session_no, r.start_us, r.end_us, r.n_events, round(r.total_value, 2))
+        for r in spark.table("sess_test").collect()
+    )
+    assert len(got) > 0
+    assert got == expected
