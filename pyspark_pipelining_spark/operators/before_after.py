@@ -95,6 +95,19 @@ def tag_before_after(df: DataFrame) -> DataFrame:
     )
 
 
+def household_wide(df: DataFrame) -> DataFrame:
+    """One row per (household, exposure flag) with both sides' exact
+    decimal sums — the single aggregation every downstream consumer
+    (stacked sides, contingency flags) derives from."""
+    return df.groupBy("household_id", "hh_exposed").agg(
+        F.max("wgt").alias("wgt"),
+        F.sum(F.when(F.col("bef_aft") == "before", F.col("volume_tgt").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("b_tgt"),
+        F.sum(F.when(F.col("bef_aft") == "before", F.col("volume_cat").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("b_cat"),
+        F.sum(F.when(F.col("bef_aft") == "after", F.col("volume_tgt").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("a_tgt"),
+        F.sum(F.when(F.col("bef_aft") == "after", F.col("volume_cat").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("a_cat"),
+    )
+
+
 def household_sides(df: DataFrame) -> DataFrame:
     """Per-household before/after totals + zero-side backfill + weights,
     fused into ONE aggregation.
@@ -117,14 +130,7 @@ def household_sides(df: DataFrame) -> DataFrame:
 
     Output columns match the reference's weighted frame exactly.
     """
-    per_hh = df.groupBy("household_id", "hh_exposed").agg(
-        F.max("wgt").alias("wgt"),
-        F.sum(F.when(F.col("bef_aft") == "before", F.col("volume_tgt").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("b_tgt"),
-        F.sum(F.when(F.col("bef_aft") == "before", F.col("volume_cat").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("b_cat"),
-        F.sum(F.when(F.col("bef_aft") == "after", F.col("volume_tgt").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("a_tgt"),
-        F.sum(F.when(F.col("bef_aft") == "after", F.col("volume_cat").cast(D)).otherwise(F.lit(0).cast(D))).cast(D).alias("a_cat"),
-    )
-    sides = per_hh.select(
+    sides = household_wide(df).select(
         "household_id",
         "hh_exposed",
         "wgt",
@@ -184,27 +190,20 @@ def lift_metrics(df: DataFrame) -> DataFrame:
     )
 
 
-def contingency_counts(df: DataFrame) -> DataFrame:
+def contingency_counts(wide_df: DataFrame) -> DataFrame:
     """16-cell before/after brand/category buying contingency table
-    (reference ``make_counts``, ``hh_before_after.py:101-117``).
+    (reference ``make_counts``, ``hh_before_after.py:101-117``) over the
+    :func:`household_wide` frame.
 
     The reference pivots on ``bef_aft`` and leans on Spark's generated
     pivot column names (``before_sum(volume_tgt)`` — flagged in SURVEY
-    §7.3 as an oracle hazard); the rebuild uses explicit conditional
-    aggregates, which is also one shuffle instead of two.
+    §7.3 as an oracle hazard); the rebuild reads the flags straight off
+    the wide per-household aggregate — one shuffle for the flag counts
+    instead of the reference's pivot + regroup (and instead of
+    un-stacking the stacked sides frame, which cost two more shuffles
+    in an earlier revision).
     """
-    per_side = df.groupBy("bef_aft", "household_id").agg(
-        F.sum(F.col("volume_tgt").cast(D)).alias("volume_tgt"),
-        F.sum(F.col("volume_cat").cast(D)).alias("volume_cat"),
-    )
-    side = lambda s, c: F.max(F.when(F.col("bef_aft") == s, F.col(c)).otherwise(F.lit(0).cast(D)))
-    per_hh = per_side.groupBy("household_id").agg(
-        side("before", "volume_tgt").alias("b_tgt"),
-        side("before", "volume_cat").alias("b_cat"),
-        side("after", "volume_tgt").alias("a_tgt"),
-        side("after", "volume_cat").alias("a_cat"),
-    )
-    flags = per_hh.select(
+    flags = wide_df.select(
         F.when(F.col("b_tgt") > 0, 1).otherwise(0).alias("bb"),
         F.when(F.col("b_cat") > F.col("b_tgt"), 1).otherwise(0).alias("bc"),
         F.when(F.col("a_tgt") > 0, 1).otherwise(0).alias("ab"),
@@ -228,5 +227,10 @@ def before_after_analysis(
     raw = construct_hh_first(purch_df, expo_dfs, univ_df)
     lift = lift_metrics(get_before_after(raw, min_wks, max_wks))
     exposed = raw.filter(F.col("hh_exposed") == "exposed")
-    counts = contingency_counts(get_before_after(exposed, 6, 6))
+    wide = (
+        exposed.transform(filter_to_range, 6, 6)
+        .transform(tag_before_after)
+        .transform(household_wide)
+    )
+    counts = contingency_counts(wide)
     return lift, counts
