@@ -1,0 +1,84 @@
+"""Skew-mitigation primitives for hot keys at cluster scale.
+
+AQE's skew-join splitting (enabled in ``session.get_spark``) handles
+sort-merge join skew at runtime, but two shapes still need explicit
+salting at 100 TB:
+
+* **skewed aggregation** — one key owning a large share of all rows
+  makes a single reducer the straggler regardless of partition count;
+* **skewed broadcast-infeasible join** — a hot key on the fact side of
+  a shuffle join when the dim side is too large to broadcast.
+
+Both use the standard two-phase salt: spread the hot rows over
+``salt_buckets`` synthetic sub-keys, do the heavy work per sub-key, and
+merge.  All aggregates used here are algebraic (sum/count/min/max), so
+the two-phase result is exactly the single-phase result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic row-spreading salt (not RNG: hash of the whole row
+    via ``spark_partition_id``-free arithmetic keeps replays stable)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: partial by (keys, salt), final by keys.
+
+    ``aggs`` maps output name → *algebraic* aggregate over the partial
+    column of the same name (e.g. ``{"n": F.sum("n"), "total":
+    F.sum("total")}`` after partials ``count(1) as n``/``sum(x) as
+    total``).  Callers supply the partial exprs via ``partials``-style
+    pre-aggregation; this helper wires the standard count/sum case:
+
+    >>> salted_agg(df, ["k"], {"n_events": F.sum("n_events"),
+    ...                        "total": F.sum("total")}, 32)
+
+    expects ``df`` to already carry ``n_events``/``total`` row-level
+    contributions (1 and x for plain count/sum).
+    """
+    salted = with_salt(df, salt_buckets)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[agg.alias(name) for name, agg in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[aggs[name].alias(name) for name in aggs]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle-join a skewed fact against a non-broadcastable dim.
+
+    The fact side gets a deterministic salt in [0, salt_buckets); the
+    dim side is replicated once per bucket (explode of a literal
+    range), so join keys become (on..., salt) and a hot key's rows are
+    spread over ``salt_buckets`` reducers instead of one.  Dim-side
+    cost: ``salt_buckets×`` replication — choose the bucket count from
+    the observed skew ratio, not a constant.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(replicated_dim, on=[*on, "_salt"], how=how)
+    return out.drop("_salt")

@@ -135,3 +135,37 @@ def test_ivf_finds_duplicate_vector_in_same_cell(spark):
     )
     top = ivf_topk(emb, queries, k=1, cells=4, nprobe=1, dim=dim).collect()
     assert [(r["query_id"], r["vec_id"], r["cosine"]) for r in top] == [(0, 1, 1.0)]
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from pyspark_pipelining_spark.operators.skew import salted_agg
+
+    rows = [(k, float(v)) for k in ("hot", "cold") for v in range(1, 51 if k == "hot" else 4)]
+    df = spark.createDataFrame(rows, "k string, x double").withColumn(
+        "n_events", F.lit(1)
+    ).withColumnRenamed("x", "total")
+    got = {
+        r["k"]: (r["n_events"], r["total"])
+        for r in salted_agg(
+            df, ["k"], {"n_events": F.sum("n_events"), "total": F.sum("total")}, 8
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["t"])
+        for r in df.groupBy("k").agg(
+            F.sum("n_events").alias("n"), F.sum("total").alias("t")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark_pipelining_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 99)], "k long, payload long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, name string")
+    got = sorted(tuple(r) for r in salted_join(fact, dim, ["k"], salt_buckets=4).collect())
+    want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+    assert got == want and len(got) == 41
