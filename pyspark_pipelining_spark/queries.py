@@ -33,7 +33,7 @@ from pyspark_pipelining_spark.operators.pairwise import pair_overlap, pivot_over
 from pyspark_pipelining_spark.operators.project_univ import universe_ratios_by_etype
 from pyspark_pipelining_spark.operators.reach import reach_all_dims, reach_count
 from pyspark_pipelining_spark.operators.reach_week import incremental_weekly_reach
-from pyspark_pipelining_spark.sources.registry import load_table
+from pyspark_pipelining_spark.sources.registry import load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -523,7 +523,9 @@ FROM per_hh GROUP BY 1, 2, 3, 4
 
 
 def _log_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # spread before the JSON parse: a single-split local scan would
+    # otherwise run get_json_object over every row on one core
+    ev = spread(load_table(spark, sf_dir, "events"))
     return quality.shift_hours(
         ev.select(
             "event_id",
