@@ -640,6 +640,40 @@ FROM events GROUP BY 1
 """
 
 
+def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (skew-prone) event_type key
+    (operators/skew.salted_agg).  The oracle is the PLAIN group-by: a
+    salted algebraic aggregate must be bit-identical to the unsalted
+    one, so the correctness gate proves the rewrite is safe to apply
+    under real skew."""
+    from pyspark_pipelining_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lit(1).alias("n_events"),
+        F.col("value").cast("decimal(18,2)").alias("total_value"),
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n_events": F.sum("n_events"), "total_value": F.sum("total_value")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("event_type")
+
+
+SQL_SALTED_EVENT_COUNTS = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the stateful streaming
     operator in streaming/stateful.py — SURVEY §2.10 beyond-reference)."""
@@ -699,6 +733,7 @@ QUERIES: dict[str, QueryFn] = {
     "qa_distinct_meta": q_qa_distinct_meta,
     "qa_hourshift": q_qa_hourshift,
     "sessionize": q_sessionize,
+    "salted_event_counts": q_salted_event_counts,
     **QUERIES_LLM,
     **QUERIES_REL,
 }
@@ -722,6 +757,7 @@ ORACLES: dict[str, str] = {
     "qa_distinct_meta": SQL_QA_DISTINCT_META,
     "qa_hourshift": SQL_QA_HOURSHIFT,
     "sessionize": SQL_SESSIONIZE,
+    "salted_event_counts": SQL_SALTED_EVENT_COUNTS,
     **ORACLES_LLM,
     **ORACLES_REL,
 }
