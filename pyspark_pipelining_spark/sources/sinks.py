@@ -32,6 +32,28 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by:
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (bucket pruning + per-bucket sort-merge) — the
+    standard pre-partitioning for repeatedly-joined 100 TB facts, where
+    paying one write-side shuffle amortizes every later join.  Asserted
+    shuffle-free in ``tests/test_plans.py``.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_csv_report(df: DataFrame, path: str) -> None:
     """Single-file CSV with header (small report frames only)."""
     tmp = path + "_tmp"

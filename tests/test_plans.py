@@ -64,3 +64,48 @@ def test_qa_scans_prune_to_needed_columns(spark, name):
     assert reads, "expected a parquet scan"
     for line in reads:
         assert "props" not in line  # the wide JSON column must be pruned
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange on either side — the co-located-join contract
+    write_bucketed promises for repeatedly-joined facts."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from pyspark_pipelining_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem",
+        ["o_orderkey"],
+        8,
+        sort_cols=["o_orderkey"],
+    )
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: at real scale neither fact side is
+        # broadcastable, which is exactly when bucketing pays off
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_orders").join(spark.table("bkt_lineitem"), "o_orderkey").agg(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # examine only the plan TREE (formatted mode appends per-node
+        # details after a blank line, which would false-positive)
+        tree = plan.split("\n\n")[0].splitlines()
+        join_at = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+        # no shuffle feeding the join: every tree node below the
+        # SortMergeJoin must be exchange-free (bucketed scans satisfy
+        # the distribution requirement directly)
+        assert not any("Exchange" in l for l in tree[join_at + 1 :]), tree
+        assert joined.collect()[0]["q"] is not None
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
