@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): randomized inputs against
+pure-Python oracles for the operators whose edge cases are hard to
+enumerate by hand (session gap boundaries, salt bucket counts)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+# (user_id, minute offset, value-in-cents) triples — minute granularity
+# keeps gap arithmetic exact; cents keep sums exact.
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=600),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+def python_sessions(rows, gap_min):
+    """Reference sessionizer: plain Python over sorted events."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for i, (u, m, cents) in enumerate(rows):
+        by_user.setdefault(u, []).append((m, i, cents))
+    for u, evs in by_user.items():
+        evs.sort()
+        sess_no, sessions = 0, []
+        for m, _i, cents in evs:
+            if not sessions or m - sessions[-1]["last"] > gap_min:
+                sess_no += 1
+                sessions.append({"no": sess_no, "start": m, "last": m, "n": 0, "val": 0})
+            s = sessions[-1]
+            s["last"], s["n"], s["val"] = m, s["n"] + 1, s["val"] + cents
+        for s in sessions:
+            out[(u, s["no"])] = (s["start"], s["last"], s["n"], s["val"])
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy, gap_min=st.sampled_from([1, 7, 30]))
+def test_sessionize_batch_matches_python_oracle(spark, rows, gap_min):
+    from pyspark_pipelining_spark.streaming.stateful import sessionize_batch
+
+    data = [
+        (u, EPOCH + dt.timedelta(minutes=m), i, cents / 100.0)
+        for i, (u, m, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["session_no"]): (
+            (r["start_us"] // 60_000_000) - (int(EPOCH.timestamp()) // 60),
+            (r["end_us"] // 60_000_000) - (int(EPOCH.timestamp()) // 60),
+            r["n_events"],
+            round(r["total_value"] * 100),
+        )
+        for r in sessionize_batch(df, gap_min=gap_min).collect()
+    }
+    assert got == python_sessions(rows, gap_min)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4), st.integers(min_value=0, max_value=500)),
+        min_size=1,
+        max_size=60,
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+)
+def test_salted_agg_always_matches_plain(spark, rows, buckets):
+    from pyspark_pipelining_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k long, cents long").select(
+        "k", F.lit(1).alias("n"), F.col("cents").alias("total")
+    )
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in salted_agg(df, ["k"], {"n": F.sum("n"), "total": F.sum("total")}, buckets).collect()
+    }
+    want = {}
+    for k, cents in rows:
+        n, t = want.get(k, (0, 0))
+        want[k] = (n + 1, t + cents)
+    assert got == want
