@@ -213,6 +213,104 @@ def ivf_topk(
     )
 
 
+def learned_centroids(
+    emb_df: DataFrame,
+    cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means-style coarse quantizer training (the scale upgrade over
+    the fixed-formula centroids in :func:`ivf_assign`).
+
+    Deterministic seeding (``vec_id % cells``) + ``iters`` Lloyd steps;
+    each step is one posexplode→groupBy mean (shuffle on (cell, pos))
+    and one broadcast-reassignment (centroids are k×dim — always tiny).
+    Returns (cell, centroid array<double>).  No oracle entry: iterative
+    refinement is not expressible as one SQL statement; correctness is
+    pinned by the probe-all-cells ≡ brute-force property test instead.
+    """
+    assigned = emb_df.select(
+        id_col, vec_col, F.pmod(F.col(id_col), F.lit(cells)).alias("cell")
+    )
+    for _ in range(iters):
+        cent = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+        dist = F.aggregate(
+            F.zip_with(vec_col, "centroid", lambda x, c: (x.cast("double") - c) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            emb_df.crossJoin(F.broadcast(cent))
+            .withColumn("d", dist)
+            .groupBy(id_col, vec_col)
+            .agg(F.min(F.struct("d", "cell")).alias("best"))
+            .select(id_col, vec_col, F.col("best.cell").alias("cell"))
+        )
+    return (
+        assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk_learned(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against trained centroids: assign the corpus once
+    (broadcast centroid argmin), probe each query's ``nprobe`` nearest
+    cells, exact-cosine re-rank within them.  With ``nprobe`` = number
+    of cells this is exactly brute force (property-tested)."""
+    cent = centroids.persist()
+    l2 = lambda v: F.aggregate(
+        F.zip_with(v, "centroid", lambda x, c: (x.cast("double") - c) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    corpus = (
+        spread(emb_df).crossJoin(F.broadcast(cent))
+        .withColumn("d", l2(F.col(vec_col)))
+        .groupBy(id_col, vec_col)
+        .agg(F.min(F.struct("d", "cell")).alias("best"))
+        .select(id_col, vec_col, F.col("best.cell").alias("cell"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        query_df.crossJoin(F.broadcast(cent))
+        .withColumn("d", l2(F.col("query_vec")))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "query_vec", "cell")
+    )
+    joined = corpus.join(F.broadcast(probes), on="cell").filter(F.col(id_col) != F.col("query_id"))
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb_df: DataFrame,
     threshold: float = 0.95,

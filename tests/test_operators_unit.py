@@ -169,3 +169,29 @@ def test_salted_join_matches_plain_join(spark):
     got = sorted(tuple(r) for r in salted_join(fact, dim, ["k"], salt_buckets=4).collect())
     want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
     assert got == want and len(got) == 41
+
+
+def test_learned_ivf_full_probe_equals_brute_force(spark):
+    """Probing every cell of the trained index must reproduce exact
+    brute-force top-k — the correctness anchor for the learned-quantizer
+    path (recall < 1 can only come from probing fewer cells)."""
+    from pyspark_pipelining_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_learned,
+        learned_centroids,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cells = 4
+    cent = learned_centroids(emb, cells=cells, iters=1)
+    full = ivf_topk_learned(emb, queries, cent, k=5, nprobe=cells)
+    brute = cosine_topk(emb, queries, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+    # and a partial probe returns k results per query (recall may dip,
+    # coverage must not)
+    part = ivf_topk_learned(emb, queries, cent, k=5, nprobe=2).collect()
+    assert len(part) == 15
