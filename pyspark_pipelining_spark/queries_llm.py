@@ -389,20 +389,42 @@ WHERE round({_DOT_AB} / ({_NA} * {_NB}), 6) >= 0.2
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.documents_as_media(docs))
+    feats = multimodal.extract_features(multimodal.documents_as_media(docs))
+    # Flatten the feature vector to scalar columns: the driver's
+    # canonicalizer hash-compares pandas columns, and array cells are
+    # unhashable there.  f0..f3 is also the friendlier report shape.
+    return feats.select(
+        "media_id",
+        "byte_len",
+        "checksum",
+        F.col("feature")[0].alias("f0"),
+        F.col("feature")[1].alias("f1"),
+        F.col("feature")[2].alias("f2"),
+        F.col("feature")[3].alias("f3"),
+    )
 
 
+# Byte-based oracle: decode_stub sums UTF-8 payload *octets*, so the SQL
+# must too (codepoint ascii() would diverge on any non-ASCII text).
+# DuckDB: hex(encode(text)) then read 2-char pairs as ints.
 SQL_MEDIA_FEATURES = """
-WITH sums AS (
-    SELECT doc_id, text,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           list_sum(list_transform(range(1, length(text) + 1),
-                    i -> CAST(ascii(text[i]) AS BIGINT))) % 1000000007 AS checksum
+WITH hexed AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n
     FROM documents
+),
+sums AS (
+    SELECT doc_id, n,
+           COALESCE(list_sum(list_transform(range(1, n + 1),
+                    i -> ('0x' || substr(h, CAST(2*i-1 AS INTEGER), 2))::BIGINT)), 0)
+               % 1000000007 AS checksum,
+           CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(h, 1, 2))::BIGINT END AS first_b,
+           CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(h, CAST(2*n-1 AS INTEGER), 2))::BIGINT END AS last_b
+    FROM hexed
 )
-SELECT doc_id AS media_id, byte_len, checksum,
-       [CAST(byte_len AS DOUBLE), CAST(ascii(text[1]) AS DOUBLE),
-        CAST(ascii(text[length(text)]) AS DOUBLE), CAST(checksum % 256 AS DOUBLE)] AS feature
+SELECT doc_id AS media_id, n AS byte_len, checksum,
+       CAST(n AS DOUBLE) AS f0, CAST(first_b AS DOUBLE) AS f1,
+       CAST(last_b AS DOUBLE) AS f2, CAST(checksum % 256 AS DOUBLE) AS f3
 FROM sums
 """
 
