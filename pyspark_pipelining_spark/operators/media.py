@@ -11,8 +11,17 @@ Rebuild differences (Spark-first):
 * ``unionByName`` replaces manual column realignment
   (reference ``make_media.py:5-10`` folds ``unionAll`` over
   ``select(*df.columns)``).
-* the projection-factor and ratio dims are explicitly broadcast — they
-  are household- and etype-cardinality tables, tiny next to the fact.
+* join strategy for the projection factors is left to the optimizer:
+  the projection "dim" has one row per *household*, so it grows with
+  the population — forcing ``F.broadcast`` on it would ship a multi-GB
+  table to every executor at 100 TB (the hint overrides the size
+  threshold, so it OOMs instead of degrading).  Unhinted, Spark
+  broadcasts while it fits and falls back to a shuffled join (AQE can
+  still convert at runtime).  Only the *etype ratio* dim — a handful of
+  rows — keeps an explicit broadcast hint.
+* for the repeated-join case, :func:`bucketed_media` pre-buckets both
+  sides on ``household_id`` via ``sources.sinks.write_bucketed`` so
+  every later assembly joins shuffle-free.
 * the star-schema mapping onto the driver testdata (FIXTURES.md §B):
   ``events`` is the exposure fact (``user_id``→household_id,
   ``to_date(ts)``→date, ``date_trunc('week', ts)``→week,
@@ -20,8 +29,8 @@ Rebuild differences (Spark-first):
   projection factors, ``orders`` is the purchase fact.
 
 Scale: the fact table never collapses to the driver; at 100 TB the
-union+join is one shuffle-free map stage (broadcast hash join) over the
-date-partitioned events scan.
+union+join is one hash-partitioned equi-join on household_id (or a
+shuffle-free per-bucket merge when both sides are bucketed).
 """
 
 from __future__ import annotations
@@ -115,8 +124,10 @@ def make_media(
 
     Reference: ``metrics/helpers/make_media.py:26-46`` (the `make_df_dec`
     closure).  Fail-fast on a missing dimension, project minimally, union,
-    broadcast-join projections.  Fixes the reference's py2-only
-    ``len(filter(...))`` guard (SURVEY §5 bug list).
+    join projections (optimizer-chosen strategy — see module docstring for
+    why the household-cardinality side must not carry a broadcast hint).
+    Fixes the reference's py2-only ``len(filter(...))`` guard (SURVEY §5
+    bug list).
     """
     dfs = [df_list] if isinstance(df_list, DataFrame) else list(df_list)
     for d in dfs:
@@ -125,7 +136,7 @@ def make_media(
     cols = ["household_id", dim] + (["etype"] if keep_etype else [])
     unioned = union_frames([d.select(*cols) for d in dfs])
     joined = unioned.join(
-        F.broadcast(proj_df.dropDuplicates(["household_id"])), on="household_id", how="inner"
+        proj_df.dropDuplicates(["household_id"]), on="household_id", how="inner"
     )
     if proj_df2 is not None and keep_etype:
         return (
@@ -135,6 +146,40 @@ def make_media(
             .drop("proj", "ratio")
         )
     return joined
+
+
+def bucketed_media(
+    spark: SparkSession,
+    expo_df: DataFrame,
+    proj_df: DataFrame,
+    num_buckets: int = 32,
+    expo_table: str = "media_expo_bkt",
+    proj_table: str = "media_proj_bkt",
+) -> DataFrame:
+    """Pre-bucketed media assembly for the repeated-join case.
+
+    Writes the exposure fact and the projection factors as managed
+    tables bucketed on ``household_id`` (one shuffle each, paid once),
+    then returns the joined frame read back from the bucketed tables —
+    every subsequent reach/frequency/pairwise pass over this frame joins
+    with NO exchange on either side (asserted in
+    ``tests/test_plans.py::test_bucketed_media_join_has_no_shuffle``).
+
+    This is the 100 TB answer to "the projection dim is too big to
+    broadcast but is joined by every report": co-locate both sides on
+    the join key at write time instead of re-shuffling per query.
+    """
+    from pyspark_pipelining_spark.sources.sinks import write_bucketed
+
+    write_bucketed(expo_df, expo_table, ["household_id"], num_buckets, sort_cols=["household_id"])
+    write_bucketed(
+        proj_df.dropDuplicates(["household_id"]),
+        proj_table,
+        ["household_id"],
+        num_buckets,
+        sort_cols=["household_id"],
+    )
+    return spark.table(expo_table).join(spark.table(proj_table), on="household_id", how="inner")
 
 
 def media_maker(proj_df: DataFrame, proj_df2: DataFrame | None = None):

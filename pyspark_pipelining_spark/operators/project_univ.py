@@ -23,7 +23,7 @@ def universe_ratio(df: DataFrame, proj_df: DataFrame, univ_df: DataFrame) -> Dat
     """Single-group ratio as a lazy 1-row frame: ``ratio``."""
     num = (
         df.select("household_id")
-        .join(F.broadcast(proj_df.dropDuplicates(["household_id"])), "household_id")
+        .join(proj_df.dropDuplicates(["household_id"]), "household_id")
         .agg(F.sum("projfact").alias("proj_sum"))
     )
     den = univ_df.agg(F.sum("exposures").alias("univ_sum"))
@@ -41,7 +41,9 @@ def universe_ratios_by_etype(expo_df: DataFrame, proj_df: DataFrame, univ_df: Da
         expo_df.select("household_id", F.lit("all").alias("etype"))
     )
     proj = (
-        with_all.join(F.broadcast(proj_df.dropDuplicates(["household_id"])), "household_id")
+        # household-cardinality side: no broadcast hint (the optimizer
+        # broadcasts while it fits, shuffles when it doesn't).
+        with_all.join(proj_df.dropDuplicates(["household_id"]), "household_id")
         .groupBy("etype")
         .agg(F.sum("projfact").alias("proj_sum"))
     )

@@ -125,7 +125,9 @@ def build_metrics_pipeline(spark: SparkSession, config: PipelineConfig) -> Pipel
     def media_stage(spark, cfg, up):
         expo = media.exposures(spark, cfg.sf_dir)
         proj = media.projection(spark, cfg.sf_dir)
-        return expo.join(F.broadcast(proj), on="household_id", how="inner")
+        # proj is household-cardinality — no broadcast hint (see
+        # operators/media.py module docstring).
+        return expo.join(proj, on="household_id", how="inner")
 
     @p.stage("reach", requires=("media",))
     def reach_stage(spark, cfg, up):

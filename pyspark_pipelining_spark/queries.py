@@ -76,7 +76,9 @@ def _media_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     expo = media.exposures(spark, sf_dir)
     proj = media.projection(spark, sf_dir)
-    return expo.join(F.broadcast(proj), on="household_id", how="inner")
+    # No broadcast hint: proj is household-cardinality (scales with the
+    # fact); let the threshold/AQE pick the strategy.
+    return expo.join(proj, on="household_id", how="inner")
 
 
 # ---------------------------------------------------------------------------

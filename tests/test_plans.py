@@ -38,10 +38,54 @@ def test_revenue_by_region_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_reach_by_etype_broadcasts_projection_dim(spark):
+def test_reach_by_etype_auto_broadcasts_at_small_scale(spark):
+    # With no hint, the size threshold still picks a broadcast join while
+    # the projection side is small — the strategy is chosen, not forced.
     plan = plan_of(spark, "reach_by_etype")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_media_projection_join_degrades_without_broadcast(spark):
+    """The projection side is household-cardinality: there must be NO
+    forced-broadcast hint on it, so with the size threshold disabled the
+    join degrades to a shuffled join instead of OOMing a 100 TB build."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, "reach_by_etype")
+        tree = plan.split("\n\n")[0]
+        assert "BroadcastHashJoin" not in tree, "projection dim is still hint-forced to broadcast"
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_media_join_has_no_shuffle(spark):
+    """bucketed_media pre-buckets fact and projection on household_id;
+    the assembly join must then run with no Exchange on either side."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators import media
+
+    expo = media.exposures(spark, SF_SMOKE).select("household_id", "etype", "date")
+    proj = media.projection(spark, SF_SMOKE)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = media.bucketed_media(spark, expo, proj, num_buckets=8)
+        agg = joined.groupBy("etype").agg(F.sum("projfact").alias("p"))
+        plan = agg._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        tree = plan.split("\n\n")[0].splitlines()
+        join_at = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+        assert not any("Exchange" in l for l in tree[join_at + 1 :]), tree
+        assert agg.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS media_expo_bkt")
+        spark.sql("DROP TABLE IF EXISTS media_proj_bkt")
 
 
 def test_sim_bruteforce_broadcasts_query_side(spark):
