@@ -22,10 +22,21 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic row-spreading salt (not RNG: hash of the whole row
-    via ``spark_partition_id``-free arithmetic keeps replays stable)."""
+    """Row-spreading salt that also spreads *bit-identical duplicate
+    rows* — the canonical hot-key pathology (billions of identical
+    ``(key)`` rows) that a content-only hash would collapse back onto
+    one reducer.  ``monotonically_increasing_id`` disambiguates
+    duplicates (unique per row within a plan); the content hash mixes
+    partition-local id runs across buckets.  Stable within a plan, which
+    is all an algebraic two-phase aggregation needs — cross-replay
+    determinism is not required (the merged result is replay-invariant).
+    """
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+        salt_col,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]) + F.monotonically_increasing_id(),
+            F.lit(salt_buckets),
+        ),
     )
 
 
@@ -67,16 +78,24 @@ def salted_join(
 ) -> DataFrame:
     """Shuffle-join a skewed fact against a non-broadcastable dim.
 
-    The fact side gets a deterministic salt in [0, salt_buckets); the
+    The fact side gets a row-spreading salt in [0, salt_buckets); the
     dim side is replicated once per bucket (explode of a literal
     range), so join keys become (on..., salt) and a hot key's rows are
     spread over ``salt_buckets`` reducers instead of one.  Dim-side
     cost: ``salt_buckets×`` replication — choose the bucket count from
     the observed skew ratio, not a constant.
+
+    Only fact-preserving join types are valid: with the dim replicated
+    per bucket, ``right``/``full`` would emit each unmatched dim row
+    ``salt_buckets`` times.  ``how`` is validated accordingly.
     """
-    salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
-    )
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
+            f"got {how!r} — a replicated dim would duplicate unmatched dim rows"
+        )
+    salted_fact = with_salt(fact, salt_buckets)
     replicated_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -94,3 +94,40 @@ def test_salted_agg_always_matches_plain(spark, rows, buckets):
         n, t = want.get(k, (0, 0))
         want[k] = (n + 1, t + cents)
     assert got == want
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """The hot-key pathology salting exists for: thousands of
+    BIT-IDENTICAL rows of one key.  A content-only hash would put them
+    all in one bucket (the straggler survives); the salt must spread
+    them across buckets anyway."""
+    from pyspark_pipelining_spark.operators.skew import salted_agg, with_salt
+
+    buckets = 16
+    df = spark.range(4000).select(F.lit(7).alias("k"), F.lit(1).alias("cents"))
+    n_buckets_used = with_salt(df, buckets).select("_salt").distinct().count()
+    assert n_buckets_used > 1, "identical duplicate rows collapsed into one salt bucket"
+    # and the two-phase result is still exact
+    out = salted_agg(
+        df.select("k", F.lit(1).alias("n"), F.col("cents").alias("total")),
+        ["k"],
+        {"n": F.sum("n"), "total": F.sum("total")},
+        buckets,
+    ).collect()
+    assert [(r["k"], r["n"], r["total"]) for r in out] == [(7, 4000, 4000)]
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    import pytest
+
+    from pyspark_pipelining_spark.operators.skew import salted_join
+
+    fact = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("d").alias("name"))
+    for bad in ("right", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, ["k"], 4, how=bad)
+    # fact-preserving joins still work and match the unsalted result
+    got = sorted(tuple(r) for r in salted_join(fact, dim, ["k"], 4, how="left").drop("name").collect())
+    want = sorted(tuple(r) for r in fact.join(dim, ["k"], "left").drop("name").collect())
+    assert got == want
