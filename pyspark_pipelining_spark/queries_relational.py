@@ -141,7 +141,7 @@ def q_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
-        .orderBy("entity_id")
+        # entity-sized output: no global sort (full range-shuffle for nothing)
     )
 
 
@@ -197,7 +197,7 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-        .orderBy("o_custkey", "rank")
+        # customer-sized output: no global sort
     )
 
 
@@ -222,7 +222,7 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_days").cast("long").alias("total_gap_days"),
             (F.sum("gap_days") / F.count("gap_days")).alias("avg_gap_days"),
         )
-        .orderBy("o_custkey")
+        # customer-sized output: no global sort
     )
 
 

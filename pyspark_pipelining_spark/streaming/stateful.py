@@ -49,14 +49,17 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-# open-session carryover: (session_no, start_us, last_us, n, value_sum)
+# open-session carryover: (session_no, start_us, last_us, n, value cents)
+# val_cents is int64, not float: integer-cent accumulation is associative
+# and exact, so long sessions agree bit-for-bit with the batch twin's
+# decimal(18,2) sum (a float += per event can drift in the last ulp).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_no", T.LongType()),
         T.StructField("start_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n", T.LongType()),
-        T.StructField("val", T.DoubleType()),
+        T.StructField("val_cents", T.LongType()),
     ]
 )
 
@@ -92,7 +95,9 @@ def sessionize_batch(df: DataFrame, gap_min: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(D)).cast("double").alias("total_value"),
         )
-        .orderBy("user_id", "session_no")
+        # no final orderBy: output is one row per session (fact-sized at
+        # scale) and consumers/compare are order-insensitive — a global
+        # sort here would add a full range-shuffle for nothing
     )
 
 
@@ -110,22 +115,23 @@ def _merge_sessions(gap_us: int):
         ts_us = (
             pd.to_datetime(events["ts"]).astype("datetime64[us]").astype("int64").to_list()
         )
-        # round to cents first so the float sum agrees with the batch
-        # twin's exact decimal(18,2) arithmetic
-        vals = [round(v, 2) for v in events["value"].to_list()]
+        # accumulate integer cents so the sum is exact and associative —
+        # bit-identical to the batch twin's decimal(18,2) arithmetic
+        # even for arbitrarily long sessions spanning many micro-batches
+        cents = [int(round(v * 100)) for v in events["value"].to_list()]
         if state.exists:
             session_no, start_us, last_us, n, val = state.get
         else:
-            session_no, start_us, last_us, n, val = 0, None, None, 0, 0.0
+            session_no, start_us, last_us, n, val = 0, None, None, 0, 0
         out: list[tuple[Any, ...]] = []
-        for t_us, v in zip(ts_us, vals):
+        for t_us, c in zip(ts_us, cents):
             if start_us is None:  # very first event for this user
-                session_no, start_us, last_us, n, val = session_no + 1, t_us, t_us, 1, v
+                session_no, start_us, last_us, n, val = session_no + 1, t_us, t_us, 1, c
             elif t_us - last_us > gap_us:  # gap → close the open session
-                out.append((user_id, session_no, start_us, last_us, n, val))
-                session_no, start_us, last_us, n, val = session_no + 1, t_us, t_us, 1, v
+                out.append((user_id, session_no, start_us, last_us, n, val / 100.0))
+                session_no, start_us, last_us, n, val = session_no + 1, t_us, t_us, 1, c
             else:
-                last_us, n, val = t_us, n + 1, val + v
+                last_us, n, val = t_us, n + 1, val + c
         state.update((session_no, start_us, last_us, n, val))
         cols = ["user_id", "session_no", "start_us", "end_us", "n_events", "total_value"]
         yield pd.DataFrame(out, columns=cols).astype(
