@@ -13,6 +13,7 @@ import os
 import sys
 import time
 
+from pyspark_pipelining_spark import cache
 from pyspark_pipelining_spark.queries import QUERIES
 from pyspark_pipelining_spark.session import get_spark
 
@@ -32,6 +33,10 @@ def main() -> None:
         except Exception as exc:  # keep the bench line parseable on failure
             print(f"bench: query {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # drop intra-operator persist() handles so cached blocks from
+            # one query never skew the next one's timing or memory
+            cache.release_all()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

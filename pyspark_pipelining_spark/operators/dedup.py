@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_pipelining_spark import cache
 from pyspark_pipelining_spark.operators.text import with_words
 from pyspark_pipelining_spark.sources.registry import spread
 
@@ -154,7 +155,7 @@ def minhash_lsh_pairs(
     # persist the signature stage: the LSH self-join references it on both
     # sides, and without the cache the whole shingle→signature pipeline
     # (including the portable-id assignment) would execute once per branch
-    sigs = minhash_signatures(df, num_hashes, ngram, portable_ids).persist()
+    sigs = cache.keep(minhash_signatures(df, num_hashes, ngram, portable_ids))
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -240,7 +241,8 @@ def ngram_jaccard_pairs(
     # array_distinct dedups per-doc map-side, so no dropDuplicates shuffle
     grams = word_ngrams(df, n).select(
         "doc_id", F.col(group_col).alias("grp"), F.array_distinct("ngrams").alias("gs")
-    ).select("doc_id", "grp", F.explode("gs").alias("g")).persist()
+    ).select("doc_id", "grp", F.explode("gs").alias("g"))
+    grams = cache.keep(grams)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
     b = grams.select("doc_id", "grp", "g").alias("b")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_pipelining_spark import cache
 from pyspark_pipelining_spark.sources.registry import spread
 
 
@@ -277,7 +278,7 @@ def ivf_topk_learned(
     (broadcast centroid argmin), probe each query's ``nprobe`` nearest
     cells, exact-cosine re-rank within them.  With ``nprobe`` = number
     of cells this is exactly brute force (property-tested)."""
-    cent = centroids.persist()
+    cent = cache.keep(centroids)
     l2 = lambda v: F.aggregate(
         F.zip_with(v, "centroid", lambda x, c: (x.cast("double") - c) ** 2),
         F.lit(0.0),
@@ -324,9 +325,11 @@ def embedding_near_dup_pairs(
     Output: id_1, id_2, cosine."""
     # persisted: the bucket self-join reads it twice, and the signature is
     # num_planes folds over the full vector — too costly to compute per branch
-    sig = spread(emb_df).withColumn(
-        "bucket", hyperplane_signature(F.col(vec_col), num_planes, dim)
-    ).persist()
+    sig = cache.keep(
+        spread(emb_df).withColumn(
+            "bucket", hyperplane_signature(F.col(vec_col), num_planes, dim)
+        )
+    )
     a = sig.alias("a")
     b = sig.select(id_col, vec_col, "bucket").alias("b")
     cand = a.join(
