@@ -27,6 +27,8 @@ from pyspark_pipelining_spark.operators.frequency import frequency_histogram
 from pyspark_pipelining_spark.operators.mapping import (
     adserver_meta_dim,
     dimension_master_dim,
+    friendly_names,
+    hierarchy_dim,
     make_map,
 )
 from pyspark_pipelining_spark.operators.pairwise import pair_overlap, pivot_overlap_matrix
@@ -147,6 +149,72 @@ SELECT dimension, value,
        round(sum(uniq * projfact)) AS "unique",
        round(sum(projfact)) - round(sum(uniq * projfact)) AS duplicates
 FROM flagged GROUP BY dimension, value
+"""
+
+
+def q_friendly_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reach by (etype, nation) with hierarchy friendly-name enrichment —
+    the J2/X3 left-outer path (reference ``name_mapping.py:36-48``).
+
+    Nation values hit the hierarchy dim (coalesce takes the friendly
+    name); etype values miss it (coalesce keeps the raw value), so both
+    branches of the left join are exercised.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    cust_nation = cust.select(
+        F.col("c_custkey").alias("household_id"), F.col("c_nationkey")
+    ).join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        on=F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("household_id", "nation")
+    mn = _media_full(spark, sf_dir).join(cust_nation, on="household_id", how="inner")
+    agg = reach_all_dims(mn, ["etype", "nation"])
+    return friendly_names(agg, hierarchy_dim(spark, sf_dir), "value")
+
+
+# DuckDB has no initcap; per-word capitalization via split/transform
+# reproduces Spark's F.initcap exactly on these single-space names.
+_SQL_INITCAP = (
+    "array_to_string(list_transform(string_split(lower({c}), ' '), "
+    "x -> upper(x[1]) || x[2:]), ' ')"
+)
+
+SQL_FRIENDLY_REACH = f"""{SQL_MEDIA},
+cn AS (
+    SELECT c_custkey AS household_id, n_name AS nation
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+mn AS (SELECT m.*, cn.nation FROM m JOIN cn USING (household_id)),
+melted AS (
+    SELECT household_id, projfact, 'etype' AS dimension, CAST(etype AS VARCHAR) AS value FROM mn
+    UNION ALL
+    SELECT household_id, projfact, 'nation', CAST(nation AS VARCHAR) FROM mn
+),
+dd AS (
+    SELECT household_id, dimension, value, any_value(projfact) AS projfact
+    FROM melted WHERE value IS NOT NULL
+    GROUP BY household_id, dimension, value
+),
+flagged AS (
+    SELECT *, CASE WHEN count(*) OVER (PARTITION BY household_id, dimension) > 1 THEN 0 ELSE 1 END AS uniq
+    FROM dd
+),
+agg AS (
+    SELECT dimension, value,
+           round(sum(projfact)) AS "count",
+           round(sum(uniq * projfact)) AS "unique",
+           round(sum(projfact)) - round(sum(uniq * projfact)) AS duplicates
+    FROM flagged GROUP BY dimension, value
+),
+hier AS (
+    SELECT lower(r_name) AS k, {_SQL_INITCAP.format(c="r_name")} AS friendly_name FROM region
+    UNION ALL
+    SELECT lower(n_name), {_SQL_INITCAP.format(c="n_name")} FROM nation
+)
+SELECT a.dimension, coalesce(h.friendly_name, a.value) AS value,
+       a."count", a."unique", a.duplicates
+FROM agg a LEFT JOIN hier h ON lower(a.value) = h.k
 """
 
 
@@ -720,6 +788,7 @@ QUERIES: dict[str, QueryFn] = {
     "reach_overall": q_reach_overall,
     "reach_by_etype": q_reach_by_etype,
     "reach_all_dims": q_reach_all_dims,
+    "friendly_reach": q_friendly_reach,
     "frequency_overall": q_frequency_overall,
     "frequency_by_etype": q_frequency_by_etype,
     "reach_week": q_reach_week,
@@ -744,6 +813,7 @@ ORACLES: dict[str, str] = {
     "reach_overall": SQL_REACH_OVERALL,
     "reach_by_etype": SQL_REACH_BY_ETYPE,
     "reach_all_dims": SQL_REACH_ALL_DIMS,
+    "friendly_reach": SQL_FRIENDLY_REACH,
     "frequency_overall": SQL_FREQUENCY_OVERALL,
     "frequency_by_etype": SQL_FREQUENCY_BY_ETYPE,
     "reach_week": SQL_REACH_WEEK,
