@@ -199,6 +199,89 @@ def minhash_lsh_pairs(
     ).orderBy("doc_1", "doc_2")
 
 
+def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+    """Connected-component labels over a candidate-pair edge list:
+    every document maps to the smallest doc id reachable through the
+    pair graph (min-id label propagation).
+
+    Input: ``doc_1, doc_2`` (either orientation).  Output: ``doc_id,
+    cluster_id`` — one row per document that appears in at least one
+    pair.  Use :func:`dedup_clusters` to extend labels to unpaired docs.
+
+    Scale: each round is one neighbor-min groupBy plus a join, both
+    hash-partitioned on doc id; rounds needed = graph diameter + 1.
+    LSH candidate components are near-cliques (diameter ≈ 2), so the
+    loop exits after 3–4 rounds; ``max_iter`` bounds pathological
+    chains.  Per-round driver work is a single scalar ``count()`` for
+    the convergence check — labels never collect to the driver.
+
+    Lineage control: iterative plans double in size per round if each
+    references the full upstream pipeline (e.g. the 16-hash minhash
+    expression), which OOMs the *driver* in Catalyst long before any
+    data moves — so the edge list and each round's labels are
+    ``localCheckpoint``-ed (materialized, plan truncated).  On a real
+    cluster with lost-executor concerns, swap for reliable
+    ``checkpoint()`` with a checkpoint dir; semantics are identical.
+    """
+    sym = pairs.select(F.col("doc_1").alias("src"), F.col("doc_2").alias("dst"))
+    edges = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, on=edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, on=labels["doc_id"] == nbr_min["src"], how="left")
+            .select(
+                labels["doc_id"],
+                labels["cluster_id"].alias("old"),
+                F.least(labels["cluster_id"], F.coalesce("nbr_min", labels["cluster_id"])).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("cluster_id") < F.col("old")).count()
+        labels = new.select("doc_id", "cluster_id")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document cluster ids over the full corpus: paired docs get
+    their component's min id, unpaired docs are their own cluster.
+
+    Output: ``doc_id, cluster_id``.  The duplicate-drop policy is then
+    ``keep rows where doc_id == cluster_id`` (see
+    :func:`drop_duplicate_docs`).
+    """
+    comp = cluster_assignments(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, on="doc_id", how="left")
+        .select("doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"))
+    )
+
+
+def drop_duplicate_docs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (the min-id doc) per near-duplicate
+    cluster — the end-to-end dedup pipeline: LSH pairs → components →
+    filter."""
+    clusters = dedup_clusters(df, pairs, id_col)
+    keep_ids = clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id")
+    return df.join(keep_ids.withColumnRenamed("doc_id", id_col), on=id_col, how="left_semi")
+
+
 def simhash(df: DataFrame, bits: int = 32, portable_ids: bool = True) -> DataFrame:
     """Per-document SimHash: bit b is 1 iff the majority of the
     document's (distinct) tokens have bit b set in their token hash.

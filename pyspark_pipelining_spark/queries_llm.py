@@ -140,7 +140,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def _sql_minhash(num_hashes: int = 16, bands: int = 8) -> str:
+def _minhash_fragments(num_hashes: int = 16, bands: int = 8) -> tuple[str, str, str]:
+    """Shared DuckDB fragments: (signature CTE chain, band-match
+    predicate, agreement-count expression)."""
     rows = num_hashes // bands
     coeffs = dedup.minhash_coeffs(num_hashes)
     mins = ",\n           ".join(
@@ -153,8 +155,7 @@ def _sql_minhash(num_hashes: int = 16, bands: int = 8) -> str:
         for bd in range(bands)
     )
     agree = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
-    return f"""
-WITH {SQL_BIGRAMS},
+    ctes = f"""{SQL_BIGRAMS},
 shing AS (SELECT DISTINCT doc_id, unnest(ngrams) AS shingle FROM grams),
 ds AS (
     SELECT doc_id,
@@ -165,7 +166,14 @@ sig AS (
     SELECT doc_id,
            {mins}
     FROM ds GROUP BY doc_id
-)
+)"""
+    return ctes, band_match, agree
+
+
+def _sql_minhash(num_hashes: int = 16, bands: int = 8) -> str:
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    return f"""
+WITH {ctes}
 SELECT a.doc_id AS doc_1, b.doc_id AS doc_2,
        ({agree}) / {num_hashes}.0 AS est_jaccard
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
@@ -173,6 +181,46 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
 
 
 SQL_DEDUP_MINHASH = _sql_minhash()
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidate pairs (est Jaccard
+    ≥ 0.5) → connected components by min-id label propagation → every
+    document labeled with its cluster's min doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return dedup.dedup_clusters(docs, pairs)
+
+
+def _sql_dedup_clusters(threshold: float = 0.5, num_hashes: int = 16, bands: int = 8) -> str:
+    # The oracle computes component min-ids with a recursive reachability
+    # CTE (UNION dedups, so it terminates); fine at oracle scale, while
+    # the engine side uses bounded label propagation.
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1 AS src, doc_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_2, doc_1 FROM pairs
+),
+walk(doc_id, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.doc_id
+),
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,6 +501,7 @@ QUERIES_LLM = {
     "text_quality": q_text_quality,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -470,6 +519,7 @@ ORACLES_LLM = {
     "text_quality": SQL_TEXT_QUALITY,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "sim_bruteforce_topk": SQL_SIM_BRUTEFORCE_TOPK,

@@ -6,7 +6,14 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from pyspark_pipelining_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, word_ngrams
+from pyspark_pipelining_spark.operators.dedup import (
+    cluster_assignments,
+    dedup_clusters,
+    drop_duplicate_docs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    word_ngrams,
+)
 from pyspark_pipelining_spark.operators.frequency import frequency_histogram
 from pyspark_pipelining_spark.operators.media import make_media, union_frames
 from pyspark_pipelining_spark.operators.reach import reach_count
@@ -195,3 +202,29 @@ def test_learned_ivf_full_probe_equals_brute_force(spark):
     # coverage must not)
     part = ivf_topk_learned(emb, queries, cent, k=5, nprobe=2).collect()
     assert len(part) == 15
+
+
+def test_cluster_assignments_known_components(spark):
+    # components: {1,2,3} (via 1-2, 2-3), {10,11}; 20 appears in no pair
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_1", "doc_2"])
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], ["doc_id"])
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cluster_assignments_long_chain_propagates(spark):
+    # a 6-hop chain forces multiple propagation rounds (diameter > 1)
+    edges = [(i, i + 1) for i in range(1, 7)]
+    pairs = spark.createDataFrame(edges, ["doc_1", "doc_2"])
+    out = {r["doc_id"]: r["cluster_id"] for r in cluster_assignments(pairs).collect()}
+    assert out == {i: 1 for i in range(1, 8)}
+
+
+def test_drop_duplicate_docs_keeps_min_id_representatives(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a'"), (3, "a''"), (10, "b"), (11, "b'"), (20, "c")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_1", "doc_2"])
+    kept = sorted(r["doc_id"] for r in drop_duplicate_docs(docs, pairs).collect())
+    assert kept == [1, 10, 20]
