@@ -169,6 +169,145 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# ---------------------------------------------------------------------------
+# JDBC / warehouse source (SURVEY §2 S7)
+# ---------------------------------------------------------------------------
+
+
+def jdbc_options(
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+) -> dict[str, str]:
+    """Validated option dict for a ``spark.read.format('jdbc')`` load
+    (pure — unit-testable without a live database).
+
+    Replaces the reference's psycopg2 connection + ``pd.read_sql``
+    (``dataQA/dailyConnection.py:5-14``, ``dailyQAHelpers.py:15,36``):
+    ``table=`` maps a bare table read, ``query=`` maps an arbitrary SQL
+    pull.  For parallel extraction, ``partition_column`` +
+    ``lower_bound``/``upper_bound``/``num_partitions`` split the read
+    into ``num_partitions`` range-predicated scans — the difference
+    between a single-connection driver pull (the reference's shape,
+    which caps at one cursor's throughput) and a cluster-wide ingest.
+    """
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table= or query= is required")
+    opts: dict[str, str] = {"url": url, "fetchsize": str(fetchsize)}
+    if table is not None:
+        opts["dbtable"] = table
+    else:
+        opts["query"] = query  # type: ignore[assignment]
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    if driver is not None:
+        opts["driver"] = driver
+    part = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(p is not None for p in part):
+        if any(p is None for p in part):
+            raise ValueError(
+                "partitioned reads need all of partition_column, lower_bound, "
+                "upper_bound, num_partitions"
+            )
+        if query is not None:
+            raise ValueError("partition_column requires table=, not query=")
+        opts.update(
+            partitionColumn=str(partition_column),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    predicates: list[str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """JDBC/warehouse source (SURVEY §2 S7; reference
+    ``dataQA/dailyConnection.py:5-14`` + every ``pd.read_sql`` call in
+    ``dailyQAHelpers.py``).
+
+    ``predicates`` gives one partition per predicate string (Spark's
+    classic ``spark.read.jdbc(..., predicates=...)`` path — the direct
+    analog of the reference slicing its pulls by date literal).
+    Otherwise builds a ``format('jdbc')`` load from
+    :func:`jdbc_options`, including range-partitioned parallel scans.
+    Filters and projections on the returned frame push down into the
+    remote engine's WHERE clause (Catalyst JDBC pushdown), so
+    ``read_jdbc(...).filter(...)`` does not ship the whole table.
+    """
+    if predicates is not None:
+        if table is None:
+            raise ValueError("predicates= requires table=")
+        props = {
+            k: v
+            for k, v in (
+                ("user", kwargs.get("user")),
+                ("password", kwargs.get("password")),
+                ("driver", kwargs.get("driver")),
+            )
+            if v is not None
+        }
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    return spark.read.format("jdbc").options(**jdbc_options(url, table, **kwargs)).load()
+
+
+# ---------------------------------------------------------------------------
+# Catalog introspection (SURVEY §2 S9)
+# ---------------------------------------------------------------------------
+
+
+def list_tables(spark: SparkSession, database: str | None = None) -> list[str]:
+    """Table names visible in the catalog (reference ``check_tables``'
+    ``pg_table_def`` scan, ``dataQA/dailyQAHelpers.py:6-19``)."""
+    return [t.name for t in spark.catalog.listTables(database)]
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Existence probe (reference ``dailyQAHelpers.py:15-18``:
+    missing ad table → degrade, missing log table → fail)."""
+    return spark.catalog.tableExists(name)
+
+
+def list_columns(spark: SparkSession, table: str) -> dict[str, str]:
+    """``{column: dataType}`` for a catalog table or temp view
+    (reference ``ad_cols``/``log_cols`` column pulls,
+    ``dataQA/dailyQA.py:66-80``)."""
+    return {c.name: c.dataType for c in spark.catalog.listColumns(table)}
+
+
+def probe_schema(spark: SparkSession, table: str) -> T.StructType:
+    """Zero-row schema probe — the ``select * from t limit 0`` trick
+    (reference ``dailyQA.py:66-70``) without reading any data."""
+    return spark.table(table).limit(0).schema
+
+
+def check_timestamp_column(spark: SparkSession, table: str, col: str = "ts") -> None:
+    """Fail fast unless ``table.col`` is a timestamp (reference
+    ``check_timestamp``, ``dailyQAHelpers.py:32-41``)."""
+    cols = list_columns(spark, table)
+    if col not in cols:
+        raise SchemaError(f"table {table!r} has no column {col!r}; has {sorted(cols)}")
+    if "timestamp" not in cols[col].lower():
+        raise SchemaError(
+            f"column {table}.{col} must be a timestamp for hour-shift queries; is {cols[col]}"
+        )
+
+
 def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Ensure at least ``min_parallelism`` partitions before a
     compute-heavy stage (shingling, signature folds, per-doc features).

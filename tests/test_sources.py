@@ -1,0 +1,90 @@
+"""Source-layer tests: JDBC option plumbing (S7, no live DB needed) and
+catalog introspection over registered views (S9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_pipelining_spark.sources.registry import (
+    SchemaError,
+    check_timestamp_column,
+    jdbc_options,
+    list_columns,
+    list_tables,
+    probe_schema,
+    register_views,
+    table_exists,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_jdbc_options_table_read():
+    opts = jdbc_options("jdbc:postgresql://h/db", table="events", user="u", password="p")
+    assert opts["url"] == "jdbc:postgresql://h/db"
+    assert opts["dbtable"] == "events"
+    assert opts["user"] == "u" and opts["password"] == "p"
+    assert "query" not in opts
+
+
+def test_jdbc_options_query_read():
+    opts = jdbc_options("jdbc:x", query="select * from t where d = '2024-01-01'")
+    assert opts["query"].startswith("select")
+    assert "dbtable" not in opts
+
+
+def test_jdbc_options_partitioned_read():
+    opts = jdbc_options(
+        "jdbc:x",
+        table="events",
+        partition_column="event_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert opts["partitionColumn"] == "event_id"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "1000000"
+    assert opts["numPartitions"] == "32"
+
+
+def test_jdbc_options_validation():
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_options("jdbc:x")
+    with pytest.raises(ValueError, match="exactly one"):
+        jdbc_options("jdbc:x", table="t", query="select 1")
+    with pytest.raises(ValueError, match="all of"):
+        jdbc_options("jdbc:x", table="t", partition_column="id")
+    with pytest.raises(ValueError, match="requires table"):
+        jdbc_options(
+            "jdbc:x",
+            query="select 1",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=1,
+            num_partitions=2,
+        )
+
+
+def test_catalog_discovery_over_registered_views(spark):
+    register_views(spark, SF_SMOKE, ["events", "nation"])
+    tables = list_tables(spark)
+    assert "events" in tables and "nation" in tables
+    assert table_exists(spark, "events")
+    assert not table_exists(spark, "no_such_table")
+    cols = list_columns(spark, "events")
+    assert set(cols) >= {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert "timestamp" in cols["ts"].lower()
+
+
+def test_probe_schema_reads_no_rows(spark):
+    register_views(spark, SF_SMOKE, ["nation"])
+    schema = probe_schema(spark, "nation")
+    assert [f.name for f in schema.fields][:2] == ["n_nationkey", "n_name"]
+
+
+def test_check_timestamp_column(spark):
+    register_views(spark, SF_SMOKE, ["events", "nation"])
+    check_timestamp_column(spark, "events", "ts")  # passes
+    with pytest.raises(SchemaError, match="must be a timestamp"):
+        check_timestamp_column(spark, "events", "event_type")
+    with pytest.raises(SchemaError, match="no column"):
+        check_timestamp_column(spark, "nation", "ts")
