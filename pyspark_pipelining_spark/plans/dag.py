@@ -20,11 +20,14 @@ stage, which is where the actual work is at 100 TB.
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_pipelining_spark.logutil import get_logger
 
 
 @dataclass(frozen=True)
@@ -56,9 +59,15 @@ class PipelineError(RuntimeError):
 class Pipeline:
     """Named-stage DAG with parquet-existence idempotency."""
 
-    def __init__(self, spark: SparkSession, config: PipelineConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: PipelineConfig,
+        logger: logging.Logger | None = None,
+    ):
         self.spark = spark
         self.config = config
+        self.logger = logger if logger is not None else get_logger()
         self._stages: dict[str, Stage] = {}
         self._results: dict[str, DataFrame] = {}
 
@@ -89,16 +98,36 @@ class Pipeline:
             raise PipelineError(f"dependency cycle: {' -> '.join(_seen + (name,))}")
         st = self._stages[name]
         if st.materialize and self._is_complete(name):
+            self.logger.info("stage %s: target exists, skipping (idempotent)", name)
             df = self.spark.read.parquet(self._target(name))
             self._results[name] = df
             return df
         upstream = {r: self.run(r, _seen + (name,)) for r in st.requires}
-        df = st.fn(self.spark, self.config, upstream)
-        if st.materialize:
-            df.write.mode("overwrite").parquet(self._target(name))
-            df = self.spark.read.parquet(self._target(name))
+        self.logger.info("stage %s: running", name)
+        try:
+            df = st.fn(self.spark, self.config, upstream)
+            if st.materialize:
+                df.write.mode("overwrite").parquet(self._target(name))
+                df = self.spark.read.parquet(self._target(name))
+        except Exception:
+            self.logger.exception("stage %s: failed", name)
+            raise
+        self.logger.info("stage %s: done", name)
         self._results[name] = df
         return df
+
+    def run_safe(self, name: str, report_path: str) -> DataFrame | None:
+        """Run a stage, rendering any failure into the report file
+        instead of crashing (reference ``DataException.to_csv``,
+        ``dataQA/dataExceptions.py:17-23``, which the scheduler relies
+        on to always produce output).  Returns None on failure."""
+        from pyspark_pipelining_spark.sources.sinks import error_report
+
+        try:
+            return self.run(name)
+        except Exception as exc:  # logged by run(); render into report
+            error_report(self.spark, f"stage {name}: {exc}", report_path, logger=self.logger)
+            return None
 
     def run_all(self) -> dict[str, DataFrame]:
         """The fan-in supertask: run every registered stage."""

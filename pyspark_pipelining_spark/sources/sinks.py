@@ -63,10 +63,13 @@ def write_csv_report(df: DataFrame, path: str) -> None:
     shutil.rmtree(tmp)
 
 
-def error_report(spark: SparkSession, message: str, path: str) -> None:
+def error_report(spark: SparkSession, message: str, path: str, logger=None) -> None:
     """Render a failure into the report file (reference
     ``DataException.to_csv`` behavior) so schedulers see output, not a
-    crash."""
+    crash; also logged to the job channel when one is passed
+    (reference ``dailyLogger`` usage in ``dailyQA.py``)."""
+    if logger is not None:
+        logger.error("error report -> %s: %s", path, message)
     spark.createDataFrame([(message,)], ["Error"]).coalesce(1).toPandas().to_csv(
         path, index=False, encoding="utf-8"
     )

@@ -73,3 +73,39 @@ def test_sinks(spark, tmp_path):
     write_csv_report(df.select("k"), report)
     with open(report) as fh:
         assert fh.readline().strip() == "k"
+
+
+def test_failing_stage_logs_and_renders_report(spark, tmp_path, caplog):
+    import logging
+
+    from pyspark_pipelining_spark.logutil import get_logger
+
+    log_file = str(tmp_path / "qa_log.txt")
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path), run_id="t3")
+    p = Pipeline(spark, cfg, logger=get_logger("test_d7", log_file=log_file))
+
+    @p.stage("boom")
+    def boom(spark_, cfg_, up):
+        raise ValueError("intentional failure")
+
+    report = str(tmp_path / "report.csv")
+    with caplog.at_level(logging.INFO, logger="test_d7"):
+        out = p.run_safe("boom", report)
+    assert out is None
+    # failure logged with traceback, and the error rendered into the report
+    assert any("stage boom: failed" in r.message for r in caplog.records)
+    with open(report) as fh:
+        body = fh.read()
+    assert "Error" in body and "intentional failure" in body
+    with open(log_file) as fh:
+        assert "stage boom: failed" in fh.read()
+
+
+def test_get_logger_idempotent_handlers(tmp_path):
+    from pyspark_pipelining_spark.logutil import get_logger
+
+    f = str(tmp_path / "l.txt")
+    l1 = get_logger("test_idem", log_file=f)
+    n = len(l1.handlers)
+    l2 = get_logger("test_idem", log_file=f)
+    assert l2 is l1 and len(l2.handlers) == n  # no stacked duplicates
