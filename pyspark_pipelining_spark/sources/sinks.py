@@ -75,17 +75,46 @@ def error_report(spark: SparkSession, message: str, path: str, logger=None) -> N
     )
 
 
-def write_excel_sheets(frames: dict[str, DataFrame], path: str) -> bool:
-    """Multi-sheet Excel export of small result frames.  Returns False
-    (no-op) when no Excel engine is installed — the parquet/CSV sinks
-    are the durable outputs; Excel is presentation only."""
+def ingest_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """pandas→Spark ingest (SURVEY §2 S3; reference ``pdf_to_table``,
+    ``metrics/helpers/pdf_to_table_excel.py:6-13``): sanitize column
+    names (spaces→underscores, the reference's rename lambda) and
+    convert.  For tiny driver-side result frames only — a 100 TB input
+    enters through ``spark.read``, never through the driver."""
+    pdf2 = pdf.rename(columns=lambda c: str(c).replace(" ", "_"))
+    return spark.createDataFrame(pdf2)
+
+
+def pandas_to_table(spark: SparkSession, table: str, pdf, mode: str = "overwrite") -> None:
+    """Reference ``pdf_to_table`` end-to-end: ingest + managed-table
+    save (``pdf_to_table_excel.py:13`` — ``saveAsTable`` overwrite)."""
+    ingest_pandas(spark, pdf).write.mode(mode).saveAsTable(table)
+
+
+def excel_writer_args(path: str, append: bool = True) -> dict:
+    """Writer-mode decision for the Excel sink (pure — testable without
+    openpyxl): append into an existing workbook, replacing same-named
+    sheets, exactly the reference's load_workbook+writer.sheets dance
+    (``pdf_to_table_excel.py:16-32``); fresh write otherwise."""
+    if append and os.path.isfile(path):
+        return {"engine": "openpyxl", "mode": "a", "if_sheet_exists": "replace"}
+    return {"engine": "openpyxl", "mode": "w"}
+
+
+def write_excel_sheets(frames: dict[str, DataFrame], path: str, append: bool = True) -> bool:
+    """Multi-sheet Excel export of small result frames, appending to an
+    existing workbook when one is present (reference semantics:
+    repeated runs accumulate sheets in ``custom_metrics_<db>.xlsx``).
+    Returns False (no-op) when no Excel engine is installed — the
+    parquet/CSV sinks are the durable outputs; Excel is presentation
+    only."""
     try:
         import openpyxl  # noqa: F401
     except ImportError:
         return False
     import pandas as pd
 
-    with pd.ExcelWriter(path, engine="openpyxl") as xl:
+    with pd.ExcelWriter(path, **excel_writer_args(path, append)) as xl:
         for sheet, df in frames.items():
             df.toPandas().to_excel(xl, sheet_name=sheet[:31], index=False)
     return True

@@ -109,3 +109,51 @@ def test_get_logger_idempotent_handlers(tmp_path):
     n = len(l1.handlers)
     l2 = get_logger("test_idem", log_file=f)
     assert l2 is l1 and len(l2.handlers) == n  # no stacked duplicates
+
+
+def test_ingest_pandas_sanitizes_columns(spark):
+    import pandas as pd
+
+    from pyspark_pipelining_spark.sources.sinks import ingest_pandas
+
+    pdf = pd.DataFrame({"a col": [1, 2], "b": ["x", "y"]})
+    df = ingest_pandas(spark, pdf)
+    assert df.columns == ["a_col", "b"]
+    assert df.count() == 2
+
+
+def test_pandas_to_table_roundtrip(spark):
+    import pandas as pd
+
+    from pyspark_pipelining_spark.sources.sinks import pandas_to_table
+
+    pandas_to_table(spark, "t_ingest", pd.DataFrame({"k v": [1], "n": [2]}))
+    out = spark.table("t_ingest")
+    assert out.columns == ["k_v", "n"] and out.count() == 1
+    spark.sql("DROP TABLE t_ingest")
+
+
+def test_excel_writer_args_append_vs_fresh(tmp_path):
+    from pyspark_pipelining_spark.sources.sinks import excel_writer_args
+
+    fresh = str(tmp_path / "new.xlsx")
+    assert excel_writer_args(fresh) == {"engine": "openpyxl", "mode": "w"}
+    existing = tmp_path / "old.xlsx"
+    existing.write_bytes(b"stub")
+    assert excel_writer_args(str(existing)) == {
+        "engine": "openpyxl", "mode": "a", "if_sheet_exists": "replace",
+    }
+    assert excel_writer_args(str(existing), append=False)["mode"] == "w"
+
+
+def test_write_excel_sheets_gated_without_engine(spark, tmp_path):
+    from pyspark_pipelining_spark.sources.sinks import write_excel_sheets
+
+    df = spark.range(1)
+    ok = write_excel_sheets({"s": df}, str(tmp_path / "x.xlsx"))
+    try:
+        import openpyxl  # noqa: F401
+        assert ok
+    except ImportError:
+        assert not ok  # clean no-op, no crash, no file
+        assert not (tmp_path / "x.xlsx").exists()
