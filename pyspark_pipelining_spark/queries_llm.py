@@ -77,7 +77,8 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load_table(spark, sf_dir, "documents"))
 
 
-def _sql_lang_scores() -> str:
+def _lang_fragments() -> tuple[list[str], str]:
+    """(per-language score expressions, argmax pred_lang CASE expr)."""
     score_cols = []
     for lang in sorted(text.STOPWORDS):
         lst = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
@@ -89,6 +90,12 @@ def _sql_lang_scores() -> str:
     pred = "CASE " + " ".join(
         f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
     ) + " END"
+    return score_cols, pred
+
+
+def _sql_lang_scores() -> str:
+    score_cols, pred = _lang_fragments()
+    langs = sorted(text.STOPWORDS)
     return f"""
 WITH {SQL_WORDS},
 scored AS (SELECT doc_id, {', '.join(score_cols)} FROM words)
@@ -221,6 +228,85 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 
 
 SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline as ONE query:
+    quality-score + language-ID every document, cluster near-duplicates
+    (LSH → components), and keep only high-quality English cluster
+    representatives — what a corpus owner actually runs before
+    tokenizing 100 TB.
+
+    Every stage shares the scan; the only shuffles are the LSH
+    band-bucket join, the component propagation, and the final
+    doc_id-keyed joins (co-partitioned).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qual = text.quality_score(docs).select("doc_id", "quality")
+    lang = text.language_id(docs).select("doc_id", "pred_lang")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    return (
+        docs.select("doc_id", "source")
+        .join(qual, "doc_id")
+        .join(lang, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("pred_lang") == "en")
+            & (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "source", "pred_lang", "quality")
+    )
+
+
+def _sql_corpus_prep(threshold: float = 0.5) -> str:
+    ctes, band_match, agree = _minhash_fragments()
+    score_cols, pred = _lang_fragments()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / 16.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1 AS src, doc_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_2, doc_1 FROM pairs
+),
+walk(doc_id, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.doc_id
+),
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id),
+feats AS (
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_words,
+           len(list_filter(w, x -> list_contains([{_EN}], x))) / len(w) AS stopword_ratio,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio
+    FROM words
+),
+qual AS (
+    SELECT doc_id,
+           least(n_words / 100.0, 1.0) * 0.25 + alpha_ratio * 0.5
+             + least(stopword_ratio * 5.0, 1.0) * 0.25 AS quality
+    FROM feats
+),
+scored AS (SELECT doc_id, {', '.join(score_cols)} FROM words),
+lang AS (SELECT doc_id, {pred} AS pred_lang FROM scored)
+SELECT d.doc_id, d.source, l.pred_lang, q.quality
+FROM documents d
+JOIN qual q USING (doc_id)
+JOIN lang l USING (doc_id)
+LEFT JOIN comp c USING (doc_id)
+WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+  AND coalesce(c.cluster_id, d.doc_id) = d.doc_id
+"""
+
+
+SQL_CORPUS_PREP = _sql_corpus_prep()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,6 +588,7 @@ QUERIES_LLM = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_prep": q_corpus_prep,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -520,6 +607,7 @@ ORACLES_LLM = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "corpus_prep": SQL_CORPUS_PREP,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "sim_bruteforce_topk": SQL_SIM_BRUTEFORCE_TOPK,
