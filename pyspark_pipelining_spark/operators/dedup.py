@@ -192,28 +192,35 @@ def minhash_lsh_pairs(
             F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x
         )
     )
+    # no trailing orderBy: the pair set is fact-sized (O(corpus) at 100 TB)
+    # and every consumer (threshold filter, component propagation, driver
+    # hash-compare) is order-insensitive — a global sort here is a pure
+    # range-shuffle tax
     return cand.select(
         "doc_1",
         "doc_2",
         (agree.cast("double") / num_hashes).alias("est_jaccard"),
-    ).orderBy("doc_1", "doc_2")
+    )
 
 
 def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     """Connected-component labels over a candidate-pair edge list:
     every document maps to the smallest doc id reachable through the
-    pair graph (min-id label propagation).
+    pair graph (min-id label propagation with pointer jumping).
 
     Input: ``doc_1, doc_2`` (either orientation).  Output: ``doc_id,
     cluster_id`` — one row per document that appears in at least one
     pair.  Use :func:`dedup_clusters` to extend labels to unpaired docs.
 
-    Scale: each round is one neighbor-min groupBy plus a join, both
-    hash-partitioned on doc id; rounds needed = graph diameter + 1.
-    LSH candidate components are near-cliques (diameter ≈ 2), so the
-    loop exits after 3–4 rounds; ``max_iter`` bounds pathological
-    chains.  Per-round driver work is a single scalar ``count()`` for
-    the convergence check — labels never collect to the driver.
+    Each round takes the min over (own label, neighbors' labels), then
+    POINTER-JUMPS: follows the label one hop (label-of-label), which
+    doubles the propagation distance per round — O(log diameter)
+    rounds instead of O(diameter).  Near-dup graphs are not always
+    near-cliques: template chains (doc A ~ B ~ C ... with A ≁ C)
+    produce diameters in the dozens, where plain propagation exhausts
+    any sane round budget (measured: >12 rounds at sf0.1).
+    Per-round driver work is a single scalar ``count()`` for the
+    convergence check — labels never collect to the driver.
 
     Lineage control: iterative plans double in size per round if each
     references the full upstream pipeline (e.g. the 16-hash minhash
@@ -223,10 +230,12 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     cluster with lost-executor concerns, swap for reliable
     ``checkpoint()`` with a checkpoint dir; semantics are identical.
     """
-    sym = pairs.select(F.col("doc_1").alias("src"), F.col("doc_2").alias("dst"))
-    edges = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # materialize the pair pipeline ONCE before symmetrizing — the union
+    # references it from both branches, and without the checkpoint the
+    # full upstream (LSH join and all) would execute twice
+    p = pairs.select("doc_1", "doc_2").localCheckpoint(eager=True)
+    sym = p.select(F.col("doc_1").alias("src"), F.col("doc_2").alias("dst"))
+    edges = sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -239,14 +248,20 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, on=labels["doc_id"] == nbr_min["src"], how="left").select(
+            labels["doc_id"],
+            labels["cluster_id"].alias("old"),
+            F.least(labels["cluster_id"], F.coalesce("nbr_min", labels["cluster_id"])).alias("mid"),
+        )
+        # pointer jump: label[v] <- min(label[v], label[label[v]]).
+        # Every label value is itself a node id, so the self-join hits.
+        ptr = stepped.select(F.col("doc_id").alias("p_id"), F.col("mid").alias("p_lbl"))
         new = (
-            labels.join(nbr_min, on=labels["doc_id"] == nbr_min["src"], how="left")
+            stepped.join(ptr, on=stepped["mid"] == ptr["p_id"], how="left")
             .select(
-                labels["doc_id"],
-                labels["cluster_id"].alias("old"),
-                F.least(labels["cluster_id"], F.coalesce("nbr_min", labels["cluster_id"])).alias(
-                    "cluster_id"
-                ),
+                stepped["doc_id"],
+                stepped["old"],
+                F.least(stepped["mid"], F.coalesce("p_lbl", stepped["mid"])).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
         )
@@ -347,4 +362,4 @@ def ngram_jaccard_pairs(
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
-    return out.orderBy("doc_1", "doc_2")
+    return out  # fact-sized pair output — no global sort (see lsh_pairs)

@@ -5,6 +5,7 @@ from pyspark_pipelining_spark.streaming.stateful import (
 from pyspark_pipelining_spark.streaming.windows import (
     daily_counts_batch,
     daily_counts_stream,
+    dedup_stream,
     run_stream_to_memory,
     sliding_counts_batch,
 )
@@ -12,6 +13,7 @@ from pyspark_pipelining_spark.streaming.windows import (
 __all__ = [
     "daily_counts_batch",
     "daily_counts_stream",
+    "dedup_stream",
     "run_stream_to_memory",
     "sessionize_batch",
     "sessionize_stream",

@@ -70,18 +70,11 @@ def sliding_counts_batch(
     )
 
 
-def daily_counts_stream(
-    spark: SparkSession,
-    events_path: str,
-    hourshift: int = 0,
-    watermark: str = "1 day",
-    keys: list[str] | None = None,
-) -> DataFrame:
-    """The streaming twin of :func:`daily_counts_batch` over a parquet
-    file source with a late-data watermark."""
-    keys = keys or []
-    # FileStreamSource requires a directory; wrap a single parquet file
-    # in a temp dir via symlink (production streams point at a dir).
+def _file_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """Parquet file-stream source with nanos-as-long normalization.
+
+    FileStreamSource requires a directory; wrap a single parquet file
+    in a temp dir via symlink (production streams point at a dir)."""
     import os
     import tempfile
 
@@ -93,7 +86,20 @@ def daily_counts_stream(
     stream = spark.readStream.schema(static.schema).parquet(events_path)
     if dict(static.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    shifted = _shifted(stream, hourshift, "ts")
+    return stream
+
+
+def daily_counts_stream(
+    spark: SparkSession,
+    events_path: str,
+    hourshift: int = 0,
+    watermark: str = "1 day",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """The streaming twin of :func:`daily_counts_batch` over a parquet
+    file source with a late-data watermark."""
+    keys = keys or []
+    shifted = _shifted(_file_stream(spark, events_path), hourshift, "ts")
     return (
         shifted.withWatermark("ts", watermark)
         .groupBy(F.window(F.col("ts"), "1 day").alias("w"), *keys)
@@ -105,16 +111,40 @@ def daily_counts_stream(
     )
 
 
+def dedup_stream(
+    spark: SparkSession,
+    events_path: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: keep the first arrival per
+    key, with state BOUNDED by the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the streaming face of the
+    batch dedup family (``operators/dedup.exact_dedup``).
+
+    At 100 TB/day, an unbounded ``dropDuplicates`` on a stream would
+    grow key state forever; the watermark variant evicts keys older
+    than the horizon, so state is O(events per horizon), which is the
+    only shape that survives a long-running ingest.  Use append output
+    mode (no aggregation to re-emit).
+    """
+    keys = key_cols or ["event_id"]
+    stream = _file_stream(spark, events_path)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 120, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming frame with ``availableNow`` into a memory
-    sink (complete mode) and return the result table — deterministic
-    one-shot replay for tests/backfills."""
+    sink and return the result table — deterministic one-shot replay
+    for tests/backfills.  ``complete`` for windowed aggregations,
+    ``append`` for watermarked dedup/stateless maps."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -86,3 +86,20 @@ def test_sessionize_stream_matches_batch(spark):
     )
     assert len(got) > 0
     assert got == expected
+
+
+def test_dedup_stream_drops_duplicate_events(spark, tmp_path):
+    """Streaming dedup (watermark-bounded state) must keep exactly one
+    row per event_id when the source replays duplicates."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark.streaming import dedup_stream
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200).toPandas()
+    dup = pd.concat([ev, ev.head(50)], ignore_index=True)  # 50 replayed ids
+    src = str(tmp_path / "dup_events.parquet")
+    dup.to_parquet(src)
+    out = dedup_stream(spark, src, key_cols=["event_id"], watermark="1 day")
+    res = run_stream_to_memory(out, "dedup_stream_test", output_mode="append")
+    ids = [r["event_id"] for r in res.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == ev["event_id"].nunique()
