@@ -1,0 +1,201 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(beyond-reference scope — extends the SURVEY §7.2 step-12 family with
+the remaining ops a 100 TB corpus owner runs between raw crawl and
+tokenizer: PII scrubbing, benchmark decontamination, sampling,
+vocabulary statistics, and sequence packing).
+
+Design stance (same as operators/text.py): everything except sequence
+packing is JVM-side built-ins — regex, higher-order array functions,
+one aggregation shuffle — so the hot path stays in whole-stage codegen.
+Sequence packing is inherently sequential per group (a running-fill
+state machine), so it is the module's one deliberate Arrow-batched
+``applyInPandas`` operator: per-group state, zero driver involvement,
+the standard shape for custom stateful batch ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators.dedup import (
+    MERSENNE,
+    portable_hash_id,
+    word_ngrams,
+)
+from pyspark_pipelining_spark.operators.text import with_words
+from pyspark_pipelining_spark.sources.registry import spread
+
+#: Redaction patterns applied in order (URL first so an embedded e-mail
+#: inside a URL is consumed by the URL rule, not split across two).
+#: RE2-compatible (no backrefs/lookarounds) so the DuckDB oracle can run
+#: the identical patterns.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact URLs, e-mail addresses, and phone numbers; count each.
+
+    Output: doc_id, n_url, n_email, n_phone, clean (redacted text).
+    Pure per-row regex — map-side only, no shuffle at any scale.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_RULES
+    ]
+    out = df.select("doc_id", *counts, F.col(text_col).alias("clean"))
+    for _, pat, repl in PII_RULES:
+        out = out.withColumn("clean", F.regexp_replace("clean", pat, repl))
+    return out
+
+
+def contamination(
+    corpus_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every corpus document, the
+    share of its distinct word n-grams that also occur anywhere in the
+    evaluation set.
+
+    Output: doc_id, n_grams, n_contaminated, contamination (exact
+    ratio of two ints — engine-portable).  Documents shorter than ``n``
+    words have no n-grams and are absent from the output (nothing to
+    test).
+
+    Scale shape: the eval side (benchmarks — MBs, not TBs) collapses to
+    a DISTINCT gram-id set and is broadcast, so the corpus side is one
+    map-side hash-probe plus a single doc_id aggregation; the corpus is
+    never shuffled on gram.  Gram ids are md5-derived
+    (:func:`~pyspark_pipelining_spark.operators.dedup.portable_hash_id`)
+    — fixed-width keys instead of raw n-gram strings, and bit-identical
+    in the DuckDB oracle.  Hash collisions replicate identically in
+    both engines, so the comparison stays exact.
+    """
+    c_grams = (
+        word_ngrams(corpus_df, n)
+        .select(id_col, F.array_distinct("ngrams").alias("gs"))
+        .select(id_col, F.explode("gs").alias("g"))
+        .select(id_col, portable_hash_id(F.col("g"), MERSENNE).alias("gid"))
+    )
+    e_ids = (
+        word_ngrams(eval_df, n)
+        .select(F.explode(F.array_distinct("ngrams")).alias("g"))
+        .select(portable_hash_id(F.col("g"), MERSENNE).alias("gid"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        c_grams.join(F.broadcast(e_ids), "gid", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated") / F.col("n_grams")).alias("contamination"),
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Top-k vocabulary by corpus frequency (ties break on token text).
+
+    One map-side-combined groupBy; the final top-k is an
+    ``orderBy().limit()`` which Spark executes as TakeOrdered (per-
+    partition heaps + driver merge of k rows), not a global sort — the
+    pattern survives any corpus size for k ≪ vocabulary.
+    """
+    tokens = with_words(df, text_col).select(F.explode("words").alias("token")).filter(
+        F.length("token") > 0
+    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
+def stratified_topk_sample(
+    df: DataFrame, k: int = 2, strata_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic exact-k-per-stratum sample: rank rows inside each
+    stratum by ``md5(id)`` (a fixed pseudo-random order both engines
+    reproduce) and keep the first k.
+
+    One shuffle on the stratum key.  A stratum far larger than memory
+    makes the per-stratum window the bottleneck — for that regime use
+    :func:`hash_fraction_sample` (map-side, no shuffle) or pre-filter
+    with it before the exact window.
+    """
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        df.select(id_col, strata_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, strata_col)
+    )
+
+
+def hash_fraction_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", grid: int = 1_000_000
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample with zero shuffle: keep rows
+    whose md5-derived id hash lands under ``fraction`` of the hash grid.
+    Reproducible across runs/engines (unlike ``df.sample``, whose seed
+    is partition-layout-dependent), composable (a 0.5 sample of a 0.5
+    sample is the same rows as a 0.25 sample), and purely map-side.
+    """
+    bucket = portable_hash_id(F.col(id_col).cast("string"), grid)
+    return df.filter(bucket < int(fraction * grid))
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int = 2000,
+    cost_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequential sequence packing: within each group, walk
+    documents in id order and assign pack ids such that each pack's
+    total cost stays ≤ ``budget`` (a document larger than the budget
+    gets a pack of its own; packs never span groups).
+
+    Output: doc_id, <group_col>, pack_id (0-based per group).
+
+    This is the module's one Python-worker operator, on purpose: the
+    running-fill state machine is order-dependent within a group, which
+    no built-in aggregate expresses.  ``applyInPandas`` gives it the
+    right execution shape — one shuffle on the group key, Arrow batch
+    per group, state local to the worker, nothing on the driver.  At
+    100 TB the group key is a shard id sized so a group's (id, cost)
+    pairs fit a worker comfortably; payload bytes are never moved, only
+    ids and costs.
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        pack_ids = []
+        pid, fill, first = 0, 0, True
+        for cost in pdf[cost_col]:
+            if not first and fill + cost > budget:
+                pid += 1
+                fill = 0
+            fill += cost
+            first = False
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf[[id_col, group_col, "pack_id"]]
+
+    narrow = spread(df).select(id_col, group_col, cost_col)
+    return narrow.groupBy(group_col).applyInPandas(
+        pack, schema=f"{id_col} long, {group_col} string, pack_id long"
+    )

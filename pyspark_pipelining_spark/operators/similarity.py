@@ -348,3 +348,60 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_1", "id_2")
     )
+
+
+def centroid_cosines(
+    emb_df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Per-vector cosine to its own label's centroid — the standard
+    cluster-coherence / outlier score over an embedding column (low
+    cosine = the vector sits far from its group's center).
+
+    Output: vec_id, label, centroid_cos.
+
+    Exactness: group-aggregated float sums are shuffle-order-dependent,
+    so naive double centroids are not oracle-comparable.  Instead each
+    coordinate is snapped to a ``1/grid`` integer lattice; centroid
+    numerators are then exact int64 sums (order-free), and because
+    cosine is scale-invariant the ``1/n`` of the mean cancels:
+    ``cos(v, mean) = Σv·s / (|v|·|s|)`` where ``s`` is the per-dim sum.
+    Both engines do identical integer arithmetic and two identical
+    sqrt/division ops at the end — bit-stable without any fold-order
+    contract.  (int64 headroom: |coord| ≤ ~1·grid, so Σs² across a
+    10⁶-vector label and 64 dims stays < 2⁶³ for grid ≤ 1e6; shrink the
+    grid for larger labels — precision is a sampling knob, not a
+    correctness one.)
+
+    Scale shape: one posexplode + one (label, dim) aggregation — the
+    centroid table is ``labels × dims`` rows, a true broadcast dim —
+    then a map-side probe and one vec_id aggregation.  Payload
+    inflation is dims × 16 bytes per row, bandwidth-bounded, no skew
+    (dims are uniform).
+    """
+    q = spread(emb_df).select(
+        id_col,
+        label_col,
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * grid).cast("long")
+        ).alias("qv"),
+    )
+    dims = q.select(id_col, label_col, F.posexplode("qv").alias("pos", "v"))
+    cent = dims.groupBy(label_col, "pos").agg(F.sum("v").alias("s"))
+    parts = (
+        dims.join(F.broadcast(cent), on=[label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum(F.col("v") * F.col("s")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("n1"),
+            F.sum(F.col("s") * F.col("s")).alias("n2"),
+        )
+    )
+    return parts.select(
+        id_col,
+        label_col,
+        F.round(F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")), 6).alias("centroid_cos"),
+    )

@@ -781,6 +781,7 @@ FROM sess GROUP BY user_id, session_no
 # Registry
 # ---------------------------------------------------------------------------
 
+from pyspark_pipelining_spark.queries_corpus import ORACLES_CORPUS, QUERIES_CORPUS  # noqa: E402
 from pyspark_pipelining_spark.queries_llm import ORACLES_LLM, QUERIES_LLM  # noqa: E402
 from pyspark_pipelining_spark.queries_relational import ORACLES_REL, QUERIES_REL  # noqa: E402
 
@@ -807,6 +808,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_event_counts": q_salted_event_counts,
     **QUERIES_LLM,
     **QUERIES_REL,
+    **QUERIES_CORPUS,
 }
 
 ORACLES: dict[str, str] = {
@@ -832,4 +834,5 @@ ORACLES: dict[str, str] = {
     "salted_event_counts": SQL_SALTED_EVENT_COUNTS,
     **ORACLES_LLM,
     **ORACLES_REL,
+    **ORACLES_CORPUS,
 }

@@ -1,0 +1,185 @@
+"""Corpus-preparation query registry: PII scrub, benchmark
+decontamination, sampling, vocabulary stats, sequence packing, and
+embedding cluster-coherence (merged into the driver contract by
+``queries.py``).
+
+Oracle-parity notes: n-gram ids reuse the md5-derived portable hash
+(operators/dedup.py); the greedy packer's oracle is a per-group
+recursive CTE (each group walks one row per recursion round, the same
+technique as the dedup_clusters reachability oracle); centroid cosines
+are exact int64 lattice arithmetic so no fold-order contract is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators import corpus, similarity
+from pyspark_pipelining_spark.operators.dedup import MERSENNE
+from pyspark_pipelining_spark.queries_llm import SQL_WORDS
+from pyspark_pipelining_spark.sources.registry import load_table
+
+EVAL_SOURCE = "src19"  # stand-in benchmark set for the decontamination scan
+PACK_BUDGET = 2000
+SAMPLE_K = 2
+VOCAB_K = 50
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_scrub() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{name}"
+        for name, pat, _ in corpus.PII_RULES
+    )
+    clean = "text"
+    for _, pat, repl in corpus.PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {counts}, {clean} AS clean FROM documents"
+
+
+SQL_SCRUB_PII = _sql_scrub()
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.contamination(
+        docs.filter(F.col("source") != EVAL_SOURCE),
+        docs.filter(F.col("source") == EVAL_SOURCE),
+        n=3,
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH {SQL_WORDS},
+tg AS (
+    SELECT doc_id, source,
+           list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS gs
+    FROM words
+),
+cg AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % {MERSENNE} AS gid
+    FROM (SELECT DISTINCT doc_id, unnest(gs) AS g FROM tg WHERE source <> '{EVAL_SOURCE}')
+),
+eg AS (
+    SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT % {MERSENNE} AS gid
+    FROM (SELECT DISTINCT unnest(gs) AS g FROM tg WHERE source = '{EVAL_SOURCE}')
+),
+hits AS (
+    SELECT cg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN eg.gid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM cg LEFT JOIN eg ON cg.gid = eg.gid
+    GROUP BY cg.doc_id
+)
+SELECT doc_id, n_grams, n_contaminated,
+       n_contaminated / n_grams AS contamination
+FROM hits
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.vocab_topk(load_table(spark, sf_dir, "documents"), k=VOCAB_K)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH {SQL_WORDS},
+toks AS (SELECT unnest(w) AS token FROM words)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.stratified_topk_sample(
+        load_table(spark, sf_dir, "documents"), k=SAMPLE_K
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= {SAMPLE_K}
+"""
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_greedy(
+        load_table(spark, sf_dir, "documents"), budget=PACK_BUDGET
+    )
+
+
+SQL_PACK_GREEDY = f"""
+WITH RECURSIVE seq AS (
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+    FROM documents
+),
+walk(source, rn, doc_id, pack_id, fill) AS (
+    SELECT source, rn, doc_id, CAST(0 AS BIGINT), n_chars FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.source, s.rn, s.doc_id,
+           CASE WHEN w.fill + s.n_chars <= {PACK_BUDGET} THEN w.pack_id ELSE w.pack_id + 1 END,
+           CASE WHEN w.fill + s.n_chars <= {PACK_BUDGET} THEN w.fill + s.n_chars ELSE s.n_chars END
+    FROM walk w JOIN seq s ON s.source = w.source AND s.rn = w.rn + 1
+)
+SELECT doc_id, source, pack_id FROM walk
+"""
+
+
+def q_embedding_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.centroid_cosines(load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_COHERENCE = """
+WITH q AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+dims AS (
+    SELECT vec_id, label, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q
+),
+cent AS (
+    SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM dims GROUP BY label, pos
+),
+parts AS (
+    SELECT d.vec_id, d.label,
+           CAST(sum(d.v * c.s) AS BIGINT) AS dot,
+           CAST(sum(d.v * d.v) AS BIGINT) AS n1,
+           CAST(sum(c.s * c.s) AS BIGINT) AS n2
+    FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+    GROUP BY d.vec_id, d.label
+)
+SELECT vec_id, label, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS centroid_cos
+FROM parts
+"""
+
+
+QUERIES_CORPUS = {
+    "scrub_pii": q_scrub_pii,
+    "contamination": q_contamination,
+    "vocab_topk": q_vocab_topk,
+    "sample_stratified": q_sample_stratified,
+    "pack_greedy": q_pack_greedy,
+    "embedding_coherence": q_embedding_coherence,
+}
+
+ORACLES_CORPUS = {
+    "scrub_pii": SQL_SCRUB_PII,
+    "contamination": SQL_CONTAMINATION,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "pack_greedy": SQL_PACK_GREEDY,
+    "embedding_coherence": SQL_EMBEDDING_COHERENCE,
+}

@@ -1,0 +1,118 @@
+"""Unit tests for corpus-preparation operators (operators/corpus.py,
+similarity.centroid_cosines) — fixtures with known answers; the
+engine-vs-DuckDB comparison lives in test_queries_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators.corpus import (
+    contamination,
+    hash_fraction_sample,
+    pack_greedy,
+    scrub_pii,
+    stratified_topk_sample,
+    vocab_topk,
+)
+from pyspark_pipelining_spark.operators.similarity import centroid_cosines
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://ex.com/a?b=1 now"),
+            (2, "call 555-123-4567 or 555.123.4567 today"),
+            (3, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in scrub_pii(docs).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[1]["clean"] == "contact <EMAIL> or visit <URL> now"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["clean"] == "call <PHONE> or <PHONE> today"
+    assert out[3] == {"doc_id": 3, "n_url": 0, "n_email": 0, "n_phone": 0,
+                      "clean": "clean text with no pii at all"}
+
+
+def test_contamination_known_overlap(spark):
+    # corpus doc 1 shares its only trigram with the eval set; doc 2 none;
+    # doc 3 is too short for trigrams and must be absent
+    corpus_df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta eta"), (3, "one two")],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in contamination(corpus_df, eval_df, n=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_grams"] == 1 and rows[1]["n_contaminated"] == 1
+    assert rows[1]["contamination"] == 1.0
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_contaminated"] == 0
+
+
+def test_vocab_topk_orders_and_breaks_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b z")], ["doc_id", "text"]
+    )
+    top = [(r["token"], r["n"]) for r in vocab_topk(docs, k=3).collect()]
+    assert top == [("a", 3), ("b", 3), ("c", 1)]  # count desc, token asc
+
+
+def test_stratified_topk_sample_exact_k_per_stratum(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], ["doc_id", "source"]
+    )
+    out = stratified_topk_sample(docs, k=4).collect()
+    by_stratum: dict[str, int] = {}
+    for r in out:
+        by_stratum[r["source"]] = by_stratum.get(r["source"], 0) + 1
+    assert by_stratum == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic across invocations
+    again = stratified_topk_sample(docs, k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hash_fraction_sample_deterministic_and_composable(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    half = set(r["doc_id"] for r in hash_fraction_sample(docs, 0.5).collect())
+    quarter = set(r["doc_id"] for r in hash_fraction_sample(docs, 0.25).collect())
+    assert quarter <= half  # nested thresholds => nested samples
+    assert 0.2 < len(quarter) / 1000 < 0.3
+    assert 0.45 < len(half) / 1000 < 0.55
+    # re-run is identical (no partition-layout dependence)
+    assert half == set(r["doc_id"] for r in hash_fraction_sample(docs, 0.5).collect())
+
+
+def test_pack_greedy_respects_budget_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            # group a: 900+900 fit a pack; 300+900 next; 2500 oversized alone
+            (1, "a", 900), (2, "a", 900), (3, "a", 300), (4, "a", 900),
+            (5, "a", 2500), (6, "a", 100),
+            (10, "b", 1), (11, "b", 1),
+        ],
+        ["doc_id", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r["pack_id"] for r in pack_greedy(docs, budget=2000).collect()}
+    assert out[1] == 0 and out[2] == 0          # 1800 <= 2000
+    assert out[3] == 1 and out[4] == 1          # 300 + 900
+    assert out[5] == 2                          # oversized gets its own pack
+    assert out[6] == 3                          # fill resets after oversized
+    assert out[10] == 0 and out[11] == 0        # groups pack independently
+
+
+def test_centroid_cosines_degenerate_and_known(spark):
+    # label 0: two identical vectors -> both exactly at the centroid
+    # label 1: orthogonal pair -> centroid at 45 degrees, cos = ~0.707107
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 1), (3, [0.0, 1.0], 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r["vec_id"]: r["centroid_cos"] for r in centroid_cosines(emb).collect()}
+    assert out[0] == 1.0 and out[1] == 1.0
+    assert abs(out[2] - 0.707107) < 1e-6 and abs(out[3] - 0.707107) < 1e-6
