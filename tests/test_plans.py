@@ -153,3 +153,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_scrub_pii_is_map_side_only(spark):
+    """PII scrubbing is per-row regex work: any Exchange in its plan
+    means the operator picked up an accidental shuffle."""
+    plan = plan_of(spark, "scrub_pii")
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The corpus side must be probe-only: eval grams broadcast, corpus
+    never shuffled on gram (only the final doc_id aggregation may
+    exchange)."""
+    plan = plan_of(spark, "contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_uses_take_ordered_not_global_sort(spark):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heaps),
+    never a full Sort + CollectLimit over the vocabulary."""
+    plan = plan_of(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_greedy_moves_only_ids_and_costs(spark):
+    """The packer's group shuffle must carry (doc_id, source, n_chars)
+    only — document payload bytes stay at the scan."""
+    plan = plan_of(spark, "pack_greedy")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+
+
+def test_embedding_coherence_broadcasts_centroids(spark):
+    """The (label, dim) centroid table is a true broadcast dim; the
+    vector side must not be shuffled for the probe join."""
+    plan = plan_of(spark, "embedding_coherence")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
