@@ -131,3 +131,48 @@ def test_salted_join_rejects_dim_preserving_how(spark):
     got = sorted(tuple(r) for r in salted_join(fact, dim, ["k"], 4, how="left").drop("name").collect())
     want = sorted(tuple(r) for r in fact.join(dim, ["k"], "left").drop("name").collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (corpus.pack_greedy)
+# ---------------------------------------------------------------------------
+
+packing_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # group
+        st.integers(min_value=1, max_value=1500),   # cost
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=packing_strategy, budget=st.integers(min_value=500, max_value=1200))
+def test_pack_greedy_invariants(spark, rows, budget):
+    from pyspark_pipelining_spark.operators.corpus import pack_greedy
+
+    data = [(i, f"g{g}", cost) for i, (g, cost) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["doc_id", "source", "n_chars"])
+    out = sorted(
+        ((r["source"], r["doc_id"], r["pack_id"]) for r in pack_greedy(df, budget=budget).collect())
+    )
+    costs = {i: cost for i, (_g, cost) in enumerate(rows)}
+    by_group: dict[str, list] = {}
+    for g, doc, pack in out:
+        by_group.setdefault(g, []).append((doc, pack))
+    for g, docs in by_group.items():
+        # pack ids start at 0, are non-decreasing in doc order, step by <=1
+        packs = [p for _d, p in docs]
+        assert packs[0] == 0
+        assert all(0 <= b - a <= 1 for a, b in zip(packs, packs[1:]))
+        # every pack's fill <= budget unless it is a single oversized doc
+        fills: dict[int, list] = {}
+        for d, p in docs:
+            fills.setdefault(p, []).append(costs[d])
+        for members in fills.values():
+            assert sum(members) <= budget or len(members) == 1
+        # greedy tightness: the first doc of pack p+1 would not have fit in p
+        for (d1, p1), (d2, p2) in zip(docs, docs[1:]):
+            if p2 == p1 + 1:
+                assert sum(fills[p1]) + costs[d2] > budget
