@@ -199,3 +199,34 @@ def pack_greedy(
     return narrow.groupBy(group_col).applyInPandas(
         pack, schema=f"{id_col} long, {group_col} string, pack_id long"
     )
+
+
+def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse runs of consecutively repeated tokens ("table table
+    table" → "table") — the cheapest form of intra-document repetition
+    trimming (the C4/Gopher cleanup family; full line-dedup needs
+    line-structured text, which the synthetic corpus lacks).
+
+    Output: doc_id, n_words, n_kept, clean.  Map-side higher-order
+    functions only — the keep-mask is an index lambda over the word
+    array, so the whole operator rides whole-stage codegen with no
+    shuffle at any scale.
+    """
+    words = with_words(df, text_col)
+    idx = F.sequence(F.lit(1), F.size("words"))
+    # the i-1 probe is clamped to 1 (not short-circuited away): ANSI mode
+    # raises on element_at(.., 0), and boolean OR evaluates both operands;
+    # at i=1 the clamped compare is w[1] != w[1] = false and the i == 1
+    # branch keeps the word
+    prev = lambda i: F.element_at("words", F.greatest(i - 1, F.lit(1)).cast("int"))  # noqa: E731
+    keep = F.filter(
+        idx,
+        lambda i: (i == 1) | (F.element_at("words", i.cast("int")) != prev(i)),
+    )
+    kept_words = F.transform(keep, lambda i: F.element_at("words", i.cast("int")))
+    return words.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(keep).alias("n_kept"),
+        F.array_join(kept_words, " ").alias("clean"),
+    )

@@ -166,7 +166,76 @@ FROM parts
 """
 
 
+def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.collapse_repeats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_COLLAPSE_REPEATS = f"""
+WITH {SQL_WORDS},
+keep AS (
+    SELECT doc_id, w,
+           list_filter(range(1, len(w) + 1),
+                       i -> i = 1 OR w[i] <> w[greatest(i - 1, 1)]) AS ks
+    FROM words
+)
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_words,
+       CAST(len(ks) AS INTEGER) AS n_kept,
+       array_to_string(list_transform(ks, i -> w[i]), ' ') AS clean
+FROM keep
+"""
+
+
+def q_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: how many near-duplicate pairs
+    (LSH candidates at est Jaccard ≥ 0.5) connect each pair of sources —
+    the corpus-curation report that tells you WHICH crawls overlap.
+    Source pairs are canonicalized (least/greatest) so the matrix is
+    upper-triangular regardless of doc-id orientation."""
+    from pyspark_pipelining_spark.operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    s1 = docs.select(F.col("doc_id").alias("doc_1"), F.col("source").alias("s1"))
+    s2 = docs.select(F.col("doc_id").alias("doc_2"), F.col("source").alias("s2"))
+    return (
+        pairs.join(s1, "doc_1")
+        .join(s2, "doc_2")
+        .groupBy(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _sql_dedup_matrix(threshold: float = 0.5, num_hashes: int = 16) -> str:
+    from pyspark_pipelining_spark.queries_llm import _minhash_fragments
+
+    ctes, band_match, agree = _minhash_fragments()
+    return f"""
+WITH {ctes},
+pairs AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+)
+SELECT least(d1.source, d2.source) AS source_a,
+       greatest(d1.source, d2.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents d1 ON pairs.doc_1 = d1.doc_id
+JOIN documents d2 ON pairs.doc_2 = d2.doc_id
+GROUP BY 1, 2
+"""
+
+
+SQL_DEDUP_MATRIX = _sql_dedup_matrix()
+
+
 QUERIES_CORPUS = {
+    "collapse_repeats": q_collapse_repeats,
+    "dedup_matrix": q_dedup_matrix,
     "scrub_pii": q_scrub_pii,
     "contamination": q_contamination,
     "vocab_topk": q_vocab_topk,
@@ -176,6 +245,8 @@ QUERIES_CORPUS = {
 }
 
 ORACLES_CORPUS = {
+    "collapse_repeats": SQL_COLLAPSE_REPEATS,
+    "dedup_matrix": SQL_DEDUP_MATRIX,
     "scrub_pii": SQL_SCRUB_PII,
     "contamination": SQL_CONTAMINATION,
     "vocab_topk": SQL_VOCAB_TOPK,

@@ -116,3 +116,17 @@ def test_centroid_cosines_degenerate_and_known(spark):
     out = {r["vec_id"]: r["centroid_cos"] for r in centroid_cosines(emb).collect()}
     assert out[0] == 1.0 and out[1] == 1.0
     assert abs(out[2] - 0.707107) < 1e-6 and abs(out[3] - 0.707107) < 1e-6
+
+
+def test_collapse_repeats_known(spark):
+    from pyspark_pipelining_spark.operators.corpus import collapse_repeats
+
+    docs = spark.createDataFrame(
+        [(1, "a a the line table table table key"), (2, "x y z"), (3, "q")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in collapse_repeats(docs).collect()}
+    assert out[1]["clean"] == "a the line table key"
+    assert out[1]["n_words"] == 8 and out[1]["n_kept"] == 5
+    assert out[2]["clean"] == "x y z" and out[2]["n_kept"] == 3
+    assert out[3]["clean"] == "q" and out[3]["n_kept"] == 1
