@@ -316,7 +316,14 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     all downstream array/codegen work to one core.  At cluster scale a
     100 TB table has thousands of splits, so the partition count already
     exceeds the target and this is a no-op — no shuffle is added.
+
+    Streaming frames pass through untouched (micro-batch partitioning
+    is decided by the source at runtime, and ``.rdd`` is illegal on a
+    streaming plan) — this keeps every operator built on top of
+    ``spread`` (text features, shingling, scrubbing) stream-compatible.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parallelism or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -103,3 +103,39 @@ def test_dedup_stream_drops_duplicate_events(spark, tmp_path):
     res = run_stream_to_memory(out, "dedup_stream_test", output_mode="append")
     ids = [r["event_id"] for r in res.select("event_id").collect()]
     assert len(ids) == len(set(ids)) == ev["event_id"].nunique()
+
+
+def test_corpus_prep_stages_run_on_streams(spark, tmp_path):
+    """The text/corpus operators are stateless per-row transforms, so the
+    same code must run unchanged over a Structured Streaming source —
+    the micro-batch ingest shape of a continuously-crawled corpus.
+    Stream results (quality + language + PII scrub over a parquet
+    stream) must equal the batch run bit-for-bit."""
+    from pyspark_pipelining_spark.operators import corpus as corpus_ops
+    from pyspark_pipelining_spark.operators import text as text_ops
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_in")
+    docs.write.mode("overwrite").parquet(src)
+
+    def prep(df):
+        qual = text_ops.quality_score(df).select("doc_id", "quality")
+        lang = text_ops.language_id(df).select("doc_id", "pred_lang")
+        clean = corpus_ops.scrub_pii(df).select("doc_id", "clean")
+        return qual.join(lang, "doc_id").join(clean, "doc_id")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        prep(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_ingest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from corpus_ingest").collect()))
+    want = sorted(map(tuple, prep(docs).collect()))
+    assert got == want and len(got) > 0
