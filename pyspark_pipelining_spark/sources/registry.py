@@ -340,3 +340,47 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     same names the DuckDB oracle uses."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# File sources beyond parquet (CSV / JSON lines)
+# ---------------------------------------------------------------------------
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Schema-enforced CSV source.
+
+    CSV carries no types, so the declared ``StructType`` is mandatory
+    (never ``inferSchema`` — an inference pass is a second full read of
+    the data and can silently flip a column's type between runs).
+    ``FAILFAST`` makes malformed rows abort the job instead of turning
+    into nulls mid-pipeline — the same fail-fast stance as
+    :func:`require_columns`.
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(path)
+    return require_columns(df, [f.name for f in schema.fields], path)
+
+
+def load_json(
+    spark: SparkSession, path: str, schema: T.StructType, **options: str
+) -> DataFrame:
+    """Schema-enforced JSON-lines source (same stance as :func:`load_csv`:
+    explicit schema, FAILFAST on malformed records)."""
+    reader = spark.read.schema(schema).option("mode", "FAILFAST")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.json(path)
+    return require_columns(df, [f.name for f in schema.fields], path)

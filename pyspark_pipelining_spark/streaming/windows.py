@@ -154,3 +154,32 @@ def run_stream_to_memory(
         if q.isActive:
             q.stop()
     return stream_df.sparkSession.table(query_name)
+
+
+def write_stream_idempotent(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    await_seconds: int = 120,
+) -> None:
+    """Exactly-once file output on top of at-least-once micro-batch
+    delivery: each batch lands in its own ``batch_id=N`` directory with
+    ``overwrite`` mode, so a replayed batch (failure between sink write
+    and checkpoint commit) overwrites its own previous attempt instead
+    of duplicating rows.  The checkpoint makes re-running the whole
+    query a no-op — already-committed batches are never re-delivered.
+
+    This is the standard idempotent ``foreachBatch`` sink shape; readers
+    consume ``out_dir`` as an ordinary partitioned parquet table.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)

@@ -88,3 +88,42 @@ def test_check_timestamp_column(spark):
         check_timestamp_column(spark, "events", "event_type")
     with pytest.raises(SchemaError, match="no column"):
         check_timestamp_column(spark, "nation", "ts")
+
+
+def test_load_csv_enforces_schema_and_failfast(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pyspark_pipelining_spark.sources.registry import SchemaError, load_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,qty\n1,widget,5\n2,gadget,7\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    rows = sorted(map(tuple, load_csv(spark, str(p), schema).collect()))
+    assert rows == [(1, "widget", 5), (2, "gadget", 7)]
+    # malformed row -> FAILFAST abort, not silent nulls
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,name,qty\n1,widget,notanumber\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        load_csv(spark, str(bad), schema).collect()
+
+
+def test_load_json_enforces_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pyspark_pipelining_spark.sources.registry import load_json
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n{"id": 2, "name": "b"}\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    rows = sorted(map(tuple, load_json(spark, str(p), schema).collect()))
+    assert rows == [(1, "a"), (2, "b")]

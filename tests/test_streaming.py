@@ -139,3 +139,29 @@ def test_corpus_prep_stages_run_on_streams(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("select * from corpus_ingest").collect()))
     want = sorted(map(tuple, prep(docs).collect()))
     assert got == want and len(got) > 0
+
+
+def test_idempotent_stream_sink_no_duplicates_on_rerun(spark, tmp_path):
+    """Re-running a checkpointed availableNow query must not re-deliver
+    committed batches, and the batch_id=N overwrite layout must yield
+    exactly the source rows once."""
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from pyspark_pipelining_spark.streaming.windows import write_stream_idempotent
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    write_stream_idempotent(stream, out, ckpt)
+    first = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "source").collect()))
+    assert sorted(map(tuple, docs.collect())) == first and len(first) > 0
+
+    # second run against the same checkpoint: no new batches, no dupes
+    stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    write_stream_idempotent(stream2, out, ckpt)
+    again = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "source").collect()))
+    assert again == first
