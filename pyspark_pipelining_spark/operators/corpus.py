@@ -230,3 +230,28 @@ def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(keep).alias("n_kept"),
         F.array_join(kept_words, " ").alias("clean"),
     )
+
+
+def training_shuffle(
+    df: DataFrame, num_shards: int, id_col: str = "doc_id", salt: str = "epoch0"
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: documents
+    land in ``num_shards`` pseudo-random shards, pseudo-randomly ordered
+    within each shard, keyed by ``md5(salt || id)`` — so the epoch's
+    order is reproducible from (salt, ids) alone, independent of input
+    partitioning or cluster size, and a different ``salt`` yields an
+    independent permutation for the next epoch.
+
+    Output: the input rows plus ``shard`` — repartitioned by shard and
+    sorted within each shard (``sortWithinPartitions``, a per-shard
+    local sort; there is NO global range sort anywhere).  Writing the
+    result partitioned by ``shard`` gives the downstream trainer its
+    usual sharded-and-shuffled file layout.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = portable_hash_id(F.concat(F.lit(salt), F.col(id_col).cast("string")), num_shards)
+    return (
+        df.withColumn("shard", shard)
+        .repartition(num_shards, "shard")
+        .sortWithinPartitions(key)
+    )

@@ -130,3 +130,19 @@ def test_collapse_repeats_known(spark):
     assert out[1]["n_words"] == 8 and out[1]["n_kept"] == 5
     assert out[2]["clean"] == "x y z" and out[2]["n_kept"] == 3
     assert out[3]["clean"] == "q" and out[3]["n_kept"] == 1
+
+
+def test_training_shuffle_deterministic_and_epoch_varying(spark):
+    from pyspark_pipelining_spark.operators.corpus import training_shuffle
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(200)], ["doc_id", "text"])
+    a = training_shuffle(docs, num_shards=4).collect()
+    b = training_shuffle(docs, num_shards=4).collect()
+    # same salt -> identical shard assignment AND identical within-shard order
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert set(r["shard"] for r in a) == {0, 1, 2, 3}
+    assert sorted(r["doc_id"] for r in a) == list(range(200))
+    # a different salt is a different permutation (new epoch)
+    c = training_shuffle(docs, num_shards=4, salt="epoch1").collect()
+    assert [tuple(r) for r in c] != [tuple(r) for r in a]
+    assert sorted(r["doc_id"] for r in c) == list(range(200))
