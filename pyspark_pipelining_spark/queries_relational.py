@@ -384,6 +384,36 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase event joined as-of to the
+    same user's most recent STRICTLY-prior click (left semantics — a
+    purchase with no prior click keeps nulls).  One union + one window
+    over a single user_id shuffle; no range join (see operators/asof)."""
+    from pyspark_pipelining_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", ref_cols=["event_id"], strict=True)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_event_id").alias("click_event_id"),
+    )
+
+
+SQL_ASOF_ATTRIBUTION = """
+SELECT l.event_id, l.user_id, l.ts AS purchase_ts,
+       r.ts AS click_ts, r.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts > r.ts
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
@@ -398,6 +428,7 @@ QUERIES_REL = {
     "rollup_order_status": q_rollup_order_status,
     "global_stats": q_global_stats,
     "pivot_returnflag": q_pivot_returnflag,
+    "asof_attribution": q_asof_attribution,
 }
 
 ORACLES_REL = {
@@ -414,4 +445,5 @@ ORACLES_REL = {
     "rollup_order_status": SQL_ROLLUP_ORDER_STATUS,
     "global_stats": SQL_GLOBAL_STATS,
     "pivot_returnflag": SQL_PIVOT_RETURNFLAG,
+    "asof_attribution": SQL_ASOF_ATTRIBUTION,
 }

@@ -228,3 +228,28 @@ def test_drop_duplicate_docs_keeps_min_id_representatives(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["doc_1", "doc_2"])
     kept = sorted(r["doc_id"] for r in drop_duplicate_docs(docs, pairs).collect())
     assert kept == [1, 10, 20]
+
+
+def test_asof_join_strict_and_inclusive(spark):
+    from pyspark_pipelining_spark.operators.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 20), (3, 2, 5)], ["event_id", "user_id", "ts"]
+    )
+    ref = spark.createDataFrame(
+        [(100, 1, 10), (101, 1, 15), (102, 9, 1)], ["event_id", "user_id", "ts"]
+    )
+    strict = {
+        r["event_id"]: (r["asof_ts"], r["asof_event_id"])
+        for r in asof_join(probe, ref, "user_id", "ts", ["event_id"], strict=True).collect()
+    }
+    # probe 1 at t=10: the t=10 ref is NOT strictly prior -> unmatched
+    assert strict[1] == (None, None)
+    assert strict[2] == (15, 101)      # latest of {10, 15}
+    assert strict[3] == (None, None)   # user 2 has no refs at all
+    incl = {
+        r["event_id"]: (r["asof_ts"], r["asof_event_id"])
+        for r in asof_join(probe, ref, "user_id", "ts", ["event_id"], strict=False).collect()
+    }
+    assert incl[1] == (10, 100)        # same-instant ref matches inclusively
+    assert incl[2] == (15, 101)

@@ -193,3 +193,15 @@ def test_embedding_coherence_broadcasts_centroids(spark):
     plan = plan_of(spark, "embedding_coherence")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_attribution_is_one_shuffle_no_join(spark):
+    """The union-window as-of plan must contain NO join node and exactly
+    one hash exchange (the shared user_id shuffle) — the property that
+    makes it survive hot keys where a range join explodes."""
+    plan = plan_of(spark, "asof_attribution")
+    assert "Join" not in plan
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(exchanges) == 1
