@@ -233,7 +233,31 @@ GROUP BY 1, 2
 SQL_DEDUP_MATRIX = _sql_dedup_matrix()
 
 
+def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution report: documents bucketed by
+    ``n_chars // 64`` (exact integer division — no float binning
+    ambiguity), counted per (source, bucket).  One map-side-combined
+    groupBy; the report is dimension-sized, so the final sort is cheap
+    and keeps the output stable for eyeballing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.expr("CAST(n_chars div 64 AS BIGINT)").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "bucket")
+    )
+
+
+SQL_DOCLEN_HISTOGRAM = """
+SELECT source, CAST(n_chars // 64 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
 QUERIES_CORPUS = {
+    "doclen_histogram": q_doclen_histogram,
     "collapse_repeats": q_collapse_repeats,
     "dedup_matrix": q_dedup_matrix,
     "scrub_pii": q_scrub_pii,
@@ -245,6 +269,7 @@ QUERIES_CORPUS = {
 }
 
 ORACLES_CORPUS = {
+    "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,
     "dedup_matrix": SQL_DEDUP_MATRIX,
     "scrub_pii": SQL_SCRUB_PII,
