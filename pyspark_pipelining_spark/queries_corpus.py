@@ -112,6 +112,20 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side deterministic ~25% sample (no shuffle, layout- and
+    engine-independent): the 100 TB sampling path."""
+    return corpus.hash_fraction_sample(
+        load_table(spark, sf_dir, "documents"), 0.25
+    ).select("doc_id", "source")
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < 250000
+"""
+
+
 def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_greedy(
         load_table(spark, sf_dir, "documents"), budget=PACK_BUDGET
@@ -264,6 +278,7 @@ QUERIES_CORPUS = {
     "contamination": q_contamination,
     "vocab_topk": q_vocab_topk,
     "sample_stratified": q_sample_stratified,
+    "sample_hash": q_sample_hash,
     "pack_greedy": q_pack_greedy,
     "embedding_coherence": q_embedding_coherence,
 }
@@ -276,6 +291,7 @@ ORACLES_CORPUS = {
     "contamination": SQL_CONTAMINATION,
     "vocab_topk": SQL_VOCAB_TOPK,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_hash": SQL_SAMPLE_HASH,
     "pack_greedy": SQL_PACK_GREEDY,
     "embedding_coherence": SQL_EMBEDDING_COHERENCE,
 }
