@@ -205,3 +205,47 @@ def test_asof_attribution_is_one_shuffle_no_join(spark):
         l for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
     ]
     assert len(exchanges) == 1
+
+
+def test_partitioned_write_enables_directory_pruning(spark, tmp_path):
+    """A partitioned table sink + a filter on the partition column must
+    prune at the DIRECTORY level (PartitionFilters), not per-row — the
+    scan-elimination mechanism that makes a 100 TB date/type-partitioned
+    layout queryable."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from pyspark_pipelining_spark.sources.sinks import write_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "ev_parted")
+    write_table(ev, path, partition_by=["event_type"])
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [isnotnull(event_type" in scan
+    assert "(event_type" in scan.split("PartitionFilters:")[1]
+    assert back.count() > 0
+
+
+def test_dim_join_triggers_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the partitioned fact to a selectively-filtered dim must
+    inject a dynamicpruning subquery on the partition column — fact
+    directories for dim-rejected keys are never read."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from pyspark_pipelining_spark.sources.sinks import write_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "ev_parted_dpp")
+    write_table(ev, path, partition_by=["event_type"])
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2)], ["etype", "w"]
+    ).filter(F.col("w") == 1)
+    joined = spark.read.parquet(path).join(dim, F.col("event_type") == F.col("etype"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() > 0
