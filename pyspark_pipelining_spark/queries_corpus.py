@@ -247,6 +247,46 @@ GROUP BY 1, 2
 SQL_DEDUP_MATRIX = _sql_dedup_matrix()
 
 
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via the KMV sketch
+    (operators/sketch.py) — deterministic, so the DuckDB oracle
+    reproduces the ESTIMATE bit-for-bit (exact below k distinct)."""
+    from pyspark_pipelining_spark.operators.sketch import kmv_distinct
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        with_words(docs)
+        .select("source", F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return kmv_distinct(toks, "source", "token", k=16)
+
+
+SQL_KMV_DISTINCT_TOKENS = f"""
+WITH {SQL_WORDS},
+toks AS (
+    SELECT DISTINCT source, unnest(w) AS token FROM words
+),
+hashed AS (
+    SELECT DISTINCT source,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM toks WHERE length(token) > 0
+),
+ranked AS (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
+           count(*) OVER (PARTITION BY source) AS nd
+    FROM hashed
+)
+SELECT source,
+       CASE WHEN max(nd) >= 16
+            THEN round(15.0 * {1 << 60} / max(CASE WHEN rk = 16 THEN h END), 6)
+            ELSE round(CAST(max(nd) AS DOUBLE), 6) END AS est_distinct
+FROM ranked GROUP BY source
+"""
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length-distribution report: documents bucketed by
     ``n_chars // 64`` (exact integer division — no float binning
@@ -272,6 +312,7 @@ ORDER BY source, bucket
 
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
+    "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "collapse_repeats": q_collapse_repeats,
     "dedup_matrix": q_dedup_matrix,
     "scrub_pii": q_scrub_pii,
@@ -285,6 +326,7 @@ QUERIES_CORPUS = {
 
 ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
+    "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,
     "dedup_matrix": SQL_DEDUP_MATRIX,
     "scrub_pii": SQL_SCRUB_PII,

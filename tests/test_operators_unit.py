@@ -253,3 +253,23 @@ def test_asof_join_strict_and_inclusive(spark):
     }
     assert incl[1] == (10, 100)        # same-instant ref matches inclusively
     assert incl[2] == (15, 101)
+
+
+def test_kmv_distinct_exact_below_k_and_layout_independent(spark):
+    from pyspark_pipelining_spark.operators.sketch import kmv_distinct
+
+    # group "small" has 5 distinct values (< k=16) -> exact count
+    rows = [("small", f"v{i % 5}") for i in range(50)]
+    # group "big" has 500 distinct values -> estimator path
+    rows += [("big", f"w{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {r["grp"]: r["est_distinct"] for r in kmv_distinct(df, "grp", "val").collect()}
+    assert out["small"] == 5.0
+    assert 250 <= out["big"] <= 1000  # KMV k=16 is coarse; order of magnitude
+    # the k-min set is a function of the value SET, not the layout
+    for parts in (1, 7):
+        again = {
+            r["grp"]: r["est_distinct"]
+            for r in kmv_distinct(df.repartition(parts), "grp", "val").collect()
+        }
+        assert again == out
