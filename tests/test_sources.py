@@ -127,3 +127,18 @@ def test_load_json_enforces_schema(spark, tmp_path):
     )
     rows = sorted(map(tuple, load_json(spark, str(p), schema).collect()))
     assert rows == [(1, "a"), (2, "b")]
+
+
+def test_compact_parquet_merges_small_files_losslessly(spark, tmp_path):
+    from pyspark_pipelining_spark.sources.sinks import compact_parquet
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "v")
+    path = str(tmp_path / "many")
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    import pathlib
+
+    assert len(list(pathlib.Path(path).rglob("*.parquet"))) == 40
+    n = compact_parquet(spark, path, target_mb=256)
+    assert n == 1
+    back = spark.read.parquet(path)
+    assert sorted(r["v"] for r in back.collect()) == list(range(1000))
