@@ -26,15 +26,19 @@ def with_salt(df: DataFrame, salt_buckets: int, salt_col: str = "_salt") -> Data
     rows* — the canonical hot-key pathology (billions of identical
     ``(key)`` rows) that a content-only hash would collapse back onto
     one reducer.  ``monotonically_increasing_id`` disambiguates
-    duplicates (unique per row within a plan); the content hash mixes
-    partition-local id runs across buckets.  Stable within a plan, which
-    is all an algebraic two-phase aggregation needs — cross-replay
-    determinism is not required (the merged result is replay-invariant).
+    duplicates (unique per row within a plan); feeding it *into* the
+    hash (rather than adding to the hash output) keeps the arithmetic
+    overflow-free under ANSI mode — xxhash64 output spans the full
+    int64 range, so ``hash + id`` would raise ARITHMETIC_OVERFLOW once
+    ids grow past the headroom (id reaches ~partition_id<<33 at
+    billion-row scale).  Stable within a plan, which is all an
+    algebraic two-phase aggregation needs — cross-replay determinism is
+    not required (the merged result is replay-invariant).
     """
     return df.withColumn(
         salt_col,
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]) + F.monotonically_increasing_id(),
+            F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
             F.lit(salt_buckets),
         ),
     )

@@ -549,9 +549,9 @@ WITH hexed AS (
 ),
 sums AS (
     SELECT doc_id, n,
-           COALESCE(list_sum(list_transform(range(1, n + 1),
+           CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
                     i -> ('0x' || substr(h, CAST(2*i-1 AS INTEGER), 2))::BIGINT)), 0)
-               % 1000000007 AS checksum,
+               % 1000000007 AS BIGINT) AS checksum,
            CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(h, 1, 2))::BIGINT END AS first_b,
            CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(h, CAST(2*n-1 AS INTEGER), 2))::BIGINT END AS last_b
     FROM hexed

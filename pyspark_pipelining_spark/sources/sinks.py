@@ -124,9 +124,9 @@ def compact_parquet(
     spark: SparkSession, path: str, target_mb: int = 256
 ) -> int:
     """Small-files compaction: rewrite a parquet directory into
-    ``ceil(total_bytes / target_mb)`` files and atomically swap it in
-    (write to a sibling temp dir, then rename).  Returns the new file
-    count.
+    ``ceil(total_bytes / target_mb)`` files and swap it in by a
+    rename-aside dance (live → ``__old``, tmp → live, delete
+    ``__old``).  Returns the new file count.
 
     This is the maintenance op every micro-batch ingest needs — the
     per-batch directories of :func:`~pyspark_pipelining_spark.streaming.
@@ -134,8 +134,19 @@ def compact_parquet(
     small files whose per-file open/footer cost eventually dominates
     scans; compaction restores ``maxPartitionBytes``-sized splits.  At
     warehouse scale the same rewrite runs per partition directory so
-    compaction parallelizes and never touches live readers until the
-    swap.
+    compaction parallelizes.
+
+    Crash-safety: the rewrite lands fully in ``<path>__compacting``
+    before the live directory is touched, and the live data is renamed
+    aside (never deleted) until the compacted copy holds the live name —
+    a crash at any step leaves a complete copy of the data on disk under
+    ``path``, ``path__old``, or ``path__compacting``, recoverable by a
+    single rename.  The unavailable window for concurrent readers is
+    two directory renames (not a full recursive delete), but it is NOT
+    zero: posix rename of two directories cannot be made one atomic op,
+    and on object stores "rename" is copy+delete — a true
+    zero-downtime swap needs a manifest/view indirection (e.g. a table
+    format), which is out of scope here.
     """
     import math
     import shutil
@@ -144,7 +155,15 @@ def compact_parquet(
     total = sum(f.stat().st_size for f in Path(path).rglob("*.parquet"))
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     tmp = f"{path}__compacting"
+    old = f"{path}__old"
     spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if Path(old).exists():  # leftover from a previous crashed run
+        shutil.rmtree(old)
+    Path(path).rename(old)
+    try:
+        Path(tmp).rename(path)
+    except OSError:
+        Path(old).rename(path)  # roll back: restore the live name
+        raise
+    shutil.rmtree(old)
     return len(list(Path(path).rglob("*.parquet")))

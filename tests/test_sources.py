@@ -142,3 +142,51 @@ def test_compact_parquet_merges_small_files_losslessly(spark, tmp_path):
     assert n == 1
     back = spark.read.parquet(path)
     assert sorted(r["v"] for r in back.collect()) == list(range(1000))
+
+
+def test_compact_parquet_crash_rollback_restores_live_dir(spark, tmp_path, monkeypatch):
+    """If the tmp→live rename fails, the live name is rolled back so no
+    reader ever finds the dataset missing after the call returns."""
+    import pathlib
+
+    from pyspark_pipelining_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "data")
+    spark.range(0, 100).withColumnRenamed("id", "v").repartition(5).write.parquet(path)
+
+    real_rename = pathlib.Path.rename
+
+    def failing_rename(self, target):
+        if str(self).endswith("__compacting"):
+            raise OSError("simulated crash between renames")
+        return real_rename(self, target)
+
+    monkeypatch.setattr(pathlib.Path, "rename", failing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        compact_parquet(spark, path, target_mb=256)
+    monkeypatch.undo()
+    # live dir restored with the original data; no __old stranded copy
+    back = spark.read.parquet(path)
+    assert sorted(r["v"] for r in back.collect()) == list(range(100))
+    assert not pathlib.Path(f"{path}__old").exists()
+
+
+def test_compact_parquet_recovers_from_stale_old_dir(spark, tmp_path):
+    """A leftover <path>__old from a previous crashed run is cleaned up,
+    not an error."""
+    import pathlib
+
+    from pyspark_pipelining_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "data")
+    spark.range(0, 50).withColumnRenamed("id", "v").repartition(4).write.parquet(path)
+    stale = pathlib.Path(f"{path}__old")
+    stale.mkdir()
+    (stale / "junk").write_text("stale")
+    n = compact_parquet(spark, path, target_mb=256)
+    assert n == 1
+    assert not stale.exists()
+    back = spark.read.parquet(path)
+    assert sorted(r["v"] for r in back.collect()) == list(range(50))
