@@ -9,20 +9,30 @@ exist the count is exact (nothing was ever discarded); otherwise the
 k-th smallest hash h_(k) estimates density and
 ``(k-1) · 2^60 / h_(k)`` estimates the distinct count.
 
-Scale shape — the part a naive implementation gets wrong:
+Two physical strategies, same answer (property-tested equal):
 
-* phase 1 is a ``mapInPandas`` **partial combine**: each task streams
+* ``jvm`` (default): ``distinct`` on (group, hash) — Spark's partial
+  aggregation dedups map-side, so the shuffle carries only distinct
+  pairs — then a per-group ``row_number() <= k`` window keeps the k
+  smallest.  Everything stays in whole-stage codegen; the window's
+  per-group sort is spill-safe.  This is the fast path whenever the
+  distinct (group, hash) cardinality is storable — true for
+  vocabulary-like domains (tokens, categories, ids-per-tenant) even at
+  100 TB of raw rows, because the shuffle is sized by *cardinality*,
+  not row count.
+* ``python``: a ``mapInPandas`` **partial combine** — each task streams
   its Arrow batches through an O(groups × k) accumulator and emits at
-  most k candidate hashes per (group, task).  This is the bounded-state
-  mergeable-sketch pattern; memory never depends on group cardinality.
-  (A ``collect_set``-then-sort over raw values would buffer whole
-  groups — the exact thing a sketch exists to avoid.)
-* phase 2 merges candidates with one ordinary groupBy: ≤ k × tasks
-  rows per group, dimension-sized by construction.
-* correctness of the merge: every one of the global k smallest distinct
-  hashes is among the k smallest of whichever task saw it, so it
-  survives phase 1 — the final k-min set is layout-independent
-  (property-tested under repartitioning).
+  most k candidate hashes per (group, task); one groupBy merges the
+  ≤ k × tasks candidates.  Bounded state even when per-group distinct
+  cardinality is adversarial (so large that shuffling the distinct
+  pairs themselves is the bottleneck); the cost is Arrow transfer of
+  every raw hash through Python workers — ~10× the cores of the JVM
+  path.  Keep it as the escape hatch, not the default.
+
+Merge correctness (both paths): every one of the global k smallest
+distinct hashes is among the k smallest of whichever task/partition saw
+it, so it survives any partial step — the final k-min set is
+layout-independent (property-tested under repartitioning).
 
 Hashes are md5-derived (``conv(substring(md5(v),1,15),16,10)`` — the
 same portable trick as operators/dedup.portable_hash_id), so the DuckDB
@@ -62,15 +72,46 @@ def _kmv_partials(
     return hashed.mapInPandas(partial, schema=f"{group_col} string, h long")
 
 
+def _kmv_mins_jvm(hashed: DataFrame, group_col: str, k: int) -> DataFrame:
+    """JVM-side k-min: map-side-deduped ``distinct`` so the shuffle
+    carries only distinct (group, h) pairs, then a per-group
+    ``row_number <= k`` window.  No Python workers on the hot path."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashed.distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmv_distinct(
-    df: DataFrame, group_col: str, value_col: str, k: int = 16
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+    strategy: str = "jvm",
 ) -> DataFrame:
     """Estimated distinct ``value_col`` per ``group_col`` via a KMV
     sketch.  Output: <group_col>, est_distinct (double, 6dp; exact when
-    the group has fewer than k distinct values)."""
+    the group has fewer than k distinct values).
+
+    ``strategy``: ``"jvm"`` (default — codegen distinct + window, fast
+    for storable distinct cardinalities) or ``"python"`` (bounded-state
+    mapInPandas partial — the adversarial-cardinality fallback).  Both
+    produce the identical k-min set; see module docstring.
+    """
+    if strategy not in ("jvm", "python"):
+        raise ValueError(f"strategy must be 'jvm' or 'python', got {strategy!r}")
     h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
     hashed = df.select(F.col(group_col), h.alias("h"))
-    cand = _kmv_partials(hashed, group_col, k)
+    cand = (
+        _kmv_mins_jvm(hashed, group_col, k)
+        if strategy == "jvm"
+        else _kmv_partials(hashed, group_col, k)
+    )
     merged = cand.groupBy(group_col).agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
     )

@@ -266,10 +266,14 @@ def test_kmv_distinct_exact_below_k_and_layout_independent(spark):
     out = {r["grp"]: r["est_distinct"] for r in kmv_distinct(df, "grp", "val").collect()}
     assert out["small"] == 5.0
     assert 250 <= out["big"] <= 1000  # KMV k=16 is coarse; order of magnitude
-    # the k-min set is a function of the value SET, not the layout
-    for parts in (1, 7):
-        again = {
-            r["grp"]: r["est_distinct"]
-            for r in kmv_distinct(df.repartition(parts), "grp", "val").collect()
-        }
-        assert again == out
+    # the k-min set is a function of the value SET, not the layout or
+    # the physical strategy — jvm and python paths must agree exactly
+    for strategy in ("jvm", "python"):
+        for parts in (1, 7):
+            again = {
+                r["grp"]: r["est_distinct"]
+                for r in kmv_distinct(
+                    df.repartition(parts), "grp", "val", strategy=strategy
+                ).collect()
+            }
+            assert again == out, (strategy, parts)
