@@ -10,35 +10,43 @@ matched).
 
 Rebuild differences:
 
-* ``val_id`` is a **deterministic dense_rank over value** instead of
-  ``monotonically_increasing_id`` (reference ``hh_mapping.py:8-10``),
+* ``val_id`` is a **deterministic md5-derived hash of value** instead
+  of ``monotonically_increasing_id`` (reference ``hh_mapping.py:8-10``),
   which is partition-layout-dependent and unstable across runs
-  (SURVEY §2 F10, §5 bug list).  dense_rank is reproducible in any
-  engine, including the DuckDB oracle.
+  (SURVEY §2 F10, §5 bug list).  The hash is pure map-side work —
+  reproducible in any engine (including the DuckDB oracle) and, unlike
+  a dense_rank over a global window, needs no single-partition funnel:
+  at warehouse scale the value vocabulary never converges on one task.
 * friendly-name enrichment (``name_mapping.py:36-48`` — driver pandas
   ``.loc`` lookups) becomes a broadcast left join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_pipelining_spark.operators.dedup import portable_hash_id
 from pyspark_pipelining_spark.sources.registry import load_table
+
+# 40-bit surrogate-id space: collision odds stay negligible for any
+# realistic adserver value vocabulary (~1e-7 at a million values) while
+# the id remains comfortably inside an exact int64/double.
+VAL_ID_MOD = 1 << 40
 
 
 def normalize_adserver_keys(ka_df: DataFrame) -> DataFrame:
     """Key normalization + stable surrogate ids
-    (reference ``filter_to_relevant``, ``hh_mapping.py:4-12``)."""
-    norm = ka_df.withColumn("key", F.lower(F.col("key"))).withColumn(
-        "id_type", F.regexp_replace("id_type", "_id", "id")
+    (reference ``filter_to_relevant``, ``hh_mapping.py:4-12``).
+
+    ``val_id`` is assigned map-side via :func:`portable_hash_id` — no
+    distinct, no join, no global window; the same expression reproduced
+    in the DuckDB oracle."""
+    return (
+        ka_df.withColumn("key", F.lower(F.col("key")))
+        .withColumn("id_type", F.regexp_replace("id_type", "_id", "id"))
+        .withColumn("val_id", portable_hash_id(F.col("value"), VAL_ID_MOD))
     )
-    val_map = (
-        norm.select("value")
-        .distinct()
-        .withColumn("val_id", F.dense_rank().over(Window.orderBy("value")).cast("long"))
-    )
-    return norm.join(F.broadcast(val_map), on="value")
 
 
 def make_map(ka_df: DataFrame, dm_df: DataFrame) -> DataFrame:

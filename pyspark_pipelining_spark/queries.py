@@ -365,13 +365,11 @@ norm AS (
            regexp_replace(id_type, '_id', 'id') AS id_type, id_value
     FROM ka
 ),
-val_map AS (
-    SELECT value, CAST(dense_rank() OVER (ORDER BY value) AS BIGINT) AS val_id
-    FROM (SELECT DISTINCT value FROM norm)
-),
 ka2 AS (
-    SELECT n.*, v.val_id, 'dig' AS etype2
-    FROM norm n JOIN val_map v ON n.value = v.value
+    SELECT n.*,
+           ('0x' || substr(md5(value), 1, 15))::BIGINT % 1099511627776 AS val_id,
+           'dig' AS etype2
+    FROM norm n
 )
 SELECT dm.etype,
        coalesce(ka2.key, dm.dimension) AS key,
