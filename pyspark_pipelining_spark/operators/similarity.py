@@ -366,15 +366,22 @@ def centroid_cosines(
     Exactness: group-aggregated float sums are shuffle-order-dependent,
     so naive double centroids are not oracle-comparable.  Instead each
     coordinate is snapped to a ``1/grid`` integer lattice; centroid
-    numerators are then exact int64 sums (order-free), and because
+    numerators are then exact integer sums (order-free), and because
     cosine is scale-invariant the ``1/n`` of the mean cancels:
     ``cos(v, mean) = Σv·s / (|v|·|s|)`` where ``s`` is the per-dim sum.
     Both engines do identical integer arithmetic and two identical
     sqrt/division ops at the end — bit-stable without any fold-order
-    contract.  (int64 headroom: |coord| ≤ ~1·grid, so Σs² across a
-    10⁶-vector label and 64 dims stays < 2⁶³ for grid ≤ 1e6; shrink the
-    grid for larger labels — precision is a sampling knob, not a
-    correctness one.)
+    contract.
+
+    Overflow headroom: the per-dim sum ``s`` stays int64 for
+    ``n·grid < 2⁶³`` (n = vectors per label) — ample.  The *squared*
+    terms are not: ``Σ_dims s²`` reaches ``dims·(n·grid)²``, which blows
+    int64 at only n≈1e4·(1e6/grid) even before adversarial alignment,
+    so ``dot`` and ``n2`` accumulate as exact ``decimal(38,0)`` on the
+    Spark side and ``HUGEINT`` in the DuckDB oracle (both 128-bit-exact,
+    both correctly rounded on the final cast to double) — safe to
+    ``dims·(n·grid)² < 10³⁸``, i.e. n·grid < ~1.1e18.  ``n1`` is a
+    per-vector sum (``≤ dims·grid²``), fine as int64 for grid ≤ 1e8.
 
     Scale shape: one posexplode + one (label, dim) aggregation — the
     centroid table is ``labels × dims`` rows, a true broadcast dim —
@@ -391,17 +398,22 @@ def centroid_cosines(
     )
     dims = q.select(id_col, label_col, F.posexplode("qv").alias("pos", "v"))
     cent = dims.groupBy(label_col, "pos").agg(F.sum("v").alias("s"))
+    dec_s = F.col("s").cast("decimal(38,0)")
     parts = (
         dims.join(F.broadcast(cent), on=[label_col, "pos"])
         .groupBy(id_col, label_col)
         .agg(
-            F.sum(F.col("v") * F.col("s")).alias("dot"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("s")).alias("dot"),
             F.sum(F.col("v") * F.col("v")).alias("n1"),
-            F.sum(F.col("s") * F.col("s")).alias("n2"),
+            F.sum(dec_s * F.col("s")).alias("n2"),
         )
     )
     return parts.select(
         id_col,
         label_col,
-        F.round(F.col("dot") / (F.sqrt("n1") * F.sqrt("n2")), 6).alias("centroid_cos"),
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double"))),
+            6,
+        ).alias("centroid_cos"),
     )

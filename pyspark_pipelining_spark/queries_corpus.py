@@ -168,14 +168,18 @@ cent AS (
     SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM dims GROUP BY label, pos
 ),
 parts AS (
+    -- dot / n2 in HUGEINT: their squared terms blow int64 at realistic
+    -- label sizes (mirrors Spark's decimal(38,0) accumulators)
     SELECT d.vec_id, d.label,
-           CAST(sum(d.v * c.s) AS BIGINT) AS dot,
+           sum(CAST(d.v AS HUGEINT) * c.s) AS dot,
            CAST(sum(d.v * d.v) AS BIGINT) AS n1,
-           CAST(sum(c.s * c.s) AS BIGINT) AS n2
+           sum(CAST(c.s AS HUGEINT) * c.s) AS n2
     FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
     GROUP BY d.vec_id, d.label
 )
-SELECT vec_id, label, round(dot / (sqrt(n1) * sqrt(n2)), 6) AS centroid_cos
+SELECT vec_id, label,
+       round(CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 6)
+           AS centroid_cos
 FROM parts
 """
 

@@ -171,6 +171,13 @@ def write_stream_idempotent(
 
     This is the standard idempotent ``foreachBatch`` sink shape; readers
     consume ``out_dir`` as an ordinary partitioned parquet table.
+
+    Failure surface: a query that errors re-raises here (a silent return
+    would present an empty/partial ``out_dir`` as success), and a query
+    still running at ``await_seconds`` is stopped and raises
+    ``TimeoutError`` — no leaked stream either way.  Both cases are safe
+    to re-run: the checkpoint skips committed batches and replayed
+    batches overwrite their own directory.
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
@@ -182,4 +189,15 @@ def write_stream_idempotent(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(await_seconds)
+    try:
+        finished = q.awaitTermination(await_seconds)
+    finally:
+        if q.isActive:
+            q.stop()
+    if q.exception() is not None:
+        raise q.exception()
+    if not finished:
+        raise TimeoutError(
+            f"stream did not finish within {await_seconds}s; stopped (checkpoint "
+            f"at {checkpoint_dir} — re-run resumes from the last committed batch)"
+        )

@@ -277,3 +277,21 @@ def test_kmv_distinct_exact_below_k_and_layout_independent(spark):
                 ).collect()
             }
             assert again == out, (strategy, parts)
+
+
+def test_centroid_cosines_survives_int64_overflow_regime(spark):
+    """Sum-of-squares of the per-dim centroid sums exceeds int64 when a
+    label is large and aligned (here: 2200 identical all-ones vectors,
+    4 dims, grid 1e6 -> n2 = 4*(2.2e9)^2 ~ 1.9e19 > 2^63).  The decimal
+    accumulators must absorb it; every cosine to the centroid is 1."""
+    from pyspark_pipelining_spark.operators.similarity import centroid_cosines
+
+    n = 2200
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit("a").alias("label"),
+        F.array(*[F.lit(1.0)] * 4).alias("embedding"),
+    )
+    out = centroid_cosines(df, grid=1_000_000).collect()
+    assert len(out) == n
+    assert all(r["centroid_cos"] == 1.0 for r in out)

@@ -4,6 +4,8 @@ qa_hourshift oracle family)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pyspark_pipelining_spark.sources.registry import load_table
 from pyspark_pipelining_spark.streaming import (
     daily_counts_batch,
@@ -165,3 +167,29 @@ def test_idempotent_stream_sink_no_duplicates_on_rerun(spark, tmp_path):
     write_stream_idempotent(stream2, out, ckpt)
     again = sorted(map(tuple, spark.read.parquet(out).select("doc_id", "source").collect()))
     assert again == first
+
+
+def test_idempotent_stream_sink_reraises_batch_failure(spark, tmp_path):
+    """A query whose batch function throws must surface the error to the
+    caller, not return as if the write succeeded."""
+    import pytest
+
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from pyspark_pipelining_spark.streaming.windows import write_stream_idempotent
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)
+
+    # a stream whose plan fails at execution time: ANSI division by zero
+    # inside the batch write (raise_error survives the stream planner)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .select(F.raise_error(F.lit("boom in batch")).alias("x"))
+    )
+    with pytest.raises(Exception, match="boom in batch"):
+        write_stream_idempotent(
+            stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
