@@ -232,6 +232,69 @@ def collapse_repeats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Sentence-ish line splitter shared verbatim by Spark (Java regex) and
+#: the DuckDB oracle (RE2): both treat the character class + greedy \s+
+#: identically, and neither needs lookarounds.  Real line-structured
+#: corpora would split on '\n' instead — the rule is a parameter.
+LINE_SPLIT_RE = r"[.!?]\s+"
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", split_re: str = LINE_SPLIT_RE
+) -> DataFrame:
+    """Corpus-global exact line dedup with per-document reassembly — the
+    C4-style cleanup: every distinct (trimmed) line survives exactly
+    once, in its first occurrence ``(doc_id, position)``; later
+    occurrences anywhere in the corpus are dropped and each document is
+    rebuilt from its surviving lines in order.
+
+    Output: doc_id, n_lines, n_kept, clean (surviving lines joined by a
+    single space).  Documents whose every line is a duplicate still
+    appear, with ``n_kept = 0`` and ``clean = ''``.
+
+    Scale shape: the winner per line is ``min(struct(doc_id, pos))``
+    from ONE groupBy on the line fingerprint — partial aggregation
+    combines map-side, so a boilerplate line repeated a billion times
+    reduces to one candidate per map task *before* the shuffle (a
+    window ``row_number() = 1`` over the fingerprint would funnel every
+    occurrence of the hot line through one reducer — the exact skew
+    this avoids).  Survivors then rejoin the lines on the fingerprint
+    (AQE handles residual read-side skew) and reassemble with one
+    groupBy on doc_id.  The fingerprint is full md5 (128-bit) — at
+    corpus scale the shuffle moves 32-byte keys, not raw text, and
+    collision odds stay negligible at any realistic line count.
+    """
+    lines = (
+        df.select("doc_id", F.posexplode(F.split(F.col(text_col), split_re)).alias("pos", "raw"))
+        .withColumn("line", F.trim("raw"))
+        .filter(F.length("line") > 0)
+        .select("doc_id", "pos", "line", F.md5(F.col("line")).alias("h"))
+    )
+    n_lines = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    winners = lines.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+    surv = lines.join(winners, on="h").filter(
+        (F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    rebuilt = surv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    return (
+        n_lines.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean", F.lit("")).alias("clean"),
+        )
+    )
+
+
 def training_shuffle(
     df: DataFrame, num_shards: int, id_col: str = "doc_id", salt: str = "epoch0"
 ) -> DataFrame:

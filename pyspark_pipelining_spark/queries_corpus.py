@@ -204,6 +204,43 @@ FROM keep
 """
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global exact line dedup (operators/corpus.dedup_lines):
+    first occurrence of each distinct trimmed sentence-ish line wins,
+    documents reassembled from survivors."""
+    return corpus.dedup_lines(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_LINES = r"""
+WITH split AS (
+    SELECT doc_id, regexp_split_to_array(text, '[.!?]\s+') AS arr FROM documents
+),
+lines0 AS (
+    SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, unnest(arr) AS raw
+    FROM split
+),
+lines AS (
+    SELECT doc_id, pos, trim(raw) AS line
+    FROM lines0 WHERE length(trim(raw)) > 0
+),
+n_lines AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+ranked AS (
+    SELECT doc_id, pos, line,
+           row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rk
+    FROM lines
+),
+rebuilt AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, ' ' ORDER BY pos) AS clean
+    FROM ranked WHERE rk = 1 GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.clean, '') AS clean
+FROM n_lines n LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: how many near-duplicate pairs
     (LSH candidates at est Jaccard ≥ 0.5) connect each pair of sources —
@@ -318,6 +355,7 @@ QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "collapse_repeats": q_collapse_repeats,
+    "dedup_lines": q_dedup_lines,
     "dedup_matrix": q_dedup_matrix,
     "scrub_pii": q_scrub_pii,
     "contamination": q_contamination,
@@ -332,6 +370,7 @@ ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,
+    "dedup_lines": SQL_DEDUP_LINES,
     "dedup_matrix": SQL_DEDUP_MATRIX,
     "scrub_pii": SQL_SCRUB_PII,
     "contamination": SQL_CONTAMINATION,

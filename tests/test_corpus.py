@@ -146,3 +146,29 @@ def test_training_shuffle_deterministic_and_epoch_varying(spark):
     c = training_shuffle(docs, num_shards=4, salt="epoch1").collect()
     assert [tuple(r) for r in c] != [tuple(r) for r in a]
     assert sorted(r["doc_id"] for r in c) == list(range(200))
+
+
+def test_dedup_lines_first_occurrence_wins_and_reassembles(spark):
+    from pyspark_pipelining_spark.operators.corpus import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta. shared line. gamma."),
+            (2, "shared line. delta epsilon. another one."),
+            (3, "shared line. another one."),  # every line a duplicate
+            (4, ""),  # no lines at all -> absent (no splittable content)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    # doc 1 keeps everything (first occurrence of all its lines)
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    # split consumes the [.!?]\s+ delimiters; the final "gamma." keeps
+    # its period (no trailing whitespace after it to match)
+    assert out[1]["clean"] == "alpha beta shared line gamma."
+    # doc 2 loses "shared line" to doc 1, keeps its own two
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 2
+    assert out[2]["clean"] == "delta epsilon another one."
+    # doc 3 loses both lines but still appears
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["clean"] == ""

@@ -249,3 +249,14 @@ def test_dim_join_triggers_dynamic_partition_pruning(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert joined.count() > 0
+
+
+def test_dedup_lines_winner_agg_is_partial_no_window(spark):
+    """The first-occurrence winner must come from a map-side-combinable
+    min(struct) aggregation on the line fingerprint — NOT a row_number
+    window, which would funnel every occurrence of a hot boilerplate
+    line through one reducer."""
+    plan = plan_of(spark, "dedup_lines")
+    assert "Window" not in plan
+    # partial_min proves the map-side combine exists before the shuffle
+    assert "partial_min" in plan
