@@ -1,4 +1,5 @@
 from pyspark_pipelining_spark.streaming.stateful import (
+    asof_stream,
     sessionize_batch,
     sessionize_stream,
 )
@@ -11,6 +12,7 @@ from pyspark_pipelining_spark.streaming.windows import (
 )
 
 __all__ = [
+    "asof_stream",
     "daily_counts_batch",
     "daily_counts_stream",
     "dedup_stream",

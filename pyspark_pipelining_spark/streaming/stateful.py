@@ -154,3 +154,98 @@ def sessionize_stream(stream_df: DataFrame, gap_min: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def asof_stream(
+    probe: DataFrame,
+    reference: DataFrame,
+    key: str,
+    ts: str,
+    ref_cols: list[str],
+    strict: bool = True,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Streaming sibling of :func:`pyspark_pipelining_spark.operators.
+    asof.asof_join`: per key, every probe event is matched to the most
+    recent reference event at-or-before (``strict=False``) or
+    strictly-before (``strict=True``) its timestamp — where "most
+    recent" spans ALL previous micro-batches, not just the current one.
+
+    State per key is O(1): the single last-seen reference row
+    (timestamp + requested columns).  Within a batch, rows are applied
+    in event-time order with the same tie rule as the batch operator
+    (probe before same-instant reference when strict, after when
+    inclusive).  Agreement contract (tested): when the source delivers
+    batches in event-time order per key, an ``availableNow`` replay
+    emits exactly the batch twin's rows.
+
+    Timestamps are emitted as epoch micros (``<ts>_us``,
+    ``<prefix><ts>_us``) — the engine-portable convention used across
+    this repo's streaming outputs (no pandas/Arrow timestamp-unit
+    drift).  Late (out-of-order across batches) reference rows are a
+    documented limitation shared with every last-value-state design:
+    a reference older than the stored one is ignored, it never
+    retro-matches already-emitted probes.
+    """
+    ref_types = {f.name: f.dataType for f in reference.schema.fields}
+    out_fields: list[T.StructField] = []
+    for f in probe.schema.fields:
+        if f.name == ts:
+            out_fields.append(T.StructField(f"{ts}_us", T.LongType()))
+        else:
+            out_fields.append(T.StructField(f.name, f.dataType))
+    out_fields.append(T.StructField(f"{prefix}{ts}_us", T.LongType()))
+    for c in ref_cols:
+        out_fields.append(T.StructField(f"{prefix}{c}", ref_types[c]))
+    out_schema = T.StructType(out_fields)
+    state_schema = T.StructType(
+        [T.StructField("ref_ts_us", T.LongType())]
+        + [T.StructField(c, ref_types[c]) for c in ref_cols]
+    )
+    probe_payload = [c for c in probe.columns if c != ts]
+
+    p = probe.withColumn("_is_probe", F.lit(1))
+    r = reference.select(
+        F.col(key), F.col(ts), *[F.col(c).alias(f"{prefix}{c}") for c in ref_cols]
+    ).withColumn("_is_probe", F.lit(0))
+    u = p.unionByName(r, allowMissingColumns=True)
+
+    def fn(
+        key_tuple: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_ts_us"] = (
+            pd.to_datetime(rows[ts]).astype("datetime64[us]").astype("int64")
+        )
+        # strict: probe first at equal ts (cannot see same-instant ref)
+        rows = rows.sort_values(
+            ["_ts_us", "_is_probe"], ascending=[True, not strict], kind="mergesort"
+        )
+        if state.exists:
+            last = list(state.get)
+        else:
+            last = [None] + [None] * len(ref_cols)
+        out: list[tuple[Any, ...]] = []
+        for d in rows.to_dict("records"):
+            if d["_is_probe"] == 0:
+                last = [d["_ts_us"]] + [d[f"{prefix}{c}"] for c in ref_cols]
+            else:
+                out.append(
+                    tuple(d[c] for c in probe_payload)
+                    + (d["_ts_us"],)
+                    + tuple(last)
+                )
+        if last[0] is not None:
+            state.update(tuple(last))
+        cols = probe_payload + [f"{ts}_us", f"{prefix}{ts}_us"] + [
+            f"{prefix}{c}" for c in ref_cols
+        ]
+        yield pd.DataFrame(out, columns=cols)
+
+    return u.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
