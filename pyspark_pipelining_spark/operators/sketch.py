@@ -121,3 +121,67 @@ def kmv_distinct(
         F.lit(float((k - 1) * TWO_60)) / kth.cast("double")
     )
     return merged.select(group_col, F.round(est, 6).alias("est_distinct"))
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch counter table: ``(d, bucket, c)`` with ``depth``
+    independent md5-derived hash rows of ``width`` buckets each.
+
+    Unlike Misra-Gries (whose summary depends on stream order), the CMS
+    counter table is a pure SUM per (row, bucket) — a deterministic,
+    commutative function of the input multiset — so a DuckDB oracle
+    reproduces both the sketch and every estimate bit-for-bit.
+
+    Scale shape: the ``depth``-way explode inflates rows before the
+    aggregation, but partial aggregation combines map-side down to
+    ≤ depth × width rows per task, and the final table is bounded at
+    depth × width rows total — a broadcastable dim by construction,
+    mergeable across partitions/days by simple addition.
+    """
+    from pyspark_pipelining_spark.operators.dedup import portable_hash_id
+
+    w = F.lit(1).alias("c") if weight_col is None else F.col(weight_col).alias("c")
+    exploded = df.select(
+        F.col(key_col), w, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    )
+    bucket = portable_hash_id(
+        F.concat(F.col("d").cast("string"), F.lit(":"), F.col(key_col)), width
+    )
+    return (
+        exploded.select("d", bucket.alias("bucket"), "c")
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` against a :func:`cms_sketch`
+    table: ``est = min over d of counter[d][h_d(key)]`` (the classic
+    upper-bound estimate — never below the true count, inflated only by
+    bucket collisions).
+
+    Output: ``<key_col>, est`` (long).  The sketch is depth × width rows
+    — broadcast — so estimation never shuffles the candidate side.
+    """
+    from pyspark_pipelining_spark.operators.dedup import portable_hash_id
+
+    probes = keys.select(
+        F.col(key_col), F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    ).withColumn(
+        "bucket",
+        portable_hash_id(
+            F.concat(F.col("d").cast("string"), F.lit(":"), F.col(key_col)), width
+        ),
+    )
+    joined = probes.join(F.broadcast(sketch), on=["d", "bucket"], how="left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("c", F.lit(0))).alias("est")
+    )

@@ -98,6 +98,63 @@ LIMIT {VOCAB_K}
 """
 
 
+CMS_DEPTH, CMS_WIDTH, CMS_K = 4, 1024, 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point estimates for the exact top-CMS_K tokens
+    (operators/sketch.cms_sketch / cms_estimate): est >= n always, the
+    gap being bucket-collision inflation.  The report a streaming-side
+    frequency monitor would produce — here cross-checked against the
+    exact counts so the oracle pins both the sketch and the estimates."""
+    from pyspark_pipelining_spark.operators.sketch import cms_estimate, cms_sketch
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        with_words(docs)
+        .select(F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    sk = cms_sketch(tokens, "token", depth=CMS_DEPTH, width=CMS_WIDTH)
+    cand = corpus.vocab_topk(docs, k=CMS_K)  # token, n (exact)
+    est = cms_estimate(sk, cand.select("token"), "token", depth=CMS_DEPTH, width=CMS_WIDTH)
+    return cand.join(est, on="token").select("token", "n", "est")
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH {{words}},
+tok AS (
+    SELECT unnest(w) AS token FROM words
+),
+tok2 AS (SELECT token FROM tok WHERE length(token) > 0),
+counters AS (
+    SELECT t.d,
+           ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || token), 1, 15))::BIGINT
+               % {CMS_WIDTH} AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM tok2, range({CMS_DEPTH}) t(d)
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tok2 GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT {CMS_K}
+),
+probes AS (
+    SELECT cand.token, cand.n, t.d,
+           ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || cand.token), 1, 15))::BIGINT
+               % {CMS_WIDTH} AS bucket
+    FROM cand, range({CMS_DEPTH}) t(d)
+)
+SELECT p.token, CAST(max(p.n) AS BIGINT) AS n,
+       CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN counters c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.token
+""".replace("{words}", SQL_WORDS)
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.stratified_topk_sample(
         load_table(spark, sf_dir, "documents"), k=SAMPLE_K
@@ -355,6 +412,7 @@ QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "collapse_repeats": q_collapse_repeats,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_lines": q_dedup_lines,
     "dedup_matrix": q_dedup_matrix,
     "scrub_pii": q_scrub_pii,
@@ -370,6 +428,7 @@ ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "dedup_lines": SQL_DEDUP_LINES,
     "dedup_matrix": SQL_DEDUP_MATRIX,
     "scrub_pii": SQL_SCRUB_PII,

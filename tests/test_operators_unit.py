@@ -295,3 +295,30 @@ def test_centroid_cosines_survives_int64_overflow_regime(spark):
     out = centroid_cosines(df, grid=1_000_000).collect()
     assert len(out) == n
     assert all(r["centroid_cos"] == 1.0 for r in out)
+
+
+def test_cms_sketch_mergeable_and_overestimates(spark):
+    """The CMS counter table must be layout-independent, mergeable by
+    addition, and every point estimate >= the true count."""
+    from pyspark_pipelining_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [("a",)] * 10 + [("b",)] * 5 + [(f"x{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k"])
+    base = sorted(map(tuple, cms_sketch(df, "k", width=64).collect()))
+    # layout independence
+    again = sorted(map(tuple, cms_sketch(df.repartition(7), "k", width=64).collect()))
+    assert again == base
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B), cell-wise
+    half1 = spark.createDataFrame(rows[:100], ["k"])
+    half2 = spark.createDataFrame(rows[100:], ["k"])
+    s1 = {(r["d"], r["bucket"]): r["c"] for r in cms_sketch(half1, "k", width=64).collect()}
+    s2 = {(r["d"], r["bucket"]): r["c"] for r in cms_sketch(half2, "k", width=64).collect()}
+    merged = {}
+    for s in (s1, s2):
+        for key, c in s.items():
+            merged[key] = merged.get(key, 0) + c
+    assert merged == {(r[0], r[1]): r[2] for r in base}
+    # estimates never undercount
+    keys = spark.createDataFrame([("a",), ("b",), ("x0",), ("absent",)], ["k"])
+    est = {r["k"]: r["est"] for r in cms_estimate(cms_sketch(df, "k", width=64), keys, "k", width=64).collect()}
+    assert est["a"] >= 10 and est["b"] >= 5 and est["x0"] >= 1 and est["absent"] >= 0
