@@ -114,3 +114,56 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % FNV_MOD
     )
     return words.select("doc_id", fp.alias("fingerprint"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term set — the
+    standard retrieval/quality-filter scorer (rank documents against a
+    topic probe, keep the head).
+
+    Output: doc_id, score (double, 6dp; 0 when no term appears).
+
+    Scale shape: term frequencies are per-row higher-order array
+    functions (no explode, no shuffle); the only aggregation is ONE
+    global single-row stats pass (N, Σdl, per-term document frequency)
+    whose result broadcast-cross-joins back — corpus-size-independent.
+    The term list is a compile-time constant of the plan, the right
+    trade for a fixed probe set (a dynamic query side would be a
+    broadcast join against an inverted index instead).
+    """
+    words = with_words(df, text_col)
+    wl = words.select("doc_id", "words", F.size("words").alias("dl"))
+
+    def eq_term(t: str):
+        # one-arg lambda: F.filter inspects arity, and a captured default
+        # arg would make it look like the two-arg (element, index) form
+        return lambda w: w == F.lit(t)
+
+    tf_cols = [
+        F.size(F.filter("words", eq_term(t))).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = wl.select("doc_id", "dl", *tf_cols)
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")]
+    aggs += [
+        F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+        for i in range(len(terms))
+    ]
+    stats = per_doc.agg(*aggs)
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        dfi = F.col(f"df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (nd - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+    return joined.select("doc_id", F.round(score, 6).alias("score"))

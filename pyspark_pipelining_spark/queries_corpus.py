@@ -98,6 +98,69 @@ LIMIT {VOCAB_K}
 """
 
 
+BM25_TERMS = ("join", "hash", "filter")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to a fixed topic probe
+    (operators/text.bm25_scores)."""
+    from pyspark_pipelining_spark.operators.text import bm25_scores
+
+    return bm25_scores(
+        load_table(spark, sf_dir, "documents"), BM25_TERMS, k1=BM25_K1, b=BM25_B
+    )
+
+
+def _sql_bm25() -> str:
+    """DuckDB oracle mirroring bm25_scores' float expression tree
+    EXACTLY (same literals via repr, same association order) so the
+    doubles agree bit-for-bit before the round(…, 6)."""
+    k1, b = repr(BM25_K1), repr(BM25_B)
+    one_minus_b, k1p1 = repr(1.0 - BM25_B), repr(BM25_K1 + 1.0)
+    tf_defs = ",\n           ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_defs = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    norm = (
+        f"{k1} * ({one_minus_b} + {b} * CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+    )
+    score = "0.0"
+    for i in range(len(BM25_TERMS)):
+        idf = (
+            f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        )
+        contrib = (
+            f"{idf} * ((CAST(tf_{i} AS DOUBLE) * {k1p1})"
+            f" / (CAST(tf_{i} AS DOUBLE) + {norm}))"
+        )
+        score = f"({score} + {contrib})"
+    return f"""
+WITH {SQL_WORDS},
+per_doc AS (
+    SELECT doc_id, len(w) AS dl,
+           {tf_defs}
+    FROM words
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           {df_defs}
+    FROM per_doc
+)
+SELECT doc_id, round({score}, 6) AS score
+FROM per_doc, stats
+"""
+
+
+SQL_BM25_RANK = _sql_bm25()
+
+
 CMS_DEPTH, CMS_WIDTH, CMS_K = 4, 1024, 20
 
 
@@ -412,6 +475,7 @@ QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "collapse_repeats": q_collapse_repeats,
+    "bm25_rank": q_bm25_rank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_lines": q_dedup_lines,
     "dedup_matrix": q_dedup_matrix,
@@ -428,6 +492,7 @@ ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,
+    "bm25_rank": SQL_BM25_RANK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "dedup_lines": SQL_DEDUP_LINES,
     "dedup_matrix": SQL_DEDUP_MATRIX,
