@@ -318,3 +318,46 @@ def training_shuffle(
         .repartition(num_shards, "shard")
         .sortWithinPartitions(key)
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bucket_width: int,
+    quantiles: tuple[int, ...] = (25, 50, 75, 90),
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-width bucket histogram
+    — the scale path for percentiles: one map-side-combined groupBy
+    builds the histogram (bounded at groups × buckets rows), a
+    dimension-sized cumulative window walks it, and the q-th quantile
+    reports the lower bound of the first bucket whose cumulative count
+    covers q% of the group.
+
+    Output: <group_col>, q (int), lo (long — bucket lower bound).
+
+    All arithmetic is integer (``cum·100 ≥ q·n`` instead of a float
+    ceil), so the answer is deterministic and engine-portable.  Bucket
+    width trades precision for state, never correctness — the exact
+    analogue of t-digest/KLL accuracy knobs but with a bit-exact
+    cross-engine oracle.
+    """
+    hist = (
+        df.select(F.col(group_col), F.expr(f"CAST({value_col} div {bucket_width} AS BIGINT)").alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("n_docs").over(w))
+    tot = hist.groupBy(group_col).agg(F.sum("n_docs").alias("n"))
+    joined = cum.join(tot, on=group_col)
+    qdf = joined.withColumn("q", F.explode(F.array(*[F.lit(q) for q in quantiles])))
+    return (
+        qdf.filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy(group_col, "q")
+        .agg((F.min("bucket") * bucket_width).alias("lo"))
+    )

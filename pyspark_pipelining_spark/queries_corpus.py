@@ -98,6 +98,35 @@ LIMIT {VOCAB_K}
 """
 
 
+def q_doclen_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length quantiles (p25/p50/p75/p90) from the 64-char
+    bucket histogram (operators/corpus.histogram_quantiles) — the
+    scale-safe percentile path with a bit-exact integer oracle."""
+    return corpus.histogram_quantiles(
+        load_table(spark, sf_dir, "documents"), "n_chars", "source", 64
+    )
+
+
+SQL_DOCLEN_QUANTILES = """
+WITH hist AS (
+    SELECT source, CAST(n_chars // 64 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+),
+cum AS (
+    SELECT source, bucket, n_docs,
+           sum(n_docs) OVER (PARTITION BY source ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(n_docs) OVER (PARTITION BY source) AS n
+    FROM hist
+)
+SELECT source, q, CAST(min(bucket) * 64 AS BIGINT) AS lo
+FROM cum, unnest([25, 50, 75, 90]) AS t(q)
+WHERE cum * 100 >= q * n
+GROUP BY source, q
+"""
+
+
 BM25_TERMS = ("join", "hash", "filter")
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -479,6 +508,7 @@ QUERIES_CORPUS = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_lines": q_dedup_lines,
     "dedup_matrix": q_dedup_matrix,
+    "doclen_quantiles": q_doclen_quantiles,
     "scrub_pii": q_scrub_pii,
     "contamination": q_contamination,
     "vocab_topk": q_vocab_topk,
@@ -496,6 +526,7 @@ ORACLES_CORPUS = {
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "dedup_lines": SQL_DEDUP_LINES,
     "dedup_matrix": SQL_DEDUP_MATRIX,
+    "doclen_quantiles": SQL_DOCLEN_QUANTILES,
     "scrub_pii": SQL_SCRUB_PII,
     "contamination": SQL_CONTAMINATION,
     "vocab_topk": SQL_VOCAB_TOPK,
