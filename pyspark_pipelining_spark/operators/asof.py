@@ -71,3 +71,49 @@ def asof_join(
             ).over(w),
         )
     return matched.filter(F.col("_is_probe") == 1).drop("_is_probe")
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_us: str,
+    start_us: str,
+    end_us: str,
+    bin_minutes: int = 60,
+) -> DataFrame:
+    """Point-in-interval join without a range-join explosion: intervals
+    are replicated once per time bin they overlap, points map to their
+    single bin, and the join is a plain hash equi-join on
+    ``(key, bin)`` with the exact ``[start, end]`` containment applied
+    as a post-filter.
+
+    Inputs carry epoch-micro longs (``point_us``/``start_us``/
+    ``end_us``) plus any payload columns; output is the joined rows
+    (all columns of both sides) for every point inside an interval,
+    bounds inclusive.  Payload column names must not collide.
+
+    Why this shape at 100 TB: Spark compiles a raw
+    ``p.key = i.key AND p.ts BETWEEN i.start AND i.end`` to a hash join
+    on key alone — every point meets every interval of its key before
+    the range filter, quadratic on hot keys.  Binning bounds the work:
+    a point meets only the intervals overlapping its bin.  Replication
+    cost is ``interval_length / bin`` rows per interval — pick
+    ``bin_minutes`` near the typical interval length so replication
+    stays O(1) per interval while bins stay selective.
+    """
+    bin_us = bin_minutes * 60 * 1_000_000
+    p = points.withColumn("_bin", F.expr(f"{point_us} div {bin_us}"))
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_us} div {bin_us}"), F.expr(f"{end_us} div {bin_us}")
+            )
+        ),
+    )
+    return (
+        p.join(i, on=[key, "_bin"])
+        .filter((F.col(point_us) >= F.col(start_us)) & (F.col(point_us) <= F.col(end_us)))
+        .drop("_bin")
+    )

@@ -414,6 +414,50 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 """
 
 
+INTERVAL_WINDOW_MIN = 360
+
+
+def q_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click inside the 6-hour window FOLLOWING a purchase by
+    the same user (operators/asof.interval_join_binned): the
+    point-in-interval companion to last-touch as-of attribution.  Plain
+    hash join on (user_id, time bin) — never a per-key cross product."""
+    from pyspark_pipelining_spark.operators.asof import interval_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    win_us = INTERVAL_WINDOW_MIN * 60 * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(win_us)).alias("e_us"),
+    )
+    out = interval_join_binned(
+        clicks, purchases, "user_id", "p_us", "s_us", "e_us",
+        bin_minutes=INTERVAL_WINDOW_MIN,
+    )
+    return out.select("user_id", "click_id", "purchase_id", "p_us", "s_us")
+
+
+SQL_INTERVAL_ATTRIBUTION = f"""
+WITH clicks AS (
+    SELECT event_id AS click_id, user_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS s_us,
+           epoch_us(ts) + {INTERVAL_WINDOW_MIN * 60 * 1_000_000} AS e_us
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id, c.p_us, p.s_us
+FROM clicks c JOIN purchases p
+  ON c.user_id = p.user_id AND c.p_us >= p.s_us AND c.p_us <= p.e_us
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
@@ -429,6 +473,7 @@ QUERIES_REL = {
     "global_stats": q_global_stats,
     "pivot_returnflag": q_pivot_returnflag,
     "asof_attribution": q_asof_attribution,
+    "interval_attribution": q_interval_attribution,
 }
 
 ORACLES_REL = {
@@ -446,4 +491,5 @@ ORACLES_REL = {
     "global_stats": SQL_GLOBAL_STATS,
     "pivot_returnflag": SQL_PIVOT_RETURNFLAG,
     "asof_attribution": SQL_ASOF_ATTRIBUTION,
+    "interval_attribution": SQL_INTERVAL_ATTRIBUTION,
 }

@@ -322,3 +322,24 @@ def test_cms_sketch_mergeable_and_overestimates(spark):
     keys = spark.createDataFrame([("a",), ("b",), ("x0",), ("absent",)], ["k"])
     est = {r["k"]: r["est"] for r in cms_estimate(cms_sketch(df, "k", width=64), keys, "k", width=64).collect()}
     assert est["a"] >= 10 and est["b"] >= 5 and est["x0"] >= 1 and est["absent"] >= 0
+
+
+def test_interval_join_binned_bounds_and_multibin_intervals(spark):
+    """Inclusive [start, end] bounds, and an interval spanning several
+    bins still matches points in every bin it overlaps (exactly once)."""
+    from pyspark_pipelining_spark.operators.asof import interval_join_binned
+
+    M = 60 * 1_000_000  # one minute in micros
+    points = spark.createDataFrame(
+        [(1, 0 * M, 10), (1, 5 * M, 11), (1, 150 * M, 12), (1, 151 * M, 13), (2, 5 * M, 14)],
+        "k long, p_us long, point_id long",
+    )
+    # one interval [0, 150min] spanning 3 bins of 60min; one unmatched key
+    intervals = spark.createDataFrame(
+        [(1, 0 * M, 150 * M, 100)], "k long, s_us long, e_us long, iv_id long"
+    )
+    out = interval_join_binned(points, intervals, "k", "p_us", "s_us", "e_us", bin_minutes=60)
+    got = sorted((r["point_id"], r["iv_id"]) for r in out.collect())
+    # 0min (start, inclusive), 5min, 150min (end, inclusive); 151min out;
+    # key 2 never matches; no duplicates from multi-bin replication
+    assert got == [(10, 100), (11, 100), (12, 100)]

@@ -260,3 +260,13 @@ def test_dedup_lines_winner_agg_is_partial_no_window(spark):
     assert "Window" not in plan
     # partial_min proves the map-side combine exists before the shuffle
     assert "partial_min" in plan
+
+
+def test_interval_attribution_is_hash_join_not_nested_loop(spark):
+    """The binned interval join must compile to a hash equi-join on
+    (key, bin) — a raw range predicate would give BroadcastNestedLoop /
+    per-key cross-product work."""
+    plan = plan_of(spark, "interval_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
