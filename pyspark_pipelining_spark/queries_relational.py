@@ -458,6 +458,49 @@ FROM clicks c JOIN purchases p
 """
 
 
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each customer's order priority over time
+    (operators/scd.scd2_rebuild): per (custkey, orderdate) observation
+    (max priority on ties), no-change days collapsed, valid_to = next
+    version's valid_from (null = open)."""
+    from pyspark_pipelining_spark.operators.scd import scd2_rebuild
+
+    o = load_table(spark, sf_dir, "orders")
+    versions = (
+        o.select(
+            F.col("o_custkey").alias("key"),
+            F.to_date("o_orderdate").alias("valid_from"),
+            F.col("o_orderpriority").alias("attr"),
+        )
+        .groupBy("key", "valid_from")
+        .agg(F.max("attr").alias("attr"))
+    )
+    return scd2_rebuild(versions, "key", "valid_from", ["attr"])
+
+
+SQL_SCD2_CUSTOMER_PRIORITY = """
+WITH upd AS (
+    SELECT o_custkey AS key, CAST(o_orderdate AS DATE) AS valid_from,
+           max(o_orderpriority) AS attr
+    FROM orders GROUP BY 1, 2
+),
+ordered AS (
+    SELECT key, valid_from, attr,
+           lag(attr) OVER (PARTITION BY key ORDER BY valid_from) AS prev,
+           row_number() OVER (PARTITION BY key ORDER BY valid_from) AS rn
+    FROM upd
+),
+changed AS (
+    SELECT key, valid_from, attr FROM ordered
+    WHERE rn = 1 OR attr IS DISTINCT FROM prev
+)
+SELECT key, valid_from,
+       lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) AS valid_to,
+       attr
+FROM changed
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
@@ -474,6 +517,7 @@ QUERIES_REL = {
     "pivot_returnflag": q_pivot_returnflag,
     "asof_attribution": q_asof_attribution,
     "interval_attribution": q_interval_attribution,
+    "scd2_customer_priority": q_scd2_customer_priority,
 }
 
 ORACLES_REL = {
@@ -492,4 +536,5 @@ ORACLES_REL = {
     "pivot_returnflag": SQL_PIVOT_RETURNFLAG,
     "asof_attribution": SQL_ASOF_ATTRIBUTION,
     "interval_attribution": SQL_INTERVAL_ATTRIBUTION,
+    "scd2_customer_priority": SQL_SCD2_CUSTOMER_PRIORITY,
 }

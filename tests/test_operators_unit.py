@@ -343,3 +343,42 @@ def test_interval_join_binned_bounds_and_multibin_intervals(spark):
     # 0min (start, inclusive), 5min, 150min (end, inclusive); 151min out;
     # key 2 never matches; no duplicates from multi-bin replication
     assert got == [(10, 100), (11, 100), (12, 100)]
+
+
+def test_scd2_rebuild_collapses_and_is_idempotent(spark):
+    import datetime as dt
+
+    from pyspark_pipelining_spark.operators.scd import scd2_rebuild
+
+    d = lambda s: dt.date.fromisoformat(s)  # noqa: E731
+    versions = spark.createDataFrame(
+        [
+            (1, d("2024-01-01"), "gold"),
+            (1, d("2024-02-01"), "gold"),     # no change -> collapsed
+            (1, d("2024-03-01"), "silver"),   # change -> new version
+            (1, d("2024-04-01"), None),       # null is a value, not a wildcard
+            (2, d("2024-01-15"), None),
+            (2, d("2024-02-15"), None),       # null == null (no change)
+        ],
+        "key long, valid_from date, attr string",
+    )
+    out = sorted(
+        (r["key"], str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]), r["attr"])
+        for r in scd2_rebuild(versions, "key", "valid_from", ["attr"]).collect()
+    )
+    assert out == [
+        (1, "2024-01-01", "2024-03-01", "gold"),
+        (1, "2024-03-01", "2024-04-01", "silver"),
+        (1, "2024-04-01", None, None),
+        (2, "2024-01-15", None, None),
+    ]
+    # idempotent: rebuilding the rebuilt history (open rows as versions)
+    # yields the same versions
+    rebuilt = scd2_rebuild(versions, "key", "valid_from", ["attr"]).select(
+        "key", "valid_from", "attr"
+    )
+    again = sorted(
+        (r["key"], str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]), r["attr"])
+        for r in scd2_rebuild(rebuilt, "key", "valid_from", ["attr"]).collect()
+    )
+    assert again == out
