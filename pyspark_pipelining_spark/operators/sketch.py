@@ -185,3 +185,88 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce("c", F.lit(0))).alias("est")
     )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k_hashes: int = 3
+) -> DataFrame:
+    """Deterministic Bloom filter as a DataFrame: ``(word, bits)`` with
+    ``m_bits / 64`` rows, each packing 64 filter bits via ``bit_or`` —
+    a commutative aggregate, so the filter is layout-independent and
+    mergeable (union two filters' rows and ``bit_or`` again).
+
+    The k probe positions are md5-derived (salt ``i:``), identical in
+    the DuckDB oracle.  Build cost: one map-side-combined groupBy over
+    k rows per key; the result is ≤ m_bits/32 rows — broadcastable at
+    any corpus size, unlike the exact key set it summarizes.  Words
+    pack 32 bits (not 64): bit 63 would need ``1 << 63``, which
+    overflow-checking engines (DuckDB, ANSI Spark) reject.
+    """
+    from pyspark_pipelining_spark.operators.dedup import portable_hash_id
+
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    portable_hash_id(
+                        F.concat(F.lit(f"{i}:"), F.col(key_col)), m_bits
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos div 32").alias("word"),
+            # shiftleft's bit-count arg must be a literal in the python
+            # API — the column form needs expr()
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Keep rows of ``df`` whose ``key_col`` MIGHT be in the set the
+    filter was built from (no false negatives; false-positive rate
+    ``(1 - e^(-k·n/m))^k``).  The probe is k broadcast lookups into the
+    word table plus bit tests — the probe side is never shuffled, which
+    is the point: prefilter a 100 TB fact against a reference set whose
+    exact keys are too large to broadcast, then exact-verify the
+    (small) surviving fraction.
+    """
+    from pyspark_pipelining_spark.operators.dedup import portable_hash_id
+
+    out = df
+    for i in range(k_hashes):
+        pos = portable_hash_id(F.concat(F.lit(f"{i}:"), F.col(key_col)), m_bits)
+        probe = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = (
+            out.withColumn(f"_p{i}", pos)
+            .withColumn(f"_wk{i}", F.expr(f"_p{i} div 32"))
+            .join(
+                F.broadcast(probe),
+                on=F.col(f"_wk{i}") == F.col(f"_w{i}"),
+                how="left",
+            )
+        )
+        hit = (
+            F.expr(
+                f"shiftrightunsigned(coalesce(_b{i}, CAST(0 AS BIGINT)), "
+                f"CAST(_p{i} % 32 AS INT))"
+            )
+            % 2
+            == 1
+        )
+        out = out.filter(hit).drop(f"_p{i}", f"_wk{i}", f"_w{i}", f"_b{i}")
+    return out

@@ -127,6 +127,66 @@ GROUP BY source, q
 """
 
 
+BLOOM_M, BLOOM_K = 1 << 16, 3
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter demo (operators/sketch.bloom_build /
+    bloom_probe): the distinct non-English vocabulary probes a filter
+    built from the English vocabulary.  Output: every candidate token
+    the bloom PASSES, flagged with whether it is truly in the reference
+    set — the exact-verify step a production prefilter feeds, and the
+    false-positive surface the oracle pins bit-for-bit."""
+    from pyspark_pipelining_spark.operators.sketch import bloom_build, bloom_probe
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = with_words(docs).select(
+        "lang", F.explode("words").alias("token")
+    ).filter(F.length("token") > 0)
+    ref = toks.filter(F.col("lang") == "en").select("token").distinct()
+    cand = toks.filter(F.col("lang") != "en").select("token").distinct()
+    bloom = bloom_build(ref, "token", m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    passed = bloom_probe(cand, bloom, "token", m_bits=BLOOM_M, k_hashes=BLOOM_K)
+    return passed.join(
+        ref.withColumn("in_ref", F.lit(1)), on="token", how="left"
+    ).select("token", F.coalesce("in_ref", F.lit(0)).alias("in_ref"))
+
+
+SQL_BLOOM_PREFILTER = f"""
+WITH {{words}},
+tok AS (
+    SELECT lang, unnest(w) AS token FROM words
+),
+tok2 AS (SELECT lang, token FROM tok WHERE length(token) > 0),
+ref AS (SELECT DISTINCT token FROM tok2 WHERE lang = 'en'),
+cand AS (SELECT DISTINCT token FROM tok2 WHERE lang <> 'en'),
+ref_pos AS (
+    SELECT ('0x' || substr(md5(t.i || ':' || token), 1, 15))::BIGINT % {BLOOM_M} AS p
+    FROM ref, range({BLOOM_K}) t(i)
+),
+bloom AS (
+    SELECT p // 32 AS word,
+           bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS bits
+    FROM ref_pos GROUP BY 1
+),
+probe AS (
+    SELECT cand.token,
+           ('0x' || substr(md5(t.i || ':' || cand.token), 1, 15))::BIGINT % {BLOOM_M} AS p
+    FROM cand, range({BLOOM_K}) t(i)
+),
+hits AS (
+    SELECT pr.token
+    FROM probe pr JOIN bloom b ON pr.p // 32 = b.word
+    WHERE (b.bits >> CAST(pr.p % 32 AS INTEGER)) & 1 = 1
+    GROUP BY pr.token HAVING count(*) = {BLOOM_K}
+)
+SELECT h.token,
+       CASE WHEN r.token IS NOT NULL THEN 1 ELSE 0 END AS in_ref
+FROM hits h LEFT JOIN ref r ON h.token = r.token
+""".replace("{words}", SQL_WORDS)
+
+
 BM25_TERMS = ("join", "hash", "filter")
 BM25_K1, BM25_B = 1.2, 0.75
 
@@ -504,6 +564,7 @@ QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "collapse_repeats": q_collapse_repeats,
+    "bloom_prefilter": q_bloom_prefilter,
     "bm25_rank": q_bm25_rank,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_lines": q_dedup_lines,
@@ -522,6 +583,7 @@ ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,
+    "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "bm25_rank": SQL_BM25_RANK,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "dedup_lines": SQL_DEDUP_LINES,

@@ -382,3 +382,17 @@ def test_scd2_rebuild_collapses_and_is_idempotent(spark):
         for r in scd2_rebuild(rebuilt, "key", "valid_from", ["attr"]).collect()
     )
     assert again == out
+
+
+def test_bloom_no_false_negatives_and_filters_most_outsiders(spark):
+    from pyspark_pipelining_spark.operators.sketch import bloom_build, bloom_probe
+
+    ref = spark.createDataFrame([(f"key{i}",) for i in range(200)], ["k"])
+    bloom = bloom_build(ref, "k", m_bits=1 << 14, k_hashes=3)
+    # every member must pass (bloom guarantees no false negatives)
+    passed_members = bloom_probe(ref, bloom, "k", m_bits=1 << 14, k_hashes=3)
+    assert passed_members.count() == 200
+    # outsiders mostly rejected (fp rate ~(1-e^(-kn/m))^k ~ 0.04% here)
+    outsiders = spark.createDataFrame([(f"other{i}",) for i in range(500)], ["k"])
+    n_fp = bloom_probe(outsiders, bloom, "k", m_bits=1 << 14, k_hashes=3).count()
+    assert n_fp <= 10
