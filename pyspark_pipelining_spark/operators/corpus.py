@@ -361,3 +361,45 @@ def histogram_quantiles(
         .groupBy(group_col, "q")
         .agg((F.min("bucket") * bucket_width).alias("lo"))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    group_col: str = "source",
+    cost_col: str = "n_chars",
+    id_col: str = "doc_id",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Corpus mixture sampling: down-sample each group toward a target
+    cost budget (tokens/chars), the data-mixing step every multi-source
+    training corpus runs ("2 parts web, 1 part code, cap wiki at N
+    tokens").
+
+    Per group, the keep fraction is ``min(1, target / Σcost)`` snapped
+    to the hash grid (``floor(frac·grid)/grid`` — a deterministic
+    rational both engines reproduce), applied with the zero-shuffle
+    md5-hash rule of :func:`hash_fraction_sample`.  Groups without a
+    target are dropped (explicit mixture only).
+
+    Output: the sampled rows (id, group, cost).  Scale shape: ONE
+    map-side-combined groupBy for the per-group totals (group-count
+    rows, broadcast back), then a pure map-side filter — the corpus is
+    never shuffled.  Deterministic and composable: re-running with a
+    smaller target keeps a subset of the larger sample.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(cost_col).alias("_total"))
+    t_rows = [(g, int(t)) for g, t in sorted(targets.items())]
+    t_df = df.sparkSession.createDataFrame(t_rows, f"{group_col} string, _target long")
+    frac = F.least(
+        F.lit(grid).cast("long"),
+        F.expr(f"CAST(_target * {grid} div _total AS BIGINT)"),
+    )
+    cutoffs = totals.join(t_df, on=group_col).select(
+        group_col, frac.alias("_cut")
+    )
+    keyed = df.select(id_col, group_col, cost_col).join(
+        F.broadcast(cutoffs), on=group_col
+    )
+    bucket = portable_hash_id(F.col(id_col).cast("string"), grid)
+    return keyed.filter(bucket < F.col("_cut")).select(id_col, group_col, cost_col)

@@ -127,6 +127,45 @@ GROUP BY source, q
 """
 
 
+#: Explicit corpus mixture: src0 halved, src1 down to ~2k chars, src4
+#: kept whole (target above its total).  Scales-invariant fractions at
+#: sf0.01 sized so each regime (partial, heavy, no-op cut) is exercised.
+MIX_TARGETS = {"src0": 4000, "src1": 2000, "src4": 1_000_000}
+MIX_GRID = 1_000_000
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample sources toward per-source char budgets
+    (operators/corpus.mixture_sample) — the data-mixing step of a
+    multi-source training corpus."""
+    return corpus.mixture_sample(
+        load_table(spark, sf_dir, "documents"), MIX_TARGETS, grid=MIX_GRID
+    )
+
+
+def _sql_mixture() -> str:
+    values = ", ".join(f"('{g}', {t})" for g, t in sorted(MIX_TARGETS.items()))
+    return f"""
+WITH totals AS (
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+    FROM documents GROUP BY source
+),
+t AS (SELECT * FROM (VALUES {values}) AS v(source, target)),
+cut AS (
+    SELECT totals.source,
+           least({MIX_GRID}, CAST(target AS BIGINT) * {MIX_GRID} // total) AS cutv
+    FROM totals JOIN t ON totals.source = t.source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN cut ON d.source = cut.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % {MIX_GRID} < cutv
+"""
+
+
+SQL_MIXTURE_SAMPLE = _sql_mixture()
+
+
 BLOOM_M, BLOOM_K = 1 << 16, 3
 
 
@@ -563,6 +602,7 @@ ORDER BY source, bucket
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
+    "mixture_sample": q_mixture_sample,
     "collapse_repeats": q_collapse_repeats,
     "bloom_prefilter": q_bloom_prefilter,
     "bm25_rank": q_bm25_rank,
@@ -582,6 +622,7 @@ QUERIES_CORPUS = {
 ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "bm25_rank": SQL_BM25_RANK,

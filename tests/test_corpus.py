@@ -172,3 +172,21 @@ def test_dedup_lines_first_occurrence_wins_and_reassembles(spark):
     # doc 3 loses both lines but still appears
     assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 0
     assert out[3]["clean"] == ""
+
+
+def test_mixture_sample_subset_and_monotone_targets(spark):
+    """The mixture sample must be a subset of the corpus, keep a group
+    with target >= total intact, and a smaller target must select a
+    SUBSET of a larger target's rows (hash-rule composability)."""
+    from pyspark_pipelining_spark.operators.corpus import mixture_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    big = {r["doc_id"] for r in mixture_sample(df, {"a": 5000, "b": 100000}).collect()}
+    small = {r["doc_id"] for r in mixture_sample(df, {"a": 2000, "b": 100000}).collect()}
+    all_b = {i for i in range(200) if i % 2 == 1}
+    assert all_b <= big  # b's target exceeds its total -> kept whole
+    assert small <= big  # composable: shrinking a target shrinks the set
+    n_a_small = len([i for i in small if i % 2 == 0])
+    # a's total is 10000; target 2000 -> ~20% of 100 docs, hash variance aside
+    assert 5 <= n_a_small <= 40

@@ -270,3 +270,11 @@ def test_interval_attribution_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bloom_prefilter_probe_side_broadcast_only(spark):
+    """The bloom word table must reach the probe via broadcast joins —
+    a SortMergeJoin would mean the candidate side got shuffled for the
+    filter, defeating the prefilter's purpose."""
+    plan = plan_of(spark, "bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
