@@ -391,9 +391,12 @@ def mixture_sample(
     totals = df.groupBy(group_col).agg(F.sum(cost_col).alias("_total"))
     t_rows = [(g, int(t)) for g, t in sorted(targets.items())]
     t_df = df.sparkSession.createDataFrame(t_rows, f"{group_col} string, _target long")
+    # target·grid in decimal(38,0) (HUGEINT in the oracle): int64 would
+    # overflow once the target passes ~9e12 units at grid 1e6 — i.e. at
+    # exactly the 100 TB-characters scale this operator exists for
     frac = F.least(
         F.lit(grid).cast("long"),
-        F.expr(f"CAST(_target * {grid} div _total AS BIGINT)"),
+        F.expr(f"CAST(CAST(_target AS DECIMAL(38,0)) * {grid} div _total AS BIGINT)"),
     )
     cutoffs = totals.join(t_df, on=group_col).select(
         group_col, frac.alias("_cut")

@@ -153,7 +153,7 @@ WITH totals AS (
 t AS (SELECT * FROM (VALUES {values}) AS v(source, target)),
 cut AS (
     SELECT totals.source,
-           least({MIX_GRID}, CAST(target AS BIGINT) * {MIX_GRID} // total) AS cutv
+           least({MIX_GRID}, CAST(CAST(target AS HUGEINT) * {MIX_GRID} // total AS BIGINT)) AS cutv
     FROM totals JOIN t ON totals.source = t.source
 )
 SELECT d.doc_id, d.source, d.n_chars
