@@ -270,3 +270,11 @@ def bloom_probe(
         )
         out = out.filter(hit).drop(f"_p{i}", f"_wk{i}", f"_w{i}", f"_b{i}")
     return out
+
+
+def cms_merge(partials: DataFrame) -> DataFrame:
+    """Merge any number of :func:`cms_sketch` counter tables (e.g. the
+    per-micro-batch partials a streaming sink lands, or per-day
+    sketches) into one: cell-wise addition — the defining property of
+    the sketch.  One bounded groupBy; output ≤ depth × width rows."""
+    return partials.groupBy("d", "bucket").agg(F.sum("c").alias("c"))

@@ -54,6 +54,35 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic: bool = True,
+) -> None:
+    """Hive-style partitioned parquet sink with DYNAMIC partition
+    overwrite: an overwrite replaces only the partitions present in
+    ``df``, leaving every other partition untouched — the idempotent
+    daily-backfill primitive (re-run yesterday's batch without nuking
+    the rest of the table).  ``dynamic=False`` restores Spark's default
+    static overwrite (whole-path truncate) for full rebuilds.
+
+    At warehouse scale the partition column is the pruning axis
+    (date/region): readers filter on it and Catalyst prunes directories
+    before listing files (asserted in ``tests/test_plans.py``).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "DYNAMIC" if dynamic else "STATIC",
+    )
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_csv_report(df: DataFrame, path: str) -> None:
     """Single-file CSV with header (small report frames only)."""
     tmp = path + "_tmp"

@@ -161,6 +161,7 @@ def write_stream_idempotent(
     out_dir: str,
     checkpoint_dir: str,
     await_seconds: int = 120,
+    transform=None,
 ) -> None:
     """Exactly-once file output on top of at-least-once micro-batch
     delivery: each batch lands in its own ``batch_id=N`` directory with
@@ -172,6 +173,11 @@ def write_stream_idempotent(
     This is the standard idempotent ``foreachBatch`` sink shape; readers
     consume ``out_dir`` as an ordinary partitioned parquet table.
 
+    ``transform`` (optional, batch DataFrame → batch DataFrame) runs
+    inside each batch before the write — the hook for per-batch partial
+    aggregation (e.g. a mergeable sketch per micro-batch, merged at
+    read time), keeping the sink's exactly-once batch_id layout.
+
     Failure surface: a query that errors re-raises here (a silent return
     would present an empty/partial ``out_dir`` as success), and a query
     still running at ``await_seconds`` is stopped and raises
@@ -181,7 +187,8 @@ def write_stream_idempotent(
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        out = transform(df) if transform is not None else df
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -190,3 +190,24 @@ def test_compact_parquet_recovers_from_stale_old_dir(spark, tmp_path):
     assert not stale.exists()
     back = spark.read.parquet(path)
     assert sorted(r["v"] for r in back.collect()) == list(range(50))
+
+
+def test_write_partitioned_dynamic_overwrite_touches_only_present_partitions(spark, tmp_path):
+    """Re-running one day's batch must replace that day only — other
+    partitions survive byte-for-byte (the idempotent backfill contract)."""
+    from pyspark_pipelining_spark.sources.sinks import write_partitioned
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d3")], "v long, day string"
+    )
+    write_partitioned(full, path, ["day"])
+    # backfill d2 with corrected rows
+    fix = spark.createDataFrame([(30, "d2"), (31, "d2")], "v long, day string")
+    write_partitioned(fix, path, ["day"])
+    got = sorted((r["day"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got == [("d1", 1), ("d1", 2), ("d2", 30), ("d2", 31), ("d3", 4)]
+    # static mode really does truncate everything (the full-rebuild path)
+    write_partitioned(fix, path, ["day"], dynamic=False)
+    got2 = sorted((r["day"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert got2 == [("d2", 30), ("d2", 31)]

@@ -324,3 +324,37 @@ def test_asof_stream_state_spans_micro_batches(spark, tmp_path):
     assert (r["user_id"], r["event_id"], r["ts_us"], r["asof_ts_us"], r["asof_value"]) == (
         7, 200, 2000, 1000, 5.0
     )
+
+
+def test_streaming_cms_partials_merge_to_batch_sketch(spark, tmp_path):
+    """Per-micro-batch CMS partials written by the idempotent sink must
+    merge (cell-wise sum) to EXACTLY the batch sketch of the whole
+    corpus — the sketch's mergeability, exercised operationally."""
+    from pyspark_pipelining_spark.operators.sketch import cms_merge, cms_sketch
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from pyspark_pipelining_spark.streaming.windows import write_stream_idempotent
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)  # several files -> several batches
+
+    batch_sketch = sorted(
+        map(tuple, cms_sketch(docs.select("source"), "source", width=64).collect())
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("source")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_stream_idempotent(
+        stream, out, ckpt,
+        transform=lambda df: cms_sketch(df, "source", width=64),
+    )
+    merged = sorted(
+        map(tuple, cms_merge(spark.read.parquet(out).select("d", "bucket", "c")).collect())
+    )
+    assert merged == batch_sketch and len(merged) > 0
