@@ -617,3 +617,82 @@ ORACLES_LLM = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
 }
+
+
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the near-duplicate similarity graph
+    (operators/graph.pagerank_int): the graph-centrality quality prior,
+    deterministic by integer arithmetic.  Nodes = documents appearing
+    in an LSH pair at est Jaccard >= 0.5 (isolated documents carry no
+    graph signal and are excluded by construction)."""
+    from pyspark_pipelining_spark.operators.graph import pagerank_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    edges = pairs.select(
+        F.col("doc_1").alias("src"), F.col("doc_2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_2").alias("src"), F.col("doc_1").alias("dst"))
+    )
+    out = pagerank_int(edges, iters=3)
+    return out.select(F.col("id").alias("doc_id"), "r")
+
+
+def _sql_pagerank(
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    iters: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """Oracle with the iterations unrolled (fixed count), mirroring the
+    engine's integer arithmetic exactly (// == Spark's div on
+    non-negative operands)."""
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    base = f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} // {damp_den}) // n"
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+it{i} AS (
+    SELECT nodes.id,
+           {base} + (({damp_num} * COALESCE(sub.s, 0)) // {damp_den}) AS r
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS id, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+        FROM edges e
+        JOIN {prev} p ON e.src = p.id
+        JOIN deg d ON e.src = d.id
+        GROUP BY e.dst
+    ) sub ON nodes.id = sub.id
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH {ctes},
+pairs AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1 AS src, doc_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_2, doc_1 FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST({scale} AS BIGINT) // n AS r FROM nodes CROSS JOIN nn),
+{",".join(steps)}
+SELECT id AS doc_id, r FROM {prev}
+"""
+
+
+SQL_PAGERANK_DOCS = _sql_pagerank()
+
+
+# defined below the registry literals, so registered here
+QUERIES_LLM["pagerank_docs"] = q_pagerank_docs
+ORACLES_LLM["pagerank_docs"] = SQL_PAGERANK_DOCS

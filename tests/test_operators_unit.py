@@ -396,3 +396,24 @@ def test_bloom_no_false_negatives_and_filters_most_outsiders(spark):
     outsiders = spark.createDataFrame([(f"other{i}",) for i in range(500)], ["k"])
     n_fp = bloom_probe(outsiders, bloom, "k", m_bits=1 << 14, k_hashes=3).count()
     assert n_fp <= 10
+
+
+def test_pagerank_int_star_graph_ranks_center_highest(spark):
+    from pyspark_pipelining_spark.operators.graph import pagerank_int
+
+    # star: center 0 connected to 1..4 (undirected -> both directions)
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = {r["id"]: r["r"] for r in pagerank_int(edges, iters=3).collect()}
+    assert len(out) == 5
+    leaves = [out[i] for i in range(1, 5)]
+    assert len(set(leaves)) == 1  # symmetric leaves rank equally
+    assert out[0] > leaves[0]     # the hub dominates
+    # deterministic across layouts
+    again = {
+        r["id"]: r["r"]
+        for r in pagerank_int(edges.repartition(7), iters=3).collect()
+    }
+    assert again == out
