@@ -406,3 +406,79 @@ def mixture_sample(
     )
     bucket = portable_hash_id(F.col(id_col).cast("string"), grid)
     return keyed.filter(bucket < F.col("_cut")).select(id_col, group_col, cost_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-window character chunking with overlap — the RAG /
+    context-window prep step that turns documents into retrievable
+    passages.  Chunk ``i`` covers ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; starts are generated while
+    ``i*stride < length`` (integer arithmetic: ``(len + stride - 1)
+    div stride`` starts, exact in both engines — no float ceil).
+
+    Pure map-side (sequence → posexplode → substring): zero shuffle at
+    any corpus size; chunk counts derive from ``length(text)`` itself,
+    not a metadata column that could drift from the payload.  Empty
+    documents produce no chunks.
+    """
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+    n = F.expr(f"(length({text_col}) + {stride - 1}) div {stride}")
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            id_col,
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("chunk_id", "_i"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.expr(f"substring({text_col}, chunk_id * {stride} + 1, {size})").alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 5,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per group
+    (sequential Poisson sampling, Ohlsson 1998): each row gets priority
+    ``hash(id) / weight`` and the k smallest priorities win, so
+    inclusion probability is ≈ proportional to weight — the standard
+    upweight-quality-sources primitive for corpus mixtures when exact
+    per-source budgets (see :func:`mixture_sample`) are too coarse.
+
+    Engine-portable by construction: the 60-bit md5 hash → double
+    conversion and one IEEE division are both correctly-rounded single
+    operations, bit-identical in Spark and DuckDB; ties (impossible
+    unless hashes collide) break on id.  One shuffle on the group key;
+    at huge-group scale pre-thin with a per-group priority threshold
+    filter (map-side) before the exact window, the same escape hatch
+    as :func:`stratified_topk_sample`.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    prio = h.cast("double") / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.col("_prio"), F.col(id_col))
+    return (
+        df.select(id_col, group_col, weight_col, prio.alias("_prio"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, group_col, weight_col)
+    )

@@ -1,0 +1,123 @@
+"""Exact-arithmetic statistics operators (beyond-reference scope —
+the per-group trend and anomaly primitives an analytics engine runs
+over fact tables, built to be bit-reproducible across engines).
+
+Determinism design: float sums are shuffle-order-dependent, so both
+operators accumulate on an integer lattice (cents, epoch days) in
+``decimal(38,0)`` — 128-bit exact, associative, and identical to the
+DuckDB oracle's HUGEINT.  Division only happens once, at the very end,
+on exactly-represented operands (a single correctly-rounded IEEE op),
+or never: the outlier test is a pure integer comparison, no floats at
+all.
+
+Scale shape: each operator is one map-side-combined groupBy producing
+a group-count-sized stats table, broadcast back over the fact — the
+fact table itself is shuffled zero times (outliers) or once only to
+aggregate (trend).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: cents-lattice conversion that both engines reproduce bit-for-bit:
+#: double multiply (correctly rounded) then floor (exact) then cast of
+#: an integral double (exact).  Plain CAST(double AS BIGINT) would NOT
+#: be portable — Spark truncates, DuckDB rounds.
+def _cents(col) -> "F.Column":
+    return F.floor(col * F.lit(100)).cast("long")
+
+
+def group_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group least-squares slope and intercept of integer ``y``
+    against integer ``x`` (cents against epoch days, typically) — the
+    "is this segment growing?" report.
+
+    All five sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate in
+    ``decimal(38,0)``: int64 Σxy overflows at ~5e5 rows of
+    (20 000-day × $10 000) facts, i.e. exactly warehouse scale.  The
+    closed-form slope ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` is emitted as
+    a double — numerator and denominator are exact decimals, each cast
+    correctly rounded, one division.  (The 128-bit exacts stay
+    internal: surfacing them would force HUGEINT/Decimal output
+    columns, which pandas renders as float64 on one engine and object
+    on the other — the round-2 ``media_features`` dtype trap.)  Groups
+    with a degenerate x-spread (denominator 0) are dropped rather than
+    emitting NaN/NULL noise.
+
+    Output: ``<group_col>, n, slope``.
+    """
+    d = "CAST({} AS DECIMAL(38,0))"
+    xx, yy = d.format(x_col), d.format(y_col)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum({xx})").alias("sx"),
+        F.expr(f"sum({yy})").alias("sy"),
+        F.expr(f"sum({xx} * {yy})").alias("sxy"),
+        F.expr(f"sum({xx} * {xx})").alias("sxx"),
+    )
+    nd = d.format("n")
+    return (
+        agg.select(
+            group_col,
+            "n",
+            F.expr(f"CAST({nd} * sxy - sx * sy AS DECIMAL(38,0))").alias("_num"),
+            F.expr(f"CAST({nd} * sxx - sx * sx AS DECIMAL(38,0))").alias("_den"),
+        )
+        .filter(F.col("_den") != 0)
+        .select(
+            group_col,
+            "n",
+            (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+                "slope"
+            ),
+        )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_sigma: int = 3,
+) -> DataFrame:
+    """Rows whose value deviates more than ``n_sigma`` standard
+    deviations from their group mean — anomaly flagging with ZERO float
+    arithmetic: ``(v − μ)² > k²σ²`` multiplied through by ``n²`` gives
+    ``(n·v − S)² > k²·(n·SS − S²)``, all integer-exact in
+    ``decimal(38,0)``, so the flag can never flip on a last-ulp
+    difference (the failure mode of a naive float z-score at a group
+    boundary).
+
+    The dollar ``value_col`` is snapped to the cents lattice first.
+    Stats table is group-count rows, broadcast back; the fact table is
+    never shuffled.  The exact 128-bit comparison stays internal (see
+    :func:`group_trend` on why HUGEINT-sized columns don't belong in
+    output).
+
+    Output: ``<id_col>, <group_col>, v_cents``.
+    """
+    cents = df.select(
+        id_col, group_col, _cents(F.col(value_col)).alias("v_cents")
+    )
+    vv = "CAST(v_cents AS DECIMAL(38,0))"
+    stats = cents.groupBy(group_col).agg(
+        F.expr("CAST(count(*) AS DECIMAL(19,0))").alias("gn"),
+        F.expr(f"sum({vv})").alias("gs"),
+        F.expr(f"sum({vv} * {vv})").alias("gss"),
+    )
+    joined = cents.join(F.broadcast(stats), on=group_col)
+    dev = f"CAST(gn * {vv} - gs AS DECIMAL(19,0))"
+    return joined.filter(
+        F.expr(
+            f"CAST({dev} * {dev} AS DECIMAL(38,0))"
+            f" > CAST({n_sigma * n_sigma} * (gn * gss - gs * gs) AS DECIMAL(38,0))"
+        )
+    ).select(id_col, group_col, "v_cents")

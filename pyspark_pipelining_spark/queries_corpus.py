@@ -599,6 +599,65 @@ ORDER BY source, bucket
 """
 
 
+
+
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window RAG chunking (operators/corpus.chunk_documents):
+    pure map-side sequence/posexplode/substring, chunk counts derived
+    from length(text) by integer arithmetic both engines share."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.chunk_documents(
+        docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+# DuckDB's generate_series takes neither lateral column arguments nor
+# subqueries, so the oracle cross-joins a constant chunk-index spine
+# (generous fixed bound; supports docs to 256·stride chars) and keeps
+# starts inside each document — the same chunk set the engine derives
+SQL_CHUNK_OVERLAP = f"""
+SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+       substring(text, CAST(g.i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
+       length(substring(text, CAST(g.i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_len
+FROM documents, generate_series(0, 255) AS g(i)
+WHERE g.i * {_STRIDE} < length(text)
+ORDER BY doc_id, chunk_id
+"""
+
+WEIGHTED_K = 5
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Poisson weighted sampling
+    (operators/corpus.weighted_sample): k docs per source with
+    inclusion probability ~ n_chars, deterministic via the md5
+    hash/weight priority both engines compute bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.weighted_sample(docs, k=WEIGHTED_K).orderBy("source", "doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH pr AS (
+    SELECT doc_id, source, n_chars,
+           CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                AS DOUBLE) / CAST(n_chars AS DOUBLE) AS prio
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn
+    FROM pr
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= {WEIGHTED_K}
+ORDER BY source, doc_id
+"""
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -617,6 +676,8 @@ QUERIES_CORPUS = {
     "sample_hash": q_sample_hash,
     "pack_greedy": q_pack_greedy,
     "embedding_coherence": q_embedding_coherence,
+    "chunk_overlap": q_chunk_overlap,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES_CORPUS = {
@@ -637,4 +698,6 @@ ORACLES_CORPUS = {
     "sample_hash": SQL_SAMPLE_HASH,
     "pack_greedy": SQL_PACK_GREEDY,
     "embedding_coherence": SQL_EMBEDDING_COHERENCE,
+    "chunk_overlap": SQL_CHUNK_OVERLAP,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

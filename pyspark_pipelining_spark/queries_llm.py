@@ -696,3 +696,55 @@ SQL_PAGERANK_DOCS = _sql_pagerank()
 # defined below the registry literals, so registered here
 QUERIES_LLM["pagerank_docs"] = q_pagerank_docs
 ORACLES_LLM["pagerank_docs"] = SQL_PAGERANK_DOCS
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the near-duplicate similarity
+    graph (operators/graph.triangle_count): dense LSH cliques vs chance
+    collisions.  Degree-ordered wedge enumeration keeps the join
+    O(m^1.5) on any degree distribution."""
+    from pyspark_pipelining_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    edges = pairs.select(
+        F.col("doc_1").alias("src"), F.col("doc_2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_2").alias("src"), F.col("doc_1").alias("dst"))
+    )
+    out = triangle_count(edges)
+    return out.select(F.col("id").alias("doc_id"), "triangles")
+
+
+def _sql_triangles(
+    threshold: float = 0.5, num_hashes: int = 16, bands: int = 8
+) -> str:
+    """Oracle via the id-ordered (a<b<c) formulation — enumerates the
+    same triangle set the degree-ordered engine finds."""
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    return f"""
+WITH {ctes},
+pairs AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+),
+tri AS (
+    SELECT e1.doc_1 AS a, e1.doc_2 AS b, e2.doc_2 AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_1 = e1.doc_2
+    JOIN pairs e3 ON e3.doc_1 = e1.doc_1 AND e3.doc_2 = e2.doc_2
+),
+corners AS (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, count(*) AS triangles FROM corners GROUP BY doc_id
+"""
+
+
+SQL_GRAPH_TRIANGLES = _sql_triangles()
+
+QUERIES_LLM["graph_triangles"] = q_graph_triangles
+ORACLES_LLM["graph_triangles"] = SQL_GRAPH_TRIANGLES

@@ -501,6 +501,133 @@ FROM changed
 """
 
 
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over events (operators/funnel): users
+    per deepest view -> click -> purchase stage reached, matched in
+    (ts, event_id) scan order with one shuffle and a codegen fold —
+    no per-step self-join."""
+    from pyspark_pipelining_spark.operators.funnel import funnel_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_report(ev, FUNNEL_STEPS).orderBy("stage")
+
+
+# the oracle takes the textbook k-join formulation (first match of each
+# step strictly after the previous match, row-value comparison on
+# (ts, event_id)) — equivalent to the engine's single-pass greedy fold
+SQL_FUNNEL_REPORT = """
+WITH m1 AS (
+    SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view') WHERE rn = 1
+),
+m2 AS (
+    SELECT user_id, ts, event_id FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN m1 USING (user_id)
+        WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (m1.ts, m1.event_id))
+    WHERE rn = 1
+),
+m3 AS (
+    SELECT user_id FROM (
+        SELECT e.user_id,
+               row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN m2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (m2.ts, m2.event_id))
+    WHERE rn = 1
+),
+stages AS (
+    SELECT u.user_id,
+           CASE WHEN m3.user_id IS NOT NULL THEN 3
+                WHEN m2.user_id IS NOT NULL THEN 2
+                WHEN m1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN m1 ON u.user_id = m1.user_id
+    LEFT JOIN m2 ON u.user_id = m2.user_id
+    LEFT JOIN m3 ON u.user_id = m3.user_id
+)
+SELECT sp.stage, coalesce(c.users, 0) AS users
+FROM (SELECT unnest([0, 1, 2, 3]) AS stage) sp
+LEFT JOIN (SELECT stage, count(*) AS users FROM stages GROUP BY stage) c
+  USING (stage)
+ORDER BY sp.stage
+"""
+
+
+def q_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend (operators/stats.group_trend): exact
+    decimal(38,0) sufficient statistics over the (epoch-day, cents)
+    integer lattice, one correctly-rounded double division at the end."""
+    from pyspark_pipelining_spark.operators.stats import group_trend
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("x"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    return group_trend(base, "x", "y", "priority").orderBy("priority")
+
+
+SQL_ORDER_TREND = """
+WITH base AS (
+    SELECT o_orderpriority AS priority,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+    FROM orders
+),
+agg AS (
+    SELECT priority, count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+    FROM base GROUP BY priority
+)
+SELECT priority, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+FROM agg WHERE n * sxx - sx * sx != 0
+ORDER BY priority
+"""
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma anomalies in event value per event type
+    (operators/stats.zscore_outliers): the comparison is pure 128-bit
+    integer arithmetic — (n*v - S)^2 > 9*(n*SS - S^2) on the cents
+    lattice — so the flag can never flip on float noise."""
+    from pyspark_pipelining_spark.operators.stats import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_outliers(ev, "value", "event_type", "event_id").orderBy("event_id")
+
+
+SQL_VALUE_OUTLIERS = """
+WITH cents AS (
+    SELECT event_id, event_type,
+           CAST(floor(value * 100) AS BIGINT) AS v_cents
+    FROM events
+),
+stats AS (
+    SELECT event_type, CAST(count(*) AS HUGEINT) AS gn,
+           sum(CAST(v_cents AS HUGEINT)) AS gs,
+           sum(CAST(v_cents AS HUGEINT) * v_cents) AS gss
+    FROM cents GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.v_cents
+FROM cents c JOIN stats s USING (event_type)
+WHERE (s.gn * c.v_cents - s.gs) * (s.gn * c.v_cents - s.gs)
+      > 9 * (s.gn * s.gss - s.gs * s.gs)
+ORDER BY c.event_id
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
@@ -518,6 +645,9 @@ QUERIES_REL = {
     "asof_attribution": q_asof_attribution,
     "interval_attribution": q_interval_attribution,
     "scd2_customer_priority": q_scd2_customer_priority,
+    "funnel_report": q_funnel_report,
+    "order_trend": q_order_trend,
+    "value_outliers": q_value_outliers,
 }
 
 ORACLES_REL = {
@@ -537,4 +667,7 @@ ORACLES_REL = {
     "asof_attribution": SQL_ASOF_ATTRIBUTION,
     "interval_attribution": SQL_INTERVAL_ATTRIBUTION,
     "scd2_customer_priority": SQL_SCD2_CUSTOMER_PRIORITY,
+    "funnel_report": SQL_FUNNEL_REPORT,
+    "order_trend": SQL_ORDER_TREND,
+    "value_outliers": SQL_VALUE_OUTLIERS,
 }

@@ -417,3 +417,129 @@ def test_pagerank_int_star_graph_ranks_center_highest(spark):
         for r in pagerank_int(edges.repartition(7), iters=3).collect()
     }
     assert again == out
+
+
+def test_triangle_count_known_graphs(spark):
+    import itertools
+
+    from pyspark_pipelining_spark.operators.graph import triangle_count
+
+    def sym(pairs):
+        return pairs + [(b, a) for a, b in pairs]
+
+    # K4: every node sits in C(3,2) = 3 triangles
+    k4 = sym(list(itertools.combinations(range(4), 2)))
+    out = {
+        r["id"]: r["triangles"]
+        for r in triangle_count(spark.createDataFrame(k4, "src long, dst long")).collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    # path: triangle-free
+    path = sym([(0, 1), (1, 2), (2, 3)])
+    assert (
+        triangle_count(spark.createDataFrame(path, "src long, dst long")).count() == 0
+    )
+    # one triangle + pendant: pendant node absent from the output
+    g = sym([(0, 1), (1, 2), (0, 2), (0, 3)])
+    out = {
+        r["id"]: r["triangles"]
+        for r in triangle_count(spark.createDataFrame(g, "src long, dst long")).collect()
+    }
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_chunk_documents_covers_text_exactly(spark):
+    from pyspark_pipelining_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 48), (2, "xy" * 200), (3, ""), (4, "short")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=200, overlap=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc  # empty doc -> no chunks
+    assert [r["chunk_len"] for r in by_doc[1]] == [48]
+    # 400 chars, stride 150 -> starts 0/150/300, last chunk 100 chars
+    assert [r["chunk_len"] for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])] == [
+        200,
+        200,
+        100,
+    ]
+    # stitching the non-overlap prefixes + final chunk rebuilds the text
+    chunks = [r["chunk_text"] for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])]
+    rebuilt = "".join(c[:150] for c in chunks[:-1]) + chunks[-1]
+    assert rebuilt == "xy" * 200
+    # consecutive chunks share exactly the 50-char overlap
+    assert chunks[0][150:] == chunks[1][:50]
+
+
+def test_weighted_sample_is_exact_k_and_layout_independent(spark):
+    from pyspark_pipelining_spark.operators.corpus import weighted_sample
+
+    rows = [(i, "g" + str(i % 3), 10 + (i * 37) % 90) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    picked = sorted(
+        (r["source"], r["doc_id"]) for r in weighted_sample(df, k=4).collect()
+    )
+    assert len(picked) == 12  # exactly k per group
+    again = sorted(
+        (r["source"], r["doc_id"])
+        for r in weighted_sample(df.repartition(13), k=4).collect()
+    )
+    assert picked == again
+
+
+def test_funnel_stages_ordering_semantics(spark):
+    import datetime as dt
+
+    from pyspark_pipelining_spark.operators.funnel import funnel_stages
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: full path in order -> 3
+        (1, 1, t(1), "view"),
+        (1, 2, t(2), "click"),
+        (1, 3, t(3), "purchase"),
+        # user 2: purchase BEFORE the view/click -> only view+click count
+        (2, 4, t(1), "purchase"),
+        (2, 5, t(2), "view"),
+        (2, 6, t(3), "click"),
+        # user 3: no step-1 event at all -> 0
+        (3, 7, t(1), "click"),
+        (3, 8, t(2), "purchase"),
+        # user 4: same-timestamp tie resolves by event_id (view id=9
+        # before click id=10 -> both match)
+        (4, 9, t(5), "view"),
+        (4, 10, t(5), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 0, 4: 2}
+
+
+def test_group_trend_recovers_exact_slope(spark):
+    from pyspark_pipelining_spark.operators.stats import group_trend
+
+    # y = 7x + 3 exactly -> slope must be exactly 7.0
+    rows = [("a", x, 7 * x + 3) for x in range(50)]
+    # degenerate group: single x value -> dropped, not NaN
+    rows += [("b", 5, y) for y in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r["slope"] for r in group_trend(df, "x", "y", "g").collect()}
+    assert out == {"a": 7.0}
+
+
+def test_zscore_outliers_flags_only_the_spike(spark):
+    from pyspark_pipelining_spark.operators.stats import zscore_outliers
+
+    rows = [(i, "t", 10.0 + (i % 7) / 100) for i in range(100)]
+    rows.append((100, "t", 5000.0))  # the anomaly
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_outliers(df, "value", "event_type", "event_id").collect()
+    assert [r["event_id"] for r in out] == [100]
+    assert out[0]["v_cents"] == 500000

@@ -278,3 +278,26 @@ def test_bloom_prefilter_probe_side_broadcast_only(spark):
     filter, defeating the prefilter's purpose."""
     plan = plan_of(spark, "bloom_prefilter")
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_overlap_is_map_side_only(spark):
+    """Chunking is sequence/posexplode/substring per row: any Exchange
+    means payload text got shuffled for nothing."""
+    plan = plan_of(spark, "chunk_overlap")
+    # the orderBy is presentation (range partitioning); no hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_value_outliers_broadcasts_stats_never_shuffles_fact(spark):
+    """The per-type stats table (5 rows) must reach the fact via
+    broadcast; a hashpartitioning Exchange on the fact side would mean
+    the whole event table shuffles to apply a 5-row filter."""
+    plan = plan_of(spark, "value_outliers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_report_is_single_user_shuffle(spark):
+    """The funnel fold must cost exactly one hashpartitioning Exchange
+    (on user_id) — the textbook per-step self-join formulation costs k."""
+    plan = plan_of(spark, "funnel_report")
+    assert plan.count("hashpartitioning(user_id") == 1, plan
