@@ -482,3 +482,31 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .select(id_col, group_col, weight_col)
     )
+
+
+def merge_pair_counts(df: DataFrame, k: int = 40, text_col: str = "text") -> DataFrame:
+    """Top-k adjacent word pairs by corpus frequency — the candidate
+    scoring step of a BPE/WordPiece merge round (at word granularity:
+    which pairs co-occur often enough to fuse).
+
+    Map-side pair construction (a higher-order ``transform`` over the
+    token array — zero Python), one map-side-combined groupBy on the
+    pair, and a TakeOrdered top-k so no global sort materializes the
+    full pair vocabulary.  Ties break lexicographically so the cut is
+    deterministic.  Output: ``w1, w2, n_pairs``.
+    """
+    # guard size >= 2 BEFORE sequence(1, size-1): Spark's sequence is
+    # bidirectional, so sequence(1, 0) silently yields [1, 0] and the
+    # 0 index would fault under ANSI element_at
+    words = with_words(df, text_col).filter(F.size("words") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> struct(element_at(words, i) AS w1,"
+                "             element_at(words, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counted = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return counted.orderBy(F.desc("n_pairs"), "w1", "w2").limit(k)

@@ -96,8 +96,16 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     on node ids, payload is ids only.
 
     Output: ``id, triangles`` for every node in ≥ 1 triangle.
+
+    The edge list is materialized once (``localCheckpoint``) before the
+    three self-references — same reasoning as :func:`pagerank_int`:
+    without truncation Spark re-executes the upstream edge pipeline
+    (an LSH candidate join here) once per reference, measured 26 s →
+    ~3 s at sf0.1.
     """
-    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ed = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     deg = ed.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
     # orient each undirected edge lower-(deg,id) -> higher-(deg,id);
     # keep the head's degree so wedges can canonically order (b, c)

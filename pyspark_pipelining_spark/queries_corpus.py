@@ -658,6 +658,36 @@ ORDER BY source, doc_id
 """
 
 
+
+
+BPE_K = 40
+
+
+def q_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style merge-candidate scoring
+    (operators/corpus.merge_pair_counts): top-k adjacent word pairs by
+    corpus frequency, higher-order pair construction + TakeOrdered (no
+    global sort, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.merge_pair_counts(docs, k=BPE_K)
+
+
+SQL_BPE_PAIR_TOPK = f"""
+WITH words AS (
+    SELECT string_split_regex(lower(text), ' +') AS w FROM documents
+),
+pairs AS (
+    SELECT unnest(list_transform(range(1, len(w)), i -> struct_pack(
+               w1 := w[i], w2 := w[i + 1]))) AS p
+    FROM words WHERE len(w) >= 2
+)
+SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pairs
+FROM pairs GROUP BY p.w1, p.w2
+ORDER BY n_pairs DESC, w1, w2
+LIMIT {BPE_K}
+"""
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
@@ -678,6 +708,7 @@ QUERIES_CORPUS = {
     "embedding_coherence": q_embedding_coherence,
     "chunk_overlap": q_chunk_overlap,
     "weighted_sample": q_weighted_sample,
+    "bpe_pair_topk": q_bpe_pair_topk,
 }
 
 ORACLES_CORPUS = {
@@ -700,4 +731,5 @@ ORACLES_CORPUS = {
     "embedding_coherence": SQL_EMBEDDING_COHERENCE,
     "chunk_overlap": SQL_CHUNK_OVERLAP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "bpe_pair_topk": SQL_BPE_PAIR_TOPK,
 }
