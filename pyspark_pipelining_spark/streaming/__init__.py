@@ -1,5 +1,6 @@
 from pyspark_pipelining_spark.streaming.stateful import (
     asof_stream,
+    funnel_stream,
     sessionize_batch,
     sessionize_stream,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "daily_counts_batch",
     "daily_counts_stream",
     "dedup_stream",
+    "funnel_stream",
     "run_stream_to_memory",
     "sessionize_batch",
     "sessionize_stream",

@@ -249,3 +249,68 @@ def asof_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(
+    stream_df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming sibling of :func:`pyspark_pipelining_spark.operators.
+    funnel.funnel_stages`: per-user greedy funnel matching where the
+    scan position survives across micro-batches.  The fold is
+    prefix-incremental — stage after events e1..en is a pure function
+    of (stage after e1..ek, events ek+1..en) — so O(1) state (the
+    current stage) makes the replay exactly the batch fold.
+
+    Emits one row per stage ADVANCE as it happens: ``user_id, stage,
+    at_us`` (epoch micros of the completing event) — the shape a live
+    conversion dashboard consumes.  Agreement contract (tested): with
+    batches delivered in event-time order per key, max(stage) per user
+    over an ``availableNow`` replay equals the batch twin's stage for
+    every user who reached stage ≥ 1.
+
+    Within a batch, events apply in (ts, id) order — the batch twin's
+    tie rule.  Late events are the shared last-value-state limitation
+    (see :func:`asof_stream`): an event older than one already folded
+    cannot rewind the match position.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("stage", T.IntegerType()),
+            T.StructField("at_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("stage", T.IntegerType())])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        events = pd.concat(list(pdfs), ignore_index=True)
+        events["_ts_us"] = (
+            pd.to_datetime(events[ts_col]).astype("datetime64[us]").astype("int64")
+        )
+        events = events.sort_values(["_ts_us", id_col], kind="mergesort")
+        stage = state.get[0] if state.exists else 0
+        out: list[tuple[Any, ...]] = []
+        for t_us, etype in zip(events["_ts_us"], events[type_col]):
+            if stage < len(steps) and etype == steps[stage]:
+                stage += 1
+                out.append((user_id, stage, int(t_us)))
+        state.update((stage,))
+        yield pd.DataFrame(out, columns=[user_col, "stage", "at_us"]).astype(
+            {user_col: "int64", "stage": "int32", "at_us": "int64"}
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -358,3 +358,49 @@ def test_streaming_cms_partials_merge_to_batch_sketch(spark, tmp_path):
         map(tuple, cms_merge(spark.read.parquet(out).select("d", "bucket", "c")).collect())
     )
     assert merged == batch_sketch and len(merged) > 0
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """availableNow replay of the stateful funnel: max emitted stage per
+    user == the batch fold's stage for every user who reached >= 1, and
+    users absent from the stream output are exactly the batch stage-0
+    users."""
+    from pyspark_pipelining_spark.operators.funnel import funnel_stages
+    from pyspark_pipelining_spark.streaming import funnel_stream
+    from tests.conftest import SF_SMOKE
+
+    steps = ["view", "click", "purchase"]
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    batch = {
+        r["user_id"]: r["stage"] for r in funnel_stages(ev, steps).collect()
+    }
+
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = funnel_stream(stream, steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    rows = spark.sql("SELECT * FROM funnel_test").collect()
+    streamed = {}
+    for r in rows:
+        streamed[r["user_id"]] = max(streamed.get(r["user_id"], 0), r["stage"])
+    assert streamed == {u: s for u, s in batch.items() if s > 0}
+    # every stage advance 1..max was emitted exactly once per user
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["stage"])
+    for u, stages in per_user.items():
+        assert sorted(stages) == list(range(1, streamed[u] + 1))
