@@ -1,0 +1,95 @@
+"""Integer-lattice k-means — deterministic Lloyd clustering over
+embedding columns (beyond-reference scope: the semantic-clustering /
+IVF-quantizer-training primitive of an embedding-aware corpus engine).
+
+Determinism design (the pagerank_int playbook applied to clustering):
+classic k-means is float arithmetic whose per-cell means depend on
+shuffle order — not oracle-comparable and not even run-to-run stable.
+Here every coordinate snaps to a ``1/grid`` integer lattice
+(``round(double(x)·grid)``, exact in both engines — the float operand
+is widened BEFORE the multiply), centroids are truncated
+integer means (``sum div count`` — Spark ``div`` and DuckDB ``//``
+both truncate toward zero, verified including negatives), and
+distances are exact int64 squared-L2 (headroom: diff ≤ 2·grid,
+squared ≤ 4·grid², ×64 dims = 2.6e14 at grid 1e6 — five orders below
+int64).  Assignment ties break on cell id.  The whole 2-iteration run
+is a pure function of the data — bit-identical in any engine, any
+partitioning, any layout — so a DuckDB oracle can replay it unrolled.
+
+Scale shape per Lloyd step: one posexplode→groupBy(cell, pos) partial
+aggregation for centroids (map-side combined; k×dim result — always
+tiny), centroids broadcast back, assignment is a map-side argmin over
+k distance expressions.  The corpus shuffles only in the centroid
+aggregation, and only (cell, pos, coord) triples move — never whole
+vectors.  A fixed iteration count keeps the plan finite (the
+convergence-driven variant would reuse the scalar-count pattern of
+``dedup.cluster_assignments``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRID = 1_000_000
+
+
+def kmeans_int(
+    emb_df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = GRID,
+) -> DataFrame:
+    """Deterministic k-means assignment after ``iters`` Lloyd steps.
+
+    Seeding: ``cell = id mod k`` (engine-portable, data-independent).
+    Output: ``<id_col>, cell, d`` — final cell and exact int64 squared
+    lattice distance to its centroid.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (distance needs a centroid)")
+    # snap via the proven centroid_cosines idiom: widen float->double
+    # BEFORE the multiply (a float-precision product rounds differently
+    # across engines), then round — portable on both engines
+    snapped = emb_df.select(
+        id_col,
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> CAST(round(CAST(x AS DOUBLE) * {grid}) AS BIGINT))"
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    assigned = snapped.select(
+        id_col, "s", F.pmod(F.col(id_col), F.lit(k)).cast("long").alias("cell")
+    )
+    dist = F.aggregate(
+        F.expr("zip_with(s, centroid, (a, b) -> (a - b) * (a - b))"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        cent = (
+            assigned.select("cell", F.posexplode("s").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.expr("sum(x) div count(*)").alias("c"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))), p -> p.c)"
+                ).alias("centroid")
+            )
+        )
+        assigned = (
+            snapped.crossJoin(F.broadcast(cent))
+            .withColumn("d", dist)
+            .groupBy(id_col, "s")
+            .agg(F.min(F.struct("d", "cell")).alias("best"))
+            .select(
+                id_col,
+                "s",
+                F.col("best.cell").alias("cell"),
+                F.col("best.d").alias("d"),
+            )
+        )
+    return assigned.select(id_col, "cell", "d")

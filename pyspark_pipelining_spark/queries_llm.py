@@ -748,3 +748,60 @@ SQL_GRAPH_TRIANGLES = _sql_triangles()
 
 QUERIES_LLM["graph_triangles"] = q_graph_triangles
 ORACLES_LLM["graph_triangles"] = SQL_GRAPH_TRIANGLES
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-lattice k-means over the embeddings table
+    (operators/cluster.kmeans_int): 2 unrolled Lloyd steps, exact int64
+    arithmetic end-to-end, so the DuckDB oracle replays the identical
+    iteration — the oracle-checkable counterpart of the float
+    learned_centroids quantizer trainer."""
+    from pyspark_pipelining_spark.operators.cluster import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_int(emb, k=8, iters=2)
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64, grid: int = 10**6) -> str:
+    """Unrolled Lloyd steps mirroring kmeans_int bit-for-bit: DuckDB
+    ``//`` and Spark ``div`` both truncate toward zero (negatives
+    included), floor-snap and squared-L2 are exact integers."""
+    steps = []
+    prev = "a0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+c{i} AS (
+    SELECT p.cell, b.pos, sum(b.s) // count(*) AS c
+    FROM base b JOIN {prev} p USING (vec_id)
+    GROUP BY p.cell, b.pos
+),
+d{i} AS (
+    SELECT b.vec_id, c{i}.cell, CAST(sum((b.s - c{i}.c) * (b.s - c{i}.c)) AS BIGINT) AS d
+    FROM base b JOIN c{i} ON b.pos = c{i}.pos
+    GROUP BY b.vec_id, c{i}.cell
+),
+a{i} AS (
+    SELECT vec_id, cell, d FROM (
+        SELECT vec_id, cell, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM d{i})
+    WHERE rn = 1
+)""")
+        prev = f"a{i}"
+    return f"""
+WITH base AS (
+    SELECT vec_id, g.i AS pos,
+           CAST(round(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * {grid})
+                AS BIGINT) AS s
+    FROM embeddings, generate_series(1, {dim}) AS g(i)
+),
+a0 AS (SELECT vec_id, vec_id % {k} AS cell FROM embeddings),
+{",".join(steps)}
+SELECT vec_id, cell, d FROM {prev}
+"""
+
+
+SQL_KMEANS_CELLS = _sql_kmeans()
+
+QUERIES_LLM["kmeans_cells"] = q_kmeans_cells
+ORACLES_LLM["kmeans_cells"] = SQL_KMEANS_CELLS

@@ -543,3 +543,26 @@ def test_zscore_outliers_flags_only_the_spike(spark):
     out = zscore_outliers(df, "value", "event_type", "event_id").collect()
     assert [r["event_id"] for r in out] == [100]
     assert out[0]["v_cents"] == 500000
+
+
+def test_kmeans_int_separates_blobs_and_is_layout_independent(spark):
+    from pyspark_pipelining_spark.operators.cluster import kmeans_int
+
+    # two tight blobs; the id%2 seeding is informative but imperfect
+    # (4 members of each blob carry the other parity), so Lloyd must
+    # actually move those 8 points to converge on the true split
+    a_ids = list(range(0, 32, 2)) + [1, 3, 5, 7]          # 16 even + 4 odd
+    b_ids = [i for i in range(40) if i not in a_ids]       # 4 even + 16 odd
+    rows = [(i, [0.9 + (i % 5) * 1e-3] * 4) for i in a_ids]
+    rows += [(i, [-0.9 + (i % 5) * 1e-3] * 4) for i in b_ids]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_int(df, k=2, iters=2).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    blob_a = {cells[i] for i in a_ids}
+    blob_b = {cells[i] for i in b_ids}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    again = {
+        r["vec_id"]: (r["cell"], r["d"])
+        for r in kmeans_int(df.repartition(7), k=2, iters=2).collect()
+    }
+    assert again == {r["vec_id"]: (r["cell"], r["d"]) for r in out}
