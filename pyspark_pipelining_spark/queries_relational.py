@@ -628,6 +628,53 @@ ORDER BY c.event_id
 """
 
 
+
+
+def q_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value quartiles: exact integer cents totals,
+    then ntile(4) and percent_rank over a fully-determined order
+    (total desc, custkey) — the ranking-window family (ntile /
+    percent_rank) on top of an exact aggregation.  percent_rank is
+    (rank-1)/(n-1): one double division of exact integers, bit-equal
+    across engines.
+
+    Scale note: exact global ntile/percent_rank is inherently a global
+    order — Spark runs the unpartitioned window in one task.  Fine for
+    the report-sized customer dimension; for fact-sized inputs assign
+    quartiles by broadcast-joining histogram-derived cutpoints instead
+    (operators/corpus.histogram_quantiles), which stays map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    totals = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("total_cents"), F.asc("custkey"))
+    return totals.select(
+        "custkey",
+        "total_cents",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    ).orderBy("custkey")
+
+
+SQL_CUSTOMER_QUARTILES = """
+WITH totals AS (
+    SELECT o_custkey AS custkey,
+           sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, CAST(total_cents AS BIGINT) AS total_cents,
+       ntile(4) OVER (ORDER BY total_cents DESC, custkey) AS quartile,
+       percent_rank() OVER (ORDER BY total_cents DESC, custkey) AS pr
+FROM totals
+ORDER BY custkey
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
@@ -648,6 +695,7 @@ QUERIES_REL = {
     "funnel_report": q_funnel_report,
     "order_trend": q_order_trend,
     "value_outliers": q_value_outliers,
+    "customer_quartiles": q_customer_quartiles,
 }
 
 ORACLES_REL = {
@@ -670,4 +718,5 @@ ORACLES_REL = {
     "funnel_report": SQL_FUNNEL_REPORT,
     "order_trend": SQL_ORDER_TREND,
     "value_outliers": SQL_VALUE_OUTLIERS,
+    "customer_quartiles": SQL_CUSTOMER_QUARTILES,
 }
