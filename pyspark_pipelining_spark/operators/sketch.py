@@ -272,6 +272,95 @@ def bloom_probe(
     return out
 
 
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_W = 60 - HLL_P  # bits left in the hash after the bucket index
+#: alpha_m · m² · 2^(W+1) as an exact Python double — shared with the
+#: oracle via repr() so the one float division is bit-identical
+#: cross-engine.  The 2^(W+1) factor undoes the integer scaling of the
+#: harmonic sum S = Σ 2^(W+1−r) (empty registers count as r = 0).
+HLL_NUM = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << (HLL_W + 1))
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """HyperLogLog register table per group: ``(group, bucket, r)``.
+
+    The 60-bit md5 portable hash splits into a ``HLL_P``-bit bucket
+    index and a ``HLL_W``-bit tail; ``rho`` is the position of the
+    tail's highest set bit counted from the top (``W - bitlen + 1``,
+    ``W + 1`` for an all-zero tail), computed exactly via
+    ``length(bin(tail))`` — Spark's ``bin`` and DuckDB's ``bin`` both
+    render without leading zeros, so the expression is engine-portable
+    with no float log2 anywhere.
+
+    ``r = max(rho)`` per (group, bucket) is a commutative, idempotent
+    aggregate: the register table is layout-independent, mergeable
+    across partitions/days/streams by another ``max``, and bounded at
+    ``m`` rows per group — broadcastable at any input scale.  Partial
+    aggregation combines map-side, so the shuffle carries at most
+    ``m × tasks`` rows no matter how many raw values flow in (the
+    classic reason HLL beats exact distinct at 100 TB).
+    """
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
+    hashed = df.select(F.col(group_col), h.alias("h")).select(
+        group_col,
+        F.pmod(F.col("h"), F.lit(HLL_M)).alias("bucket"),
+        # integer div, NOT `/`: float division of a 60-bit int would
+        # round past the 53-bit double mantissa
+        F.expr(f"h div {HLL_M}").alias("tail"),
+    )
+    rho = F.when(F.col("tail") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin("tail"))
+    )
+    return (
+        hashed.select(group_col, "bucket", rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
+    """Distinct-count estimate from a :func:`hll_registers` table.
+
+    The harmonic mean is computed in scaled integers — ``S = Σ
+    2^(W+1−r)`` over present registers plus ``2^(W+1)`` per
+    never-touched register (max ``m·2^(W+1) = 2^61``, exact int64) — so
+    the only float operations are one division (``HLL_NUM / S``) and,
+    in the small-range regime, one ``ln``; both are identical in the
+    DuckDB oracle and the result is rounded to 6dp.
+
+    Small-range correction (classic HLL): when the raw estimate is
+    ≤ 2.5·m and some registers are empty, linear counting
+    ``m·ln(m/V)`` is the better estimator.  The 2^32-range correction
+    from the original paper is unnecessary here: hashes are 60-bit, so
+    collisions are negligible below ~2^30 distinct values.
+    """
+    per_reg = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W + 1} - r AS INT))")
+    agg = registers.groupBy(group_col).agg(
+        F.sum(per_reg).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    s = F.col("s_present") + v * F.lit(1 << (HLL_W + 1))
+    raw = F.lit(HLL_NUM) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(group_col, F.round(est, 6).alias("est_distinct"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Estimated distinct ``value_col`` per ``group_col`` via
+    HyperLogLog (register build + estimate; see the two stages for the
+    scale story).  Complements :func:`kmv_distinct`: HLL registers are
+    O(m) per group with single-pass max-merge (the streaming/union
+    workhorse), while KMV keeps the k minima (exact below k, and its
+    estimate is a deterministic function of the input *set* regardless
+    of m).  Both are bit-exact reproducible in the DuckDB oracle."""
+    return hll_estimate(hll_registers(df, group_col, value_col), group_col)
+
+
 def cms_merge(partials: DataFrame) -> DataFrame:
     """Merge any number of :func:`cms_sketch` counter tables (e.g. the
     per-micro-batch partials a streaming sink lands, or per-day

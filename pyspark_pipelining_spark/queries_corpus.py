@@ -576,6 +576,61 @@ FROM ranked GROUP BY source
 """
 
 
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via HyperLogLog
+    (operators/sketch.hll_distinct) — the O(m)-state single-pass
+    counterpart to ``kmv_distinct_tokens``; integer registers and a
+    shared float numerator make the estimate bit-exact cross-engine."""
+    from pyspark_pipelining_spark.operators.sketch import hll_distinct
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        with_words(docs)
+        .select("source", F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return hll_distinct(toks, "source", "token")
+
+
+def _sql_hll() -> str:
+    from pyspark_pipelining_spark.operators.sketch import HLL_M, HLL_NUM, HLL_W
+
+    top = HLL_W + 1
+    raw = (
+        f"{HLL_NUM!r} / CAST(s_present + ({HLL_M} - n_present) "
+        f"* (CAST(1 AS BIGINT) << {top}) AS DOUBLE)"
+    )
+    return f"""
+WITH {SQL_WORDS},
+toks AS (SELECT source, unnest(w) AS token FROM words),
+hashed AS (
+    SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM toks WHERE length(token) > 0
+),
+regs AS (
+    SELECT source, h % {HLL_M} AS bucket,
+           max(CASE WHEN h // {HLL_M} = 0 THEN {top}
+                    ELSE {top} - length(bin(h // {HLL_M})) END) AS r
+    FROM hashed GROUP BY source, bucket
+),
+agg AS (
+    SELECT source,
+           sum(CAST(1 AS BIGINT) << ({top} - r)) AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY source
+)
+SELECT source,
+       round(CASE WHEN {raw} <= {2.5 * HLL_M!r} AND n_present < {HLL_M}
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - n_present AS DOUBLE))
+                  ELSE {raw} END, 6) AS est_distinct
+FROM agg
+"""
+
+
+SQL_HLL_DISTINCT_TOKENS = _sql_hll()
+
+
 def q_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length-distribution report: documents bucketed by
     ``n_chars // 64`` (exact integer division — no float binning
@@ -690,6 +745,7 @@ LIMIT {BPE_K}
 
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
+    "hll_distinct_tokens": q_hll_distinct_tokens,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "mixture_sample": q_mixture_sample,
     "collapse_repeats": q_collapse_repeats,
@@ -713,6 +769,7 @@ QUERIES_CORPUS = {
 
 ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
+    "hll_distinct_tokens": SQL_HLL_DISTINCT_TOKENS,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "collapse_repeats": SQL_COLLAPSE_REPEATS,

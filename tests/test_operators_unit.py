@@ -279,6 +279,47 @@ def test_kmv_distinct_exact_below_k_and_layout_independent(spark):
             assert again == out, (strategy, parts)
 
 
+def test_hll_distinct_accuracy_merge_and_layout_independence(spark):
+    from pyspark_pipelining_spark.operators.sketch import (
+        HLL_M,
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    # "small" (40 distinct) lands in the linear-counting branch; "big"
+    # (5000 distinct) in the raw-harmonic branch.  m=256 gives ~6.5%
+    # standard error; assert 4 sigma.
+    rows = [("small", f"v{i % 40}") for i in range(200)]
+    rows += [("big", f"w{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {r["grp"]: r["est_distinct"] for r in hll_distinct(df, "grp", "val").collect()}
+    assert abs(out["small"] - 40) <= 40 * 0.26
+    assert abs(out["big"] - 5000) <= 5000 * 0.26
+    # registers are a commutative max -> layout-independent
+    again = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct(df.repartition(7), "grp", "val").collect()
+    }
+    assert again == out
+    # mergeable: max-merge of two halves' registers == whole's registers
+    half1 = spark.createDataFrame(rows[:2000], ["grp", "val"])
+    half2 = spark.createDataFrame(rows[2000:], ["grp", "val"])
+    merged_regs = (
+        hll_registers(half1, "grp", "val")
+        .unionByName(hll_registers(half2, "grp", "val"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    merged_est = {
+        r["grp"]: r["est_distinct"] for r in hll_estimate(merged_regs, "grp").collect()
+    }
+    assert merged_est == out
+    # register table is bounded at m rows per group
+    n_regs = hll_registers(df, "grp", "val").groupBy("grp").count().collect()
+    assert all(r["count"] <= HLL_M for r in n_regs)
+
+
 def test_centroid_cosines_survives_int64_overflow_regime(spark):
     """Sum-of-squares of the per-dim centroid sums exceeds int64 when a
     label is large and aligned (here: 2200 identical all-ones vectors,
