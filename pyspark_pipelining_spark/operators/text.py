@@ -116,6 +116,98 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return words.select("doc_id", fp.alias("fingerprint"))
 
 
+def _word_grams(n: int):
+    """Array of word n-grams (space-joined) from the ``words`` column.
+
+    Guarded on ``size >= n``: Spark's ``sequence(1, 0)`` is DESCENDING
+    ``[1, 0]``, so an unguarded sequence would fabricate grams for
+    too-short documents."""
+    sz = F.size("words")
+
+    def gram(i):
+        parts: list = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(F.col("words"), i + F.lit(j)))
+        return F.concat(*parts)
+
+    return F.when(
+        sz >= n, F.transform(F.sequence(F.lit(1), sz - F.lit(n - 1)), gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(arr):
+    """Per-document n-gram repetition stats WITHOUT a shuffle: sort the
+    gram array, then one left-fold turns equal-value runs into counts.
+    Returns struct(best, dup): ``best`` = max over distinct grams of
+    count x char-length (chars covered by the single most repetitive
+    gram), ``dup`` = total chars covered by grams occurring >= 2 times.
+
+    Empty-string sentinel is safe: grams are never '' (words come from
+    a ' +' split, so even degenerate grams contain the joining space)."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"] == x
+        closed = F.length(acc["prev"]).cast("long") * acc["run"]
+        best = F.when(same, acc["best"]).otherwise(F.greatest(acc["best"], closed))
+        dup = F.when(same | (acc["run"] < 2), acc["dup"]).otherwise(acc["dup"] + closed)
+        run = F.when(same, acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("long")
+        return F.struct(
+            x.alias("prev"), run.alias("run"), best.alias("best"), dup.alias("dup")
+        )
+
+    def fin(acc):
+        closed = F.length(acc["prev"]).cast("long") * acc["run"]
+        best = F.greatest(acc["best"], closed)
+        dup = acc["dup"] + F.when(acc["run"] >= 2, closed).otherwise(F.lit(0).cast("long"))
+        return F.struct(best.alias("best"), dup.alias("dup"))
+
+    return F.aggregate(srt, init, step, fin)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition quality signals, one row per document:
+
+    - ``top2_chars`` / ``top2_frac``: characters covered by the single
+      most repetition-heavy word bigram (max over bigrams of
+      occurrence-count x gram length), as count and as a fraction of
+      the document's characters.  High fraction = boilerplate/spam.
+    - ``dup3_chars`` / ``dup3_frac``: characters covered by all word
+      trigrams occurring more than once (Gopher's "fraction of chars in
+      duplicated n-grams", without the overlap discount — documented
+      deterministic variant so the DuckDB oracle is exact).
+
+    Scale shape: per-document higher-order array fold over the SORTED
+    gram array (runs of equal grams = counts) — zero shuffle, zero
+    explode, embarrassingly parallel over a 100 TB corpus.  Cost is
+    O(words x log words) per document, memory bounded by the document
+    itself."""
+    words = with_words(df, text_col)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    b = _run_stats(_word_grams(2))
+    t = _run_stats(_word_grams(3))
+    out = words.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        b["best"].alias("top2_chars"),
+        t["dup"].alias("dup3_chars"),
+    )
+    frac = lambda c: F.when(  # noqa: E731
+        F.col("n_chars") > 0, F.round(F.col(c) / F.col("n_chars"), 6)
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("top2_frac", frac("top2_chars")).withColumn(
+        "dup3_frac", frac("dup3_chars")
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     terms: tuple[str, ...],

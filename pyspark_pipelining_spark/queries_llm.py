@@ -580,8 +580,55 @@ FROM documents, unnest(range(0, (doc_id % 5 * 1000 + 500) // 1000 + 1)) AS t(i)
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.
+    repetition_signals): chars covered by the most repetitive word
+    bigram and by duplicated word trigrams, per document.  Beyond-
+    reference scope (no analogue in xiaowei1234/pySpark-Pipelining)."""
+    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_SIGNALS = """
+WITH docs AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           string_split_regex(lower(text), ' +') AS w
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS gram
+    FROM docs
+),
+t AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                 i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+    FROM docs
+),
+bc AS (SELECT doc_id, gram, count(*) AS cnt FROM b GROUP BY doc_id, gram),
+tc AS (SELECT doc_id, gram, count(*) AS cnt FROM t GROUP BY doc_id, gram),
+b2 AS (SELECT doc_id, max(cnt * length(gram)) AS top2_chars FROM bc GROUP BY doc_id),
+t3 AS (SELECT doc_id, sum(cnt * length(gram)) FILTER (WHERE cnt >= 2) AS dup3_chars
+       FROM tc GROUP BY doc_id)
+SELECT d.doc_id, d.n_chars,
+       CAST(COALESCE(b2.top2_chars, 0) AS BIGINT) AS top2_chars,
+       CAST(COALESCE(t3.dup3_chars, 0) AS BIGINT) AS dup3_chars,
+       CASE WHEN d.n_chars > 0
+            THEN round(CAST(COALESCE(b2.top2_chars, 0) AS DOUBLE) / d.n_chars, 6)
+            ELSE 0.0 END AS top2_frac,
+       CASE WHEN d.n_chars > 0
+            THEN round(CAST(COALESCE(t3.dup3_chars, 0) AS DOUBLE) / d.n_chars, 6)
+            ELSE 0.0 END AS dup3_frac
+FROM docs d
+LEFT JOIN b2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+"""
+
+
 QUERIES_LLM = {
     "text_fingerprint": q_text_fingerprint,
+    "repetition_signals": q_repetition_signals,
     "text_tokens": q_text_tokens,
     "text_language_id": q_text_language_id,
     "text_quality": q_text_quality,
@@ -601,6 +648,7 @@ QUERIES_LLM = {
 
 ORACLES_LLM = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_language_id": SQL_TEXT_LANGUAGE_ID,
     "text_quality": SQL_TEXT_QUALITY,

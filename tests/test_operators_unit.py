@@ -607,3 +607,24 @@ def test_kmeans_int_separates_blobs_and_is_layout_independent(spark):
         for r in kmeans_int(df.repartition(7), k=2, iters=2).collect()
     }
     assert again == {r["vec_id"]: (r["cell"], r["d"]) for r in out}
+
+
+def test_repetition_signals_hand_computed(spark):
+    from pyspark_pipelining_spark.operators.text import repetition_signals
+
+    # doc 1: "the cat" and "cat sat" bigrams each occur twice (7 chars
+    # -> 14 covered); trigram "the cat sat" occurs twice (11 -> 22).
+    # doc 2: single word -> no grams at all. doc 3: one unique bigram.
+    df = spark.createDataFrame(
+        [(1, "the cat sat the cat sat end"), (2, "one"), (3, "a b")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_chars"] == 27
+    assert out[1]["top2_chars"] == 14 and out[1]["dup3_chars"] == 22
+    assert out[1]["top2_frac"] == round(14 / 27, 6)
+    assert out[1]["dup3_frac"] == round(22 / 27, 6)
+    assert out[2]["top2_chars"] == 0 and out[2]["dup3_chars"] == 0
+    assert out[2]["top2_frac"] == 0.0
+    assert out[3]["top2_chars"] == 3 and out[3]["top2_frac"] == 1.0
+    assert out[3]["dup3_chars"] == 0
