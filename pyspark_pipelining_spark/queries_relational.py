@@ -675,8 +675,75 @@ ORDER BY custkey
 """
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering report (operators/layout.with_zorder_key):
+    assign every lineitem a Morton key over (l_orderkey, l_partkey),
+    tile the curve into 256 buckets, and report each bucket's row count
+    and min/max range in BOTH dimensions — the footer statistics a
+    z-ordered parquet write would expose for two-sided file skipping.
+
+    Scale shape: one broadcast single-row min/max agg, map-side integer
+    scaling + interleave, then ONE groupBy on the 256-value bucket key.
+    The oracle shares the generated interleave expression text, so the
+    arithmetic is identical by construction."""
+    from pyspark_pipelining_spark.operators import layout
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    keyed = layout.with_zorder_key(li, ("l_orderkey", "l_partkey"), bits=_Z_BITS)
+    return (
+        keyed.groupBy(F.expr(f"zkey DIV {_Z_TILE}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_Z_BITS = 8
+_Z_TILE = 256  # zkey < 2^16; div 256 -> 256 curve tiles
+
+
+def _sql_zorder_stats() -> str:
+    from pyspark_pipelining_spark.operators import layout
+
+    sa = layout.scaled_expr("l_orderkey", "min_a", "max_a", _Z_BITS).replace(
+        "DIV", "//"
+    )
+    sb = layout.scaled_expr("l_partkey", "min_b", "max_b", _Z_BITS).replace(
+        "DIV", "//"
+    )
+    z = layout.morton_duckdb("sa", "sb", _Z_BITS)
+    return f"""
+WITH s AS (
+    SELECT CAST(min(l_orderkey) AS BIGINT) AS min_a, CAST(max(l_orderkey) AS BIGINT) AS max_a,
+           CAST(min(l_partkey) AS BIGINT) AS min_b, CAST(max(l_partkey) AS BIGINT) AS max_b
+    FROM lineitem
+),
+scaled AS (
+    SELECT l_orderkey, l_partkey, {sa} AS sa, {sb} AS sb
+    FROM lineitem, s
+),
+keyed AS (SELECT l_orderkey, l_partkey, {z} AS zkey FROM scaled)
+SELECT zkey // {_Z_TILE} AS bucket,
+       count(*) AS n,
+       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+FROM keyed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+SQL_ZORDER_STATS = _sql_zorder_stats()
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
+    "zorder_stats": q_zorder_stats,
     "revenue_by_region": q_revenue_by_region,
     "customers_semi_anti": q_customers_semi_anti,
     "activity_full_outer": q_activity_full_outer,
@@ -700,6 +767,7 @@ QUERIES_REL = {
 
 ORACLES_REL = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "zorder_stats": SQL_ZORDER_STATS,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "customers_semi_anti": SQL_CUSTOMERS_SEMI_ANTI,
     "activity_full_outer": SQL_ACTIVITY_FULL_OUTER,

@@ -628,3 +628,48 @@ def test_repetition_signals_hand_computed(spark):
     assert out[2]["top2_frac"] == 0.0
     assert out[3]["top2_chars"] == 3 and out[3]["top2_frac"] == 1.0
     assert out[3]["dup3_chars"] == 0
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark_pipelining_spark.operators.layout import with_zorder_key
+
+    # full 4x4 grid, bits=2: ranges are [0,3] so scaling is identity and
+    # zkey must be the textbook Morton number (a even bits, b odd bits)
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = {(r["a"], r["b"]): r["zkey"] for r in with_zorder_key(df, ("a", "b"), bits=2).collect()}
+
+    def morton(a, b):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert out == {(a, b): morton(a, b) for a in range(4) for b in range(4)}
+
+
+def test_write_zordered_files_are_tight_in_both_dims(spark, tmp_path):
+    from pyspark_pipelining_spark.operators.layout import write_zordered
+
+    # 64x64 grid -> 16 files should tile the curve: per-file min/max
+    # spans in BOTH dims must be far tighter than the global 0..63 span
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    path = str(tmp_path / "zorded")
+    write_zordered(df, path, ("a", "b"), bits=6, num_files=16)
+
+    import glob
+    import pyarrow.parquet as pq
+
+    spans_a, spans_b = [], []
+    for f in glob.glob(path + "/part-*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows == 0:
+            continue
+        ca, cb = t.column("a").to_pylist(), t.column("b").to_pylist()
+        spans_a.append(max(ca) - min(ca))
+        spans_b.append(max(cb) - min(cb))
+    assert len(spans_a) >= 8  # range partitioner actually split the curve
+    assert sum(spans_a) / len(spans_a) < 32
+    assert sum(spans_b) / len(spans_b) < 32
