@@ -208,6 +208,69 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def cooccur_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    max_skip: int = 2,
+    min_count: int = 3,
+) -> DataFrame:
+    """Skip-gram word co-occurrence with pointwise mutual information —
+    the classic collocation / word-association statistic (word2vec's
+    SGNS factorizes exactly this matrix).
+
+    Pairs are ORDERED (w1 precedes w2) at token distance 1..max_skip.
+    PMI = ln(c(w1,w2) * N / (c(w1,*) * c(*,w2))) with marginals taken
+    from the FULL pair multiset (before the min_count output filter),
+    rounded to 6dp.  All counts are exact ints; the single ln() is the
+    only float op, evaluated on an identically-associated expression in
+    both engines.
+
+    Scale shape: explode -> ONE map-side-combined groupBy on the pair
+    (the token stream never shuffles raw — only (pair, count) partials);
+    the two vocab-sized marginal tables re-aggregate the pair counts
+    (no second pass over the corpus) and join back on the word keys;
+    the grand total is a broadcast single-row agg.  At 100 TB the pair
+    groupBy is the one unavoidable shuffle, and AQE handles the heavy
+    head (stopword pairs) via skew split."""
+    words = with_words(df, text_col)
+    sz = F.size("words")
+
+    def mk(d: int):
+        # closure factory: a one-arg lambda (a captured default would
+        # flip F.transform into its (element, index) form)
+        return lambda i: F.struct(
+            F.element_at(F.col("words"), i).alias("w1"),
+            F.element_at(F.col("words"), i + F.lit(d)).alias("w2"),
+        )
+
+    empty = F.array().cast("array<struct<w1:string,w2:string>>")
+    arrays = [
+        F.when(sz >= d + 1, F.transform(F.sequence(F.lit(1), sz - F.lit(d)), mk(d)))
+        .otherwise(empty)
+        for d in range(1, max_skip + 1)
+    ]
+    pairs = words.select(F.explode(F.concat(*arrays)).alias("p")).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    left = pc.groupBy("w1").agg(F.sum("pair_cnt").alias("c1"))
+    right = pc.groupBy("w2").agg(F.sum("pair_cnt").alias("c2"))
+    tot = pc.agg(F.sum("pair_cnt").alias("n_pairs"))
+    pmi = F.round(
+        F.log(
+            (F.col("pair_cnt").cast("double") * F.col("n_pairs"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        pc.filter(F.col("pair_cnt") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
+        .orderBy("w1", "w2")
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     terms: tuple[str, ...],

@@ -743,8 +743,51 @@ LIMIT {BPE_K}
 """
 
 
+PMI_MIN_COUNT = 3
+
+
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PMI (operators/text.cooccur_pmi):
+    ordered word pairs at distance 1-2, exact counts, marginals from
+    the full pair multiset, one ln() per output row."""
+    from pyspark_pipelining_spark.operators import text as text_ops
+
+    return text_ops.cooccur_pmi(
+        load_table(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT
+    )
+
+
+SQL_COOCCUR_PMI = f"""
+WITH {SQL_WORDS},
+p1 AS (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                 i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS p
+    FROM words
+),
+p2 AS (
+    SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                 i -> {{'w1': w[i], 'w2': w[i + 2]}})) AS p
+    FROM words
+),
+pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM p1 UNION ALL SELECT p.w1, p.w2 FROM p2),
+pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM pairs GROUP BY w1, w2),
+l AS (SELECT w1, sum(pair_cnt) AS c1 FROM pc GROUP BY w1),
+r AS (SELECT w2, sum(pair_cnt) AS c2 FROM pc GROUP BY w2),
+tot AS (SELECT sum(pair_cnt) AS n_pairs FROM pc)
+SELECT pc.w1, pc.w2, pc.pair_cnt,
+       round(ln((CAST(pc.pair_cnt AS DOUBLE) * n_pairs) / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+FROM pc
+JOIN l USING (w1)
+JOIN r USING (w2)
+CROSS JOIN tot
+WHERE pc.pair_cnt >= {PMI_MIN_COUNT}
+ORDER BY pc.w1, pc.w2
+"""
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
+    "cooccur_pmi": q_cooccur_pmi,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "mixture_sample": q_mixture_sample,
@@ -769,6 +812,7 @@ QUERIES_CORPUS = {
 
 ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
+    "cooccur_pmi": SQL_COOCCUR_PMI,
     "hll_distinct_tokens": SQL_HLL_DISTINCT_TOKENS,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

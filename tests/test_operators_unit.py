@@ -673,3 +673,16 @@ def test_write_zordered_files_are_tight_in_both_dims(spark, tmp_path):
     assert len(spans_a) >= 8  # range partitioner actually split the curve
     assert sum(spans_a) / len(spans_a) < 32
     assert sum(spans_b) / len(spans_b) < 32
+
+
+def test_cooccur_pmi_hand_computed(spark):
+    import math
+
+    from pyspark_pipelining_spark.operators.text import cooccur_pmi
+
+    # "a b a b": dist-1 pairs (a,b)x2 (b,a)x1; dist-2 pairs (a,a) (b,b)
+    # N=5, left(a)=3, right(b)=3 -> pmi(a,b) = ln(2*5/(3*3))
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    out = cooccur_pmi(df, min_count=2).collect()
+    assert [(r["w1"], r["w2"], r["pair_cnt"]) for r in out] == [("a", "b", 2)]
+    assert out[0]["pmi"] == round(math.log(2.0 * 5 / (3.0 * 3)), 6)
