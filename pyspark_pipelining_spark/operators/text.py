@@ -14,7 +14,7 @@ operator has a DuckDB oracle in queries.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark.sources.registry import spread
@@ -205,6 +205,44 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).otherwise(F.lit(0.0))
     return out.withColumn("top2_frac", frac("top2_chars")).withColumn(
         "dup3_frac", frac("dup3_chars")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 10,
+) -> DataFrame:
+    """Token -> posting-list inverted index (head): per token, the
+    document frequency and the first ``max_postings`` doc_ids in sorted
+    order — the retrieval structure behind term lookup / BM25 serving.
+
+    Scale shape: per-doc ``array_distinct`` BEFORE explode (map-side
+    dedup — the token stream that shuffles is already unique per doc),
+    then ONE exchange: both window functions (partition count, ranked
+    row_number) and the follow-up groupBy share the token partitioning,
+    so Spark reuses the shuffle.  ``row_number <= max_postings`` runs
+    BEFORE collect_list, so per-token state is bounded even for
+    stopword-grade tokens — the full-postings variant of this operator
+    would instead bucket-write by token and never collect."""
+    words = with_words(df, text_col)
+    toks = words.select("doc_id", F.explode(F.array_distinct("words")).alias("token"))
+    part = Window.partitionBy("token")
+    ranked = toks.select(
+        "token",
+        "doc_id",
+        F.count(F.lit(1)).over(part).alias("doc_freq"),
+        F.row_number().over(part.orderBy("doc_id")).alias("rn"),
+    )
+    return (
+        ranked.filter((F.col("rn") <= max_postings) & (F.col("doc_freq") >= min_df))
+        .groupBy("token")
+        .agg(
+            F.max("doc_freq").alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy("token")
     )
 
 

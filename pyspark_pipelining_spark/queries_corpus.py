@@ -785,9 +785,42 @@ ORDER BY pc.w1, pc.w2
 """
 
 
+INDEX_MIN_DF = 2
+INDEX_POSTINGS = 10
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index head (operators/text.inverted_index): per token,
+    document frequency + first 10 sorted doc_ids."""
+    from pyspark_pipelining_spark.operators import text as text_ops
+
+    return text_ops.inverted_index(
+        load_table(spark, sf_dir, "documents"),
+        min_df=INDEX_MIN_DF,
+        max_postings=INDEX_POSTINGS,
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH {SQL_WORDS},
+toks AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM words),
+agg AS (
+    SELECT token,
+           count(*) AS doc_freq,
+           (list(doc_id ORDER BY doc_id))[1:{INDEX_POSTINGS}] AS postings
+    FROM toks GROUP BY token
+)
+SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq, postings
+FROM agg
+WHERE doc_freq >= {INDEX_MIN_DF}
+ORDER BY token
+"""
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "cooccur_pmi": q_cooccur_pmi,
+    "inverted_index": q_inverted_index,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "mixture_sample": q_mixture_sample,
@@ -813,6 +846,7 @@ QUERIES_CORPUS = {
 ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "cooccur_pmi": SQL_COOCCUR_PMI,
+    "inverted_index": SQL_INVERTED_INDEX,
     "hll_distinct_tokens": SQL_HLL_DISTINCT_TOKENS,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -741,9 +741,39 @@ ORDER BY bucket
 SQL_ZORDER_STATS = _sql_zorder_stats()
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (operators/profile.profile_table): one-pass
+    per-column stats over orders — the Deequ-style data-quality scan
+    a pipeline runs before trusting an input drop."""
+    from pyspark_pipelining_spark.operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def _sql_profile_orders() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+SQL_PROFILE_ORDERS = _sql_profile_orders()
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
+    "profile_orders": q_profile_orders,
     "revenue_by_region": q_revenue_by_region,
     "customers_semi_anti": q_customers_semi_anti,
     "activity_full_outer": q_activity_full_outer,
@@ -768,6 +798,7 @@ QUERIES_REL = {
 ORACLES_REL = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "zorder_stats": SQL_ZORDER_STATS,
+    "profile_orders": SQL_PROFILE_ORDERS,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "customers_semi_anti": SQL_CUSTOMERS_SEMI_ANTI,
     "activity_full_outer": SQL_ACTIVITY_FULL_OUTER,

@@ -686,3 +686,29 @@ def test_cooccur_pmi_hand_computed(spark):
     out = cooccur_pmi(df, min_count=2).collect()
     assert [(r["w1"], r["w2"], r["pair_cnt"]) for r in out] == [("a", "b", 2)]
     assert out[0]["pmi"] == round(math.log(2.0 * 5 / (3.0 * 3)), 6)
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from pyspark_pipelining_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id long, s string"
+    )
+    out = {r["col_name"]: r for r in profile_table(df, ["id", "s"]).collect()}
+    assert out["id"]["n_rows"] == 3 and out["id"]["n_nulls"] == 0
+    assert out["id"]["n_distinct"] == 2
+    assert (out["id"]["min_val"], out["id"]["max_val"]) == ("1", "2")
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert (out["s"]["min_val"], out["s"]["max_val"]) == ("a", "b")
+
+
+def test_inverted_index_caps_postings_and_filters_df(spark):
+    from pyspark_pipelining_spark.operators.text import inverted_index
+
+    # y appears in 3 docs (df=3, postings capped at 2); x repeats inside
+    # doc 1 but counts once; z/q fall below min_df
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y z"), (3, "y q")], ["doc_id", "text"]
+    )
+    out = inverted_index(df, min_df=2, max_postings=2).collect()
+    assert [(r["token"], r["doc_freq"], r["postings"]) for r in out] == [("y", 3, [1, 2])]
