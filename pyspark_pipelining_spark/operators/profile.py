@@ -53,3 +53,47 @@ def profile_table(df: DataFrame, cols: list[str], exact: bool = True) -> DataFra
         .select("p.*")
         .orderBy("col_name")
     )
+
+
+def fk_integrity(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity report: one row per declared relation
+    ``(name, child, child_key, parent, parent_key)`` with the child row
+    count, null-key count, and orphan count (non-null child keys with
+    no matching parent).  The coverage direction (parent→child, "which
+    parents have no children") is just the same check with the roles
+    swapped, so callers declare it as another relation.
+
+    Scale shape: the parent side is projected to its (distinct) key
+    column BEFORE the join, so only keys move; orphans come from a
+    ``left_anti`` join (Spark broadcasts the key projection when small,
+    shuffles on the key otherwise — both correct).  The three counts
+    per relation are scalar 1-row aggregates combined by a 1-row
+    crossJoin — no data-sized driver work.  NULL child keys are
+    excluded from the orphan count (SQL join semantics) and surfaced
+    separately."""
+    reports = []
+    for name, child, child_key, parent, parent_key in relations:
+        counts = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(child_key).isNull().cast("long")).alias("n_null_keys"),
+        )
+        parent_keys = parent.select(F.col(parent_key).alias(child_key)).distinct()
+        orphans = (
+            child.filter(F.col(child_key).isNotNull())
+            .join(parent_keys, on=child_key, how="left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        reports.append(
+            counts.crossJoin(orphans).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_keys",
+                "n_orphans",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relation")

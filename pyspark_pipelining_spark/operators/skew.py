@@ -105,3 +105,31 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_report(df: DataFrame, keys: list[str], top_k: int = 10) -> DataFrame:
+    """Heavy-hitter diagnostic: the ``top_k`` heaviest key groups with
+    their row counts and exact share of all rows in parts-per-million —
+    the report you run BEFORE choosing ``salt_buckets`` for
+    :func:`salted_agg`/:func:`salted_join`.
+
+    Scale shape: one map-side-combined ``groupBy`` on the keys, then
+    ``orderBy.limit`` (Spark plans TakeOrdered — per-partition top-k +
+    driver merge of k·p rows, no global sort), then a 1-row crossJoin
+    with the scalar total.  ``share_ppm`` is integer-exact
+    (``n·10^6 div total``): headroom holds to ~9·10^12 rows per key
+    (int64 / 10^6), far past any real partition-planning need.
+    Deterministic tie-break: count desc, then keys asc."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+        .limit(top_k)
+        .crossJoin(total)
+        .select(
+            *keys,
+            "n_rows",
+            F.expr("n_rows * 1000000L div _total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+    )

@@ -770,10 +770,77 @@ FROM orders"""
 SQL_PROFILE_ORDERS = _sql_profile_orders()
 
 
+_FK_RELATIONS = [
+    ("customer_has_orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("lineitem_to_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_to_customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report (operators/profile.fk_integrity):
+    orphan counts for the declared FK edges plus the reverse coverage
+    check (customers with no orders — nonzero by TPC-H construction)."""
+    from pyspark_pipelining_spark.operators.profile import fk_integrity
+
+    return fk_integrity(
+        [
+            (name, load_table(spark, sf_dir, child), ck, load_table(spark, sf_dir, parent), pk)
+            for name, child, ck, parent, pk in _FK_RELATIONS
+        ]
+    )
+
+
+def _sql_fk_integrity() -> str:
+    parts = [
+        f"""SELECT '{name}' AS relation,
+       count(*) AS n_child,
+       CAST(sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+       CAST(sum(CASE WHEN {ck} IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {child} c"""
+        for name, child, ck, parent, pk in _FK_RELATIONS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY relation"
+
+
+SQL_FK_INTEGRITY = _sql_fk_integrity()
+
+
+SKEW_TOP_K = 10
+
+
+def q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key diagnostic (operators/skew.skew_report): the 10
+    heaviest event users with exact ppm share — the pre-flight report
+    that sizes salt_buckets for the salted agg/join operators."""
+    from pyspark_pipelining_spark.operators.skew import skew_report
+
+    return skew_report(
+        load_table(spark, sf_dir, "events"), ["user_id"], top_k=SKEW_TOP_K
+    )
+
+
+SQL_SKEW_REPORT_EVENTS = f"""
+WITH counts AS (
+    SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n_rows) AS total FROM counts)
+SELECT user_id, n_rows,
+       CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm
+FROM counts, tot
+ORDER BY n_rows DESC, user_id
+LIMIT {SKEW_TOP_K}
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
     "profile_orders": q_profile_orders,
+    "fk_integrity": q_fk_integrity,
+    "skew_report_events": q_skew_report_events,
     "revenue_by_region": q_revenue_by_region,
     "customers_semi_anti": q_customers_semi_anti,
     "activity_full_outer": q_activity_full_outer,
@@ -799,6 +866,8 @@ ORACLES_REL = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "zorder_stats": SQL_ZORDER_STATS,
     "profile_orders": SQL_PROFILE_ORDERS,
+    "fk_integrity": SQL_FK_INTEGRITY,
+    "skew_report_events": SQL_SKEW_REPORT_EVENTS,
     "revenue_by_region": SQL_REVENUE_BY_REGION,
     "customers_semi_anti": SQL_CUSTOMERS_SEMI_ANTI,
     "activity_full_outer": SQL_ACTIVITY_FULL_OUTER,

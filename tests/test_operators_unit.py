@@ -712,3 +712,33 @@ def test_inverted_index_caps_postings_and_filters_df(spark):
     )
     out = inverted_index(df, min_df=2, max_postings=2).collect()
     assert [(r["token"], r["doc_freq"], r["postings"]) for r in out] == [("y", 3, [1, 2])]
+
+
+def test_fk_integrity_counts_orphans_and_nulls(spark):
+    from pyspark_pipelining_spark.operators.profile import fk_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None), (4, 10)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = {
+        r["relation"]: r
+        for r in fk_integrity([("c_to_p", child, "fk", parent, "pk")]).collect()
+    }
+    r = out["c_to_p"]
+    # 4 child rows; 1 null key; 1 non-null orphan (fk=99)
+    assert (r["n_child"], r["n_null_keys"], r["n_orphans"]) == (4, 1, 1)
+
+
+def test_skew_report_exact_ppm_and_tiebreak(spark):
+    from pyspark_pipelining_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2, "k string"
+    )
+    out = skew_report(df, ["k"], top_k=2).collect()
+    # a: 6/10 = 600000 ppm; b/c tie at 2 -> asc tiebreak picks b
+    assert [(r["k"], r["n_rows"], r["share_ppm"]) for r in out] == [
+        ("a", 6, 600000),
+        ("b", 2, 200000),
+    ]
