@@ -246,6 +246,47 @@ def inverted_index(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword /
+    relevance-feature extractor (score = tf · ln(N / df), the plain
+    unsmoothed variant so the oracle shares the exact expression).
+
+    Floats are confined to ONE ln() over a ratio of exact ints,
+    rounded to 6dp BEFORE ranking, so both engines rank identical
+    values; ties break token-ascending.
+
+    Scale shape: tf is ONE map-side-combined groupBy on
+    (doc_id, token); document frequency re-aggregates the tf partials
+    (no second corpus pass); N is a broadcast scalar; the tf↔df join
+    shuffles only vocabulary-sized keys; the final top-k is a bounded
+    row_number window per doc_id.  Three shuffles total, none over raw
+    token streams."""
+    words = with_words(df, text_col)
+    toks = words.select("doc_id", F.explode("words").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "token", "tf", "doc_freq", "score", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 def cooccur_pmi(
     df: DataFrame,
     text_col: str = "text",

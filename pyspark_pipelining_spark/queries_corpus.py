@@ -817,10 +817,45 @@ ORDER BY token
 """
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF keywords (operators/text.tfidf_top_terms)."""
+    from pyspark_pipelining_spark.operators import text as text_ops
+
+    return text_ops.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=TFIDF_K
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH {SQL_WORDS},
+toks AS (SELECT doc_id, unnest(w) AS token FROM words),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+           round(tf.tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS score
+    FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+    FROM scored
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq, score, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {TFIDF_K}
+ORDER BY doc_id, rn
+"""
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "cooccur_pmi": q_cooccur_pmi,
     "inverted_index": q_inverted_index,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "hll_distinct_tokens": q_hll_distinct_tokens,
     "kmv_distinct_tokens": q_kmv_distinct_tokens,
     "mixture_sample": q_mixture_sample,
@@ -847,6 +882,7 @@ ORACLES_CORPUS = {
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "inverted_index": SQL_INVERTED_INDEX,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "hll_distinct_tokens": SQL_HLL_DISTINCT_TOKENS,
     "kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS,
     "mixture_sample": SQL_MIXTURE_SAMPLE,

@@ -742,3 +742,24 @@ def test_skew_report_exact_ppm_and_tiebreak(spark):
         ("a", 6, 600000),
         ("b", 2, 200000),
     ]
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+    from pyspark_pipelining_spark.operators.text import tfidf_top_terms
+
+    # "a" in both docs (idf=0); "b" twice in doc 1 only; "c" in doc 2 only
+    df = spark.createDataFrame(
+        [(1, "a b b"), (2, "a c")], ["doc_id", "text"]
+    )
+    out = [
+        (r["doc_id"], r["token"], r["tf"], r["score"], r["rn"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    ]
+    ln2 = round(math.log(2.0), 6)
+    assert out == [
+        (1, "b", 2, round(2 * math.log(2.0), 6), 1),
+        (1, "a", 1, 0.0, 2),
+        (2, "c", 1, ln2, 1),
+        (2, "a", 1, 0.0, 2),
+    ]
