@@ -121,3 +121,45 @@ def zscore_outliers(
             f" > CAST({n_sigma * n_sigma} * (gn * gss - gs * gs) AS DECIMAL(38,0))"
         )
     ).select(id_col, group_col, "v_cents")
+
+
+def gapfill_daily(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key daily resample with zero-fill: one row per key per
+    calendar day between that key's first and last activity, carrying
+    the day's exact value sum (decimal cents → double) and an
+    ``is_gap`` flag for synthesized days — the dense time series that
+    feature windows / trend fits need (a gap read as "missing" instead
+    of "zero" silently biases both).
+
+    Scale shape: ONE map-side-combined groupBy on (key, day); the span
+    table re-aggregates those partials (no second scan); the
+    ``sequence``-explode expands each key to its span length (bounded
+    by calendar days, not rows — at 100 TB this OUTPUT is tiny relative
+    to the input events); the fill join shuffles only the daily table
+    on (key, day).  No window functions, no global sort until the
+    final presentation orderBy."""
+    dec = "decimal(18,2)"
+    daily = df.groupBy(
+        F.col(key), F.to_date(ts_col).alias("day")
+    ).agg(F.sum(F.col(value_col).cast(dec)).cast(dec).alias("day_value"))
+    span = daily.groupBy(key).agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    days = span.select(key, F.explode(F.sequence("_d0", "_d1")).alias("day"))
+    return (
+        days.join(daily, [key, "day"], "left")
+        .select(
+            key,
+            "day",
+            F.coalesce(F.col("day_value"), F.lit(0).cast(dec))
+            .cast("double")
+            .alias("day_value"),
+            F.col("day_value").isNull().cast("long").alias("is_gap"),
+        )
+        .orderBy(key, "day")
+    )

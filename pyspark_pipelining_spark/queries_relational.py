@@ -808,6 +808,40 @@ FROM {child} c"""
 SQL_FK_INTEGRITY = _sql_fk_integrity()
 
 
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily series (operators/stats.gapfill_daily):
+    zero-filled calendar resample between each user's first and last
+    event day, with an ``is_gap`` marker for synthesized days."""
+    from pyspark_pipelining_spark.operators.stats import gapfill_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_daily(ev, key="user_id", ts_col="ts", value_col="value")
+
+
+SQL_GAPFILL_DAILY = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_value
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+days AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+)
+SELECT d.user_id, d.day,
+       CAST(COALESCE(dl.day_value, 0) AS DOUBLE) AS day_value,
+       CAST(dl.day_value IS NULL AS BIGINT) AS is_gap
+FROM days d LEFT JOIN daily dl USING (user_id, day)
+ORDER BY user_id, day
+"""
+
+
 SKEW_TOP_K = 10
 
 
@@ -860,6 +894,7 @@ QUERIES_REL = {
     "order_trend": q_order_trend,
     "value_outliers": q_value_outliers,
     "customer_quartiles": q_customer_quartiles,
+    "gapfill_daily": q_gapfill_daily,
 }
 
 ORACLES_REL = {
@@ -887,4 +922,5 @@ ORACLES_REL = {
     "order_trend": SQL_ORDER_TREND,
     "value_outliers": SQL_VALUE_OUTLIERS,
     "customer_quartiles": SQL_CUSTOMER_QUARTILES,
+    "gapfill_daily": SQL_GAPFILL_DAILY,
 }

@@ -763,3 +763,31 @@ def test_tfidf_top_terms_hand_computed(spark):
         (2, "c", 1, ln2, 1),
         (2, "a", 1, 0.0, 2),
     ]
+
+
+def test_gapfill_daily_synthesizes_missing_days(spark):
+    import datetime
+    from pyspark_pipelining_spark.operators.stats import gapfill_daily
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 5), 1.25),
+            (1, datetime.datetime(2024, 1, 1, 9), 2.00),
+            (1, datetime.datetime(2024, 1, 4, 1), 4.50),
+            (2, datetime.datetime(2024, 2, 10, 0), 7.00),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = [
+        (r["user_id"], str(r["day"]), r["day_value"], r["is_gap"])
+        for r in gapfill_daily(df).collect()
+    ]
+    # user 1 spans 4 calendar days with days 2-3 synthesized at 0.0;
+    # user 2 is a single-day span with no gaps.
+    assert out == [
+        (1, "2024-01-01", 3.25, 0),
+        (1, "2024-01-02", 0.0, 1),
+        (1, "2024-01-03", 0.0, 1),
+        (1, "2024-01-04", 4.5, 0),
+        (2, "2024-02-10", 7.0, 0),
+    ]
