@@ -151,6 +151,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects) are read as long via the legacy conf and converted to
     microsecond timestamps here, so every consumer sees the declared
     ``TimestampType``.
+
+    Parquet timestamps written without ``isAdjustedToUTC`` surface as
+    ``TIMESTAMP_NTZ`` under Spark 4's NTZ inference; downstream epoch
+    arithmetic (``unix_micros``) rejects NTZ.  With the session timezone
+    pinned to UTC, casting NTZ→TIMESTAMP reproduces the exact epoch
+    micros stored in the file, so every consumer (and the DuckDB oracle,
+    which computes on naive timestamps) sees identical values.
     """
     if name not in SCHEMAS:
         raise SchemaError(f"unknown table {name!r}; registry has {sorted(SCHEMAS)}")
@@ -166,6 +173,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos since epoch → microsecond timestamp (floor division
             # matches DuckDB's ns→us truncation for positive epochs)
             df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+        elif isinstance(field.dataType, T.TimestampType) and isinstance(
+            actual, T.TimestampNTZType
+        ):
+            try:  # NTZ wall-clock == epoch wall-clock only under UTC
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            except Exception:
+                pass
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

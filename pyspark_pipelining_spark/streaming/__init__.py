@@ -8,6 +8,7 @@ from pyspark_pipelining_spark.streaming.windows import (
     daily_counts_batch,
     daily_counts_stream,
     dedup_stream,
+    normalize_event_time,
     run_stream_to_memory,
     sliding_counts_batch,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "daily_counts_batch",
     "daily_counts_stream",
     "dedup_stream",
+    "normalize_event_time",
     "funnel_stream",
     "run_stream_to_memory",
     "sessionize_batch",

@@ -84,8 +84,22 @@ def _file_stream(spark: SparkSession, events_path: str) -> DataFrame:
         events_path = d
     static = spark.read.parquet(events_path)  # schema inference for the stream
     stream = spark.readStream.schema(static.schema).parquet(events_path)
-    if dict(static.dtypes).get("ts") == "bigint":  # nanos-as-long parquet
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_time(stream, static, "ts")
+
+
+def normalize_event_time(stream: DataFrame, static: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Coerce a raw parquet event-time column to ``TIMESTAMP``.
+
+    File sources surface nanos-as-long parquet as ``bigint`` and
+    non-UTC-adjusted parquet as ``TIMESTAMP_NTZ``; watermarks and
+    ``unix_micros`` both require ``TIMESTAMP``.  With the session
+    timezone pinned to UTC (session.py) both casts preserve the stored
+    epoch micros exactly."""
+    dt = dict(static.dtypes).get(ts_col)
+    if dt == "bigint":  # nanos-as-long parquet
+        return stream.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
 

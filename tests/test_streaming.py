@@ -65,10 +65,11 @@ def test_sessionize_stream_matches_batch(spark):
 
     d = tempfile.mkdtemp(prefix="stream_sess_")
     os.symlink(f"{SF_SMOKE}/events.parquet", os.path.join(d, "events.parquet"))
+    from pyspark_pipelining_spark.streaming import normalize_event_time
+
     static = spark.read.parquet(d)
     stream = spark.readStream.schema(static.schema).parquet(d)
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(stream, static, "ts")
     out = sessionize_stream(stream.select("user_id", "ts", "event_id", "value"), gap_min=30)
     q = (
         out.writeStream.format("memory")
