@@ -45,10 +45,11 @@ _SNAPSHOT_PRIORITY = [
     "asof_attribution",
     # fixed this round (TIMESTAMP_NTZ event-time normalization)
     "sessionize",
+    # new this round
+    "cube_revenue", "fuzzy_parts", "session_windows", "lm_score",
     # flagship re-confirmation
-    "corpus_prep", "dedup_clusters", "dedup_minhash", "media_features",
-    "reach_by_etype", "qa_grouping_sets", "sim_ivf_topk", "before_after_lift",
-    "mapping", "text_quality",
+    "corpus_prep", "dedup_clusters", "media_features",
+    "reach_by_etype", "qa_grouping_sets", "mapping",
 ]
 
 

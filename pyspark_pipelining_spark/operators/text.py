@@ -401,3 +401,72 @@ def bm25_scores(
         tf = F.col(f"tf_{i}").cast("double")
         score = score + idf * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
     return joined.select("doc_id", F.round(score, 6).alias("score"))
+
+
+def lm_bigram_score(
+    df: DataFrame, text_col: str = "text", scale: int = 10**6
+) -> DataFrame:
+    """Character-bigram language-model quality score — the KenLM-style
+    perplexity filter of training-data pipelines (CCNet/Gopher use a
+    5-gram LM; the char-bigram variant keeps the model a tiny broadcast
+    dim while exercising the identical shape), self-trained on the
+    corpus in the same pass.
+
+    Score: mean over the document's char bigrams of
+    ``ln C(ab) − ln C(a)`` (the MLE conditional log-prob), where the
+    counts are corpus totals.  Low scores mark documents whose
+    character sequences are unusual for the corpus (mojibake, binary
+    spills, wrong-language fragments).
+
+    Determinism: floats are confined to the per-DISTINCT-bigram model
+    table — one ln per exact-int count, quantized to int64 millionths
+    (``logp_q6``) BEFORE any per-document arithmetic.  Per-doc totals
+    are then integer sums (order-independent under any shuffle), and
+    the final mean is a single double division of two exact ints.
+
+    Scale shape: bigram explosion is map-side (sequence+substring,
+    whole-stage codegen); C(ab) is a map-side-combined groupBy onto a
+    ≲ |alphabet|² key space; C(a) re-aggregates the C(ab) partials (no
+    second corpus pass); the model joins back as a broadcast; the only
+    data-sized shuffle is the per-doc integer-sum groupBy.
+
+    Output: ``doc_id, n_bigrams, total_q6, avg_logp``.
+    """
+    base = spread(df).select(
+        "doc_id", F.lower(F.col(text_col)).alias("t")
+    )
+    # guard: sequence(1, 0) in Spark is a DESCENDING [1, 0], not empty
+    grams = F.when(
+        F.length("t") >= 2,
+        F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = base.select("doc_id", F.explode(grams).alias("bg"))
+    c2 = toks.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy(F.substring("bg", 1, 1).alias("ch")).agg(
+        F.sum("c2").alias("c1")
+    )
+    model = (
+        c2.join(c1, F.substring("bg", 1, 1) == F.col("ch"))
+        .select(
+            "bg",
+            F.round((F.log("c2") - F.log("c1")) * scale)
+            .cast("long")
+            .alias("logp_q6"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_q6").alias("total_q6"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "total_q6",
+        F.round(
+            F.col("total_q6") / (F.lit(float(scale)) * F.col("n_bigrams")), 6
+        ).alias("avg_logp"),
+    )

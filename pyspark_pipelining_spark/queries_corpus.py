@@ -851,6 +851,40 @@ ORDER BY doc_id, rn
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM quality score, self-trained on the corpus
+    (operators/text.lm_bigram_score) — the KenLM-perplexity-filter
+    shape of CCNet/Gopher-style pipelines with a broadcast-sized
+    model table."""
+    from pyspark_pipelining_spark.operators import text as text_ops
+
+    return text_ops.lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LM_SCORE = """
+WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+    FROM base WHERE length(t) >= 2
+),
+toks AS (SELECT doc_id, substring(t, i, 2) AS bg FROM idx),
+c2 AS (SELECT bg, count(*) AS c2 FROM toks GROUP BY bg),
+c1 AS (SELECT substring(bg, 1, 1) AS ch, sum(c2) AS c1 FROM c2 GROUP BY 1),
+model AS (
+    SELECT bg, CAST(round((ln(c2) - ln(c1)) * 1000000) AS BIGINT) AS logp_q6
+    FROM c2 JOIN c1 ON substring(bg, 1, 1) = c1.ch
+),
+per AS (
+    SELECT doc_id, count(*) AS n_bigrams, sum(logp_q6) AS total_q6
+    FROM toks JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(total_q6 AS BIGINT) AS total_q6,
+       round(total_q6 / (1000000.0 * n_bigrams), 6) AS avg_logp
+FROM per
+"""
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "cooccur_pmi": q_cooccur_pmi,
@@ -876,6 +910,7 @@ QUERIES_CORPUS = {
     "chunk_overlap": q_chunk_overlap,
     "weighted_sample": q_weighted_sample,
     "bpe_pair_topk": q_bpe_pair_topk,
+    "lm_score": q_lm_score,
 }
 
 ORACLES_CORPUS = {
@@ -903,4 +938,5 @@ ORACLES_CORPUS = {
     "chunk_overlap": SQL_CHUNK_OVERLAP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "bpe_pair_topk": SQL_BPE_PAIR_TOPK,
+    "lm_score": SQL_LM_SCORE,
 }

@@ -869,6 +869,130 @@ LIMIT {SKEW_TOP_K}
 """
 
 
+# --- A-family completion: full CUBE (ROLLUP and GROUPING SETS are
+# covered by rollup_order_status / qa_grouping_sets) -----------------------
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over every subset of (status, priority, year) in ONE
+    pass — CUBE is Catalyst-native (a single shuffle with an expanded
+    grouping-id key), where the reference's dataQA ran one warehouse
+    round-trip per granularity (SURVEY §2.4 A12,
+    reference ``dataQA/dailyQA.py:87-112``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year(F.to_date("o_orderdate")).cast("long"))
+        .cube("o_orderstatus", "o_orderpriority", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice", "revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT o_orderstatus, o_orderpriority, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(grouping(o_orderstatus) * 4 + grouping(o_orderpriority) * 2
+            + grouping(year(CAST(o_orderdate AS DATE))) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority, year(CAST(o_orderdate AS DATE)))
+"""
+
+
+# --- J-family beyond-reference: blocked fuzzy record linkage --------------
+
+
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names within a brand (operators/linkage
+    .fuzzy_pairs): Levenshtein ≤ 2 inside p_brand blocks with a
+    length-band prefilter — entity resolution the reference's exact
+    equi-joins cannot express."""
+    from pyspark_pipelining_spark.operators.linkage import fuzzy_pairs
+
+    return fuzzy_pairs(
+        load_table(spark, sf_dir, "part"),
+        key_col="p_partkey",
+        text_col="p_name",
+        block_cols="p_brand",
+        max_dist=FUZZY_MAX_DIST,
+    )
+
+
+SQL_FUZZY_PARTS = f"""
+SELECT a.p_brand, a.p_partkey AS key_1, b.p_partkey AS key_2,
+       a.p_name AS name_1, b.p_name AS name_2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_DIST}
+  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+# --- §2.10: native session windows (the JVM no-custom-logic twin of the
+# lag-chain sessionize / applyInPandasWithState sessionize_stream) ---------
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based sessions via ``F.session_window`` — one
+    map-side window merge, no window-function chain, and the identical
+    expression runs over ``readStream`` (session_window is the one
+    window form Structured Streaming natively merges under watermark).
+
+    Boundary rule (pinned by the oracle): a session's end is
+    last-event + gap, end-EXCLUSIVE, so an event at exactly
+    ``prev + 30 min`` starts a NEW session (``>=`` in the oracle's
+    lag test, vs the strict ``>`` of the lag-chain sessionize)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value", "total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH lagd AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events
+),
+flag AS (
+    SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTES
+                   THEN 1 ELSE 0 END AS new_s
+    FROM lagd
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flag
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTES) AS end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -895,6 +1019,9 @@ QUERIES_REL = {
     "value_outliers": q_value_outliers,
     "customer_quartiles": q_customer_quartiles,
     "gapfill_daily": q_gapfill_daily,
+    "cube_revenue": q_cube_revenue,
+    "fuzzy_parts": q_fuzzy_parts,
+    "session_windows": q_session_windows,
 }
 
 ORACLES_REL = {
@@ -923,4 +1050,7 @@ ORACLES_REL = {
     "value_outliers": SQL_VALUE_OUTLIERS,
     "customer_quartiles": SQL_CUSTOMER_QUARTILES,
     "gapfill_daily": SQL_GAPFILL_DAILY,
+    "cube_revenue": SQL_CUBE_REVENUE,
+    "fuzzy_parts": SQL_FUZZY_PARTS,
+    "session_windows": SQL_SESSION_WINDOWS,
 }

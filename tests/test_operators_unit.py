@@ -791,3 +791,60 @@ def test_gapfill_daily_synthesizes_missing_days(spark):
         (1, "2024-01-04", 4.5, 0),
         (2, "2024-02-10", 7.0, 0),
     ]
+
+
+def test_fuzzy_pairs_distance_and_blocking(spark):
+    """Levenshtein thresholds inside blocks; cross-block pairs never
+    compared even when identical."""
+    from pyspark_pipelining_spark.operators.linkage import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp", "A"),
+            (2, "acme c0rp", "A"),   # dist 1 → pair
+            (3, "acme corporation", "A"),  # dist 7 from #1 → cut
+            (4, "acme corp", "B"),   # identical to #1 but other block
+            (5, "acme cort", "A"),   # dist 1 from #1, dist 2 from #2
+        ],
+        "id long, name string, blk string",
+    )
+    got = {
+        (r.key_1, r.key_2, r.dist)
+        for r in fuzzy_pairs(df, "id", "name", "blk", max_dist=2).collect()
+    }
+    assert got == {(1, 2, 1), (1, 5, 1), (2, 5, 2)}
+
+
+def test_session_window_boundary_is_end_exclusive(spark):
+    """An event at exactly prev + gap starts a NEW session — the
+    session_window end-exclusive rule the oracle mirrors with >=."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:29:59"),  # inside the gap → same session
+            (1, "2024-01-01 00:59:59"),  # exactly 30 min later → NEW
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in out) == [1, 2]
+
+
+def test_lm_score_short_doc_guard(spark):
+    """length-1 text yields no bigrams (sequence(1,0) would otherwise
+    be a DESCENDING Spark array) and the doc drops from the output."""
+    from pyspark_pipelining_spark.operators.text import lm_bigram_score
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_bigram_score(df).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_bigrams == 3  # ab, ba, ab

@@ -301,3 +301,33 @@ def test_funnel_report_is_single_user_shuffle(spark):
     (on user_id) — the textbook per-step self-join formulation costs k."""
     plan = plan_of(spark, "funnel_report")
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_fuzzy_parts_is_equi_block_join_not_nested_loop(spark):
+    """Blocking must reach the join: an equi hash/merge join on the
+    block key, never a cartesian/nested-loop over all part pairs."""
+    plan = plan_of(spark, "fuzzy_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # equi join on the block key survives
+
+
+def test_lm_score_model_is_broadcast_no_python_workers(spark):
+    """The bigram model joins back as a broadcast (vocab-sized dim);
+    the whole pipeline is JVM-side — no Python/Arrow eval nodes."""
+    plan = plan_of(spark, "lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # map-side partial combine on the bigram count agg
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cube_revenue_is_single_expand_one_shuffle(spark):
+    """CUBE must be one Expand + one aggregation exchange — not one
+    scan per granularity (the reference's per-granularity round-trips,
+    SURVEY §2.4 A12)."""
+    plan = plan_of(spark, "cube_revenue")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Expand") >= 1
+    assert tree.count("Scan parquet") == 1
