@@ -47,9 +47,9 @@ _SNAPSHOT_PRIORITY = [
     "sessionize",
     # new this round
     "cube_revenue", "fuzzy_parts", "session_windows", "lm_score",
+    "trailing_user_value", "argmax_orders",
     # flagship re-confirmation
-    "corpus_prep", "dedup_clusters", "media_features",
-    "reach_by_etype", "qa_grouping_sets", "mapping",
+    "corpus_prep", "dedup_clusters", "media_features", "reach_by_etype",
 ]
 
 

@@ -993,6 +993,79 @@ FROM sess GROUP BY user_id, session_no
 """
 
 
+# --- W-family: time-RANGE window frame (per-row trailing interval) --------
+
+
+TRAIL_US = 7 * 86_400 * 10**6
+
+
+def q_trailing_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-7-day spend for the event's user — the RANGE
+    frame over event time (vs the ROWS frames of cumulative_daily_value
+    and the join-based per-date qa_trailing_window).  One shuffle on
+    user_id; the frame is evaluated in a single sorted pass per
+    partition.  Sums are exact cents (decimal) before the final double
+    cast, so the frame's add/remove order cannot drift the value."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-TRAIL_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(F.col("value").cast(D)).over(w).cast("double").alias("trail_value"),
+        F.count(F.lit(1)).over(w).alias("trail_events"),
+    )
+
+
+SQL_TRAILING_USER_VALUE = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_value,
+       count(*) OVER w AS trail_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- A-family: argmax via struct-max (max_by without a window) ------------
+
+
+def q_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's most expensive order in ONE aggregation —
+    max over a (price, orderkey) struct, so ties break deterministically
+    on the key and no per-group sort or window runs.  The map-side
+    partial combine keeps only one struct per group per task: the
+    scale-preferred alternative to the row_number window of
+    top_orders_per_customer when only the argmax is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey")))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            best.alias("b"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("b.o_totalprice").alias("best_price"),
+            F.col("b.o_orderkey").alias("best_order"),
+        )
+    )
+
+
+SQL_ARGMAX_ORDERS = """
+SELECT o_custkey, count(*) AS n_orders,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))).p AS best_price,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_order
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1022,6 +1095,8 @@ QUERIES_REL = {
     "cube_revenue": q_cube_revenue,
     "fuzzy_parts": q_fuzzy_parts,
     "session_windows": q_session_windows,
+    "trailing_user_value": q_trailing_user_value,
+    "argmax_orders": q_argmax_orders,
 }
 
 ORACLES_REL = {
@@ -1053,4 +1128,6 @@ ORACLES_REL = {
     "cube_revenue": SQL_CUBE_REVENUE,
     "fuzzy_parts": SQL_FUZZY_PARTS,
     "session_windows": SQL_SESSION_WINDOWS,
+    "trailing_user_value": SQL_TRAILING_USER_VALUE,
+    "argmax_orders": SQL_ARGMAX_ORDERS,
 }

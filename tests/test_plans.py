@@ -331,3 +331,23 @@ def test_cube_revenue_is_single_expand_one_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Expand") >= 1
     assert tree.count("Scan parquet") == 1
+
+
+def test_trailing_user_value_is_single_window_one_shuffle(spark):
+    """The RANGE frame must run as ONE Window over one user_id
+    exchange — no self-join expansion of the trailing interval."""
+    plan = plan_of(spark, "trailing_user_value")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
+    assert tree.count("Exchange") == 1
+
+
+def test_argmax_orders_is_one_agg_no_window(spark):
+    """Struct-max argmax: map-side partial + final agg, no window, no
+    join, no sort of the fact."""
+    plan = plan_of(spark, "argmax_orders")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "Join" not in tree
+    assert tree.count("HashAggregate") >= 2 or "SortAggregate" in tree
