@@ -47,9 +47,9 @@ _SNAPSHOT_PRIORITY = [
     "sessionize",
     # new this round
     "cube_revenue", "fuzzy_parts", "session_windows", "lm_score",
-    "trailing_user_value", "argmax_orders",
+    "trailing_user_value", "argmax_orders", "corr_price_qty",
     # flagship re-confirmation
-    "corpus_prep", "dedup_clusters", "media_features", "reach_by_etype",
+    "corpus_prep", "dedup_clusters", "media_features",
 ]
 
 

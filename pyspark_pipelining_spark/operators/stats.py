@@ -163,3 +163,58 @@ def gapfill_daily(
         )
         .orderBy(key, "day")
     )
+
+
+def group_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation of integer ``x`` and ``y`` columns
+    (cents/lattice units — callers quantize upstream), via exact
+    sufficient statistics.
+
+    Stock ``corr()`` accumulates float co-moments whose value depends
+    on shuffle order — unusable under a bit-equality contract.  Here
+    all six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    ``decimal(38,0)`` sums (same rationale as :func:`group_trend`), and
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+
+    is evaluated as correctly-rounded casts of exact decimals followed
+    by IEEE sqrt/multiply/divide — a pure function of the group's
+    multiset of rows.  Groups where either variance term is zero are
+    dropped (r undefined).
+
+    Output: ``<group_col>, n, r``.
+    """
+    d = "CAST({} AS DECIMAL(38,0))"
+    xx, yy = d.format(x_col), d.format(y_col)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum({xx})").alias("sx"),
+        F.expr(f"sum({yy})").alias("sy"),
+        F.expr(f"sum({xx} * {yy})").alias("sxy"),
+        F.expr(f"sum({xx} * {xx})").alias("sxx"),
+        F.expr(f"sum({yy} * {yy})").alias("syy"),
+    )
+    nd = d.format("n")
+    return (
+        agg.select(
+            group_col,
+            "n",
+            F.expr(f"CAST({nd} * sxy - sx * sy AS DECIMAL(38,0))").alias("_num"),
+            F.expr(f"CAST({nd} * sxx - sx * sx AS DECIMAL(38,0))").alias("_dx"),
+            F.expr(f"CAST({nd} * syy - sy * sy AS DECIMAL(38,0))").alias("_dy"),
+        )
+        .filter((F.col("_dx") != 0) & (F.col("_dy") != 0))
+        .select(
+            group_col,
+            "n",
+            (
+                F.col("_num").cast("double")
+                / F.sqrt(F.col("_dx").cast("double") * F.col("_dy").cast("double"))
+            ).alias("r"),
+        )
+    )

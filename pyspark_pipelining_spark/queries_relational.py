@@ -1066,6 +1066,53 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# --- A-stats: exact-sufficient-statistic Pearson correlation --------------
+
+
+def q_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation of line price and quantity per return flag
+    (operators/stats.group_corr): stock ``corr()`` is shuffle-order-
+    dependent float accumulation; this is exact decimal(38,0)
+    sufficient statistics with one final IEEE expression — bit-stable
+    under any partitioning."""
+    from pyspark_pipelining_spark.operators.stats import group_corr
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return group_corr(li, "price_cents", "qty", "l_returnflag").orderBy(
+        "l_returnflag"
+    )
+
+
+SQL_CORR_PRICE_QTY = """
+WITH base AS (
+    SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+           CAST(l_quantity AS BIGINT) AS y
+    FROM lineitem
+),
+agg AS (
+    SELECT l_returnflag, count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+FROM agg
+WHERE n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+ORDER BY l_returnflag
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1097,6 +1144,7 @@ QUERIES_REL = {
     "session_windows": q_session_windows,
     "trailing_user_value": q_trailing_user_value,
     "argmax_orders": q_argmax_orders,
+    "corr_price_qty": q_corr_price_qty,
 }
 
 ORACLES_REL = {
@@ -1130,4 +1178,5 @@ ORACLES_REL = {
     "session_windows": SQL_SESSION_WINDOWS,
     "trailing_user_value": SQL_TRAILING_USER_VALUE,
     "argmax_orders": SQL_ARGMAX_ORDERS,
+    "corr_price_qty": SQL_CORR_PRICE_QTY,
 }
