@@ -63,13 +63,21 @@ def kmeans_int(
     assigned = snapped.select(
         id_col, "s", F.pmod(F.col(id_col), F.lit(k)).cast("long").alias("cell")
     )
-    dist = F.aggregate(
-        F.expr("zip_with(s, centroid, (a, b) -> (a - b) * (a - b))"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # map-side argmin: all k centroids ride in ONE broadcast row as an
+    # array of (cell, centroid) structs, and the assignment is a
+    # higher-order fold per vector — the corpus itself never shuffles
+    # (the earlier crossJoin + groupBy(id, vec) formulation re-shuffled
+    # every vector, array key included, once per Lloyd step).  array_min
+    # over (d, cell) structs keeps the cell-ascending tie rule and is
+    # insensitive to collect_list's nondeterministic order.
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        "  aggregate(zip_with(s, c.centroid, (a, b) -> (a - b) * (a - b)),"
+        "            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d,"
+        "  c.cell AS cell)))"
     )
     for _ in range(iters):
-        cent = (
+        cent_row = (
             assigned.select("cell", F.posexplode("s").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.expr("sum(x) div count(*)").alias("c"))
@@ -79,12 +87,11 @@ def kmeans_int(
                     "transform(array_sort(collect_list(struct(pos, c))), p -> p.c)"
                 ).alias("centroid")
             )
+            .agg(F.collect_list(F.struct("cell", "centroid")).alias("cents"))
         )
         assigned = (
-            snapped.crossJoin(F.broadcast(cent))
-            .withColumn("d", dist)
-            .groupBy(id_col, "s")
-            .agg(F.min(F.struct("d", "cell")).alias("best"))
+            snapped.crossJoin(F.broadcast(cent_row))
+            .withColumn("best", best)
             .select(
                 id_col,
                 "s",

@@ -417,3 +417,192 @@ def centroid_cosines(
             6,
         ).alias("centroid_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN scale path
+# ---------------------------------------------------------------------------
+
+PQ_GRID = 1_000_000
+
+
+def pq_train_codes(
+    emb_df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = PQ_GRID,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode every vector — the
+    FAISS-style product quantizer that compresses a ``dim``-float
+    vector to ``m`` byte codes so a 100 TB embedding corpus fits the
+    memory budget ANN search needs.
+
+    The vector splits into ``m`` contiguous subvectors of ``dim/m``
+    coordinates; each subspace runs the deterministic integer Lloyd of
+    ``cluster.kmeans_int`` (1/``grid`` lattice snap, truncated integer
+    centroid means, exact int64 squared-L2, ties on cell id, seeding
+    ``cell = id mod k``) — all ``m`` subspaces advance together in ONE
+    plan keyed by ``sub``.
+
+    Scale shape: assignment is a map-side higher-order argmin against
+    one broadcast (sub, cell, centroid) row — vectors NEVER shuffle;
+    the only exchanges are the (sub, cell, spos) centroid aggregations
+    (≤ m·k·dim/m rows) per Lloyd step.
+
+    Returns ``(codes, codebook)``: codes = (id, sub, cell, d);
+    codebook = (sub, cell, centroid) of the final iteration.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d2 = dim // m
+    snapped = emb_df.select(
+        id_col,
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> CAST(round(CAST(x AS DOUBLE) * {grid}) AS BIGINT))"
+        ).alias("s"),
+    )
+    subs = snapped.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" j -> struct(CAST(j AS BIGINT) AS sub,"
+                f" slice(s, j * {d2} + 1, {d2}) AS ss))"
+            )
+        ).alias("e"),
+    ).select(id_col, "e.sub", "e.ss").localCheckpoint(eager=True)
+    assigned = subs.select(
+        id_col, "sub", "ss", F.pmod(F.col(id_col), F.lit(k)).cast("long").alias("cell")
+    )
+    best = F.expr(
+        "array_min(transform(filter(cents, c -> c.sub = sub), c -> struct("
+        "  aggregate(zip_with(ss, c.centroid, (a, b) -> (a - b) * (a - b)),"
+        "            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d,"
+        "  c.cell AS cell)))"
+    )
+    codebook = None
+    for _ in range(iters):
+        codebook = (
+            assigned.select("sub", "cell", F.posexplode("ss").alias("spos", "x"))
+            .groupBy("sub", "cell", "spos")
+            .agg(F.expr("sum(x) div count(*)").alias("c"))
+            .groupBy("sub", "cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(spos, c))), p -> p.c)"
+                ).alias("centroid")
+            )
+        )
+        cent_row = codebook.agg(
+            F.collect_list(F.struct("sub", "cell", "centroid")).alias("cents")
+        )
+        assigned = (
+            subs.crossJoin(F.broadcast(cent_row))
+            .withColumn("b", best)
+            .select(
+                id_col,
+                "sub",
+                "ss",
+                F.col("b.cell").alias("cell"),
+                F.col("b.d").alias("d"),
+            )
+        )
+    return assigned.select(id_col, "sub", "cell", "d"), codebook
+
+
+def pq_adc_topk(
+    emb_df: DataFrame,
+    queries_df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+    grid: int = PQ_GRID,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an m×k table of exact integer distances to every
+    codebook centroid, and a candidate's score is the integer sum of m
+    table lookups — the corpus is scanned as codes only, never as
+    vectors.
+
+    Scale shape: the distance tables ride in ONE broadcast row
+    (|queries|·m·k ints); scoring is a map-side higher-order fold over
+    each vector's code array; the shuffles are the narrow
+    (id, sub, cell)→code-array groupBy and the per-query top-k window
+    over (query, score)-pruned rows.
+
+    Output: ``query_id, vec_id, adc_d, rn`` (rn ≤ topk per query,
+    ties on vec_id).
+    """
+    codes, codebook = pq_train_codes(
+        emb_df, m=m, k=k, iters=iters, dim=dim, grid=grid
+    )
+    d2 = dim // m
+    qsubs = queries_df.select(
+        F.col("query_id").alias("qid"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" j -> struct(CAST(j AS BIGINT) AS sub,"
+                f" slice(transform(query_vec,"
+                f"   x -> CAST(round(CAST(x AS DOUBLE) * {grid}) AS BIGINT)),"
+                f"   j * {d2} + 1, {d2}) AS qs))"
+            )
+        ).alias("e"),
+    ).select("qid", "e.sub", "e.qs")
+    dt = qsubs.join(F.broadcast(codebook), "sub").select(
+        "qid",
+        "sub",
+        "cell",
+        F.expr(
+            "aggregate(zip_with(qs, centroid, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("d"),
+    )
+    qtabs_row = (
+        dt.groupBy("qid", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(cell, d))), p -> p.d)"
+            ).alias("tab")
+        )
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, tab))), p -> p.tab)"
+            ).alias("tabs")
+        )
+        .agg(F.collect_list(F.struct("qid", "tabs")).alias("qtabs"))
+    )
+    code_arr = codes.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, cell))), p -> p.cell)"
+        ).alias("code")
+    )
+    scored = (
+        code_arr.crossJoin(F.broadcast(qtabs_row))
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(qtabs, q -> struct(q.qid AS qid,"
+                    f" aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+                    f"  (acc, j) -> acc + element_at(element_at(q.tabs, CAST(j + 1 AS INT)),"
+                    f"   CAST(element_at(code, CAST(j + 1 AS INT)) + 1 AS INT))) AS adc_d))"
+                )
+            ).alias("e"),
+        )
+        .select(F.col("e.qid").alias("query_id"), "vec_id", F.col("e.adc_d").alias("adc_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )

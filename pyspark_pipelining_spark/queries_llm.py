@@ -851,5 +851,92 @@ SELECT vec_id, cell, d FROM {prev}
 
 SQL_KMEANS_CELLS = _sql_kmeans()
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_train_codes /
+    pq_adc_topk): per-subspace integer Lloyd codebooks, corpus encoded
+    to m codes per vector, asymmetric-distance top-k via broadcast
+    lookup tables — the compressed-domain scale path that completes
+    brute-force → LSH → IVF → PQ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, _query_vecs(spark, sf_dir), m=4, k=8, iters=2, dim=DIM, topk=TOPK
+    )
+
+
+def _sql_pq(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    grid: int = 10**6,
+    nq: int = N_QUERIES,
+    topk: int = TOPK,
+) -> str:
+    """Unrolled per-subspace Lloyd + ADC, mirroring pq_adc_topk
+    bit-for-bit (truncating integer division, spos-aligned joins, tie
+    rules on cell / vec_id)."""
+    d2 = dim // m
+    steps = []
+    prev = "a0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+c{i} AS (
+    SELECT p.sub, p.cell, b.spos, sum(b.s) // count(*) AS c
+    FROM base b JOIN {prev} p ON b.vec_id = p.vec_id AND b.sub = p.sub
+    GROUP BY p.sub, p.cell, b.spos
+),
+d{i} AS (
+    SELECT b.vec_id, b.sub, c{i}.cell,
+           CAST(sum((b.s - c{i}.c) * (b.s - c{i}.c)) AS BIGINT) AS d
+    FROM base b JOIN c{i} ON b.sub = c{i}.sub AND b.spos = c{i}.spos
+    GROUP BY b.vec_id, b.sub, c{i}.cell
+),
+a{i} AS (
+    SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+        FROM d{i})
+    WHERE rn = 1
+)""")
+        prev = f"a{i}"
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST((g.i - 1) // {d2} AS BIGINT) AS sub,
+           (g.i - 1) % {d2} AS spos,
+           CAST(round(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * {grid})
+                AS BIGINT) AS s
+    FROM embeddings, generate_series(1, {dim}) AS g(i)
+),
+a0 AS (
+    SELECT vec_id, CAST(t.j AS BIGINT) AS sub, vec_id % {k} AS cell
+    FROM embeddings, range({m}) t(j)
+),
+{",".join(steps)},
+dt AS (
+    SELECT q.vec_id AS qid, q.sub, c{iters}.cell,
+           CAST(sum((q.s - c{iters}.c) * (q.s - c{iters}.c)) AS BIGINT) AS d
+    FROM base q JOIN c{iters} ON q.sub = c{iters}.sub AND q.spos = c{iters}.spos
+    WHERE q.vec_id < {nq}
+    GROUP BY q.vec_id, q.sub, c{iters}.cell
+),
+scored AS (
+    SELECT dt.qid AS query_id, a{iters}.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_d
+    FROM a{iters} JOIN dt ON a{iters}.sub = dt.sub AND a{iters}.cell = dt.cell
+    GROUP BY dt.qid, a{iters}.vec_id
+)
+SELECT query_id, vec_id, adc_d,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id)
+            AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= {topk}
+ORDER BY query_id, rn
+"""
+
+
+SQL_SIM_PQ_TOPK = _sql_pq()
+
+QUERIES_LLM["sim_pq_topk"] = q_sim_pq_topk
+ORACLES_LLM["sim_pq_topk"] = SQL_SIM_PQ_TOPK
+
 QUERIES_LLM["kmeans_cells"] = q_kmeans_cells
 ORACLES_LLM["kmeans_cells"] = SQL_KMEANS_CELLS

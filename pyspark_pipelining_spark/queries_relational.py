@@ -945,10 +945,11 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression runs over ``readStream`` (session_window is the one
     window form Structured Streaming natively merges under watermark).
 
-    Boundary rule (pinned by the oracle): a session's end is
-    last-event + gap, end-EXCLUSIVE, so an event at exactly
-    ``prev + 30 min`` starts a NEW session (``>=`` in the oracle's
-    lag test, vs the strict ``>`` of the lag-chain sessionize)."""
+    Boundary rule (pinned by the oracle and a unit test): session
+    windows MERGE when they touch — an event at exactly
+    ``prev + 30 min`` joins the running session, so a new session
+    starts only at a STRICT ``>`` gap (the same rule as the lag-chain
+    sessionize; the oracle's lag test uses ``>``)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -975,7 +976,7 @@ WITH lagd AS (
     FROM events
 ),
 flag AS (
-    SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTES
+    SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTES
                    THEN 1 ELSE 0 END AS new_s
     FROM lagd
 ),

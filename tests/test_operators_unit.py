@@ -815,16 +815,18 @@ def test_fuzzy_pairs_distance_and_blocking(spark):
     assert got == {(1, 2, 1), (1, 5, 1), (2, 5, 2)}
 
 
-def test_session_window_boundary_is_end_exclusive(spark):
-    """An event at exactly prev + gap starts a NEW session — the
-    session_window end-exclusive rule the oracle mirrors with >=."""
+def test_session_window_boundary_merges_touching_windows(spark):
+    """Session windows MERGE when they touch: an event at exactly
+    prev + gap continues the session; only a strictly larger gap
+    starts a new one — the rule the oracle mirrors with a strict >."""
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
         [
             (1, "2024-01-01 00:00:00"),
-            (1, "2024-01-01 00:29:59"),  # inside the gap → same session
-            (1, "2024-01-01 00:59:59"),  # exactly 30 min later → NEW
+            (1, "2024-01-01 00:29:59"),   # inside the gap → same session
+            (1, "2024-01-01 00:59:59"),   # exactly 30 min later → MERGES
+            (1, "2024-01-01 01:30:00"),   # 30 min 1 s gap (> 30 min) → NEW
         ],
         "user_id long, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
@@ -833,7 +835,7 @@ def test_session_window_boundary_is_end_exclusive(spark):
         .count()
         .collect()
     )
-    assert sorted(r["count"] for r in out) == [1, 2]
+    assert sorted(r["count"] for r in out) == [1, 3]
 
 
 def test_lm_score_short_doc_guard(spark):

@@ -351,3 +351,34 @@ def test_argmax_orders_is_one_agg_no_window(spark):
     assert "Window" not in tree
     assert "Join" not in tree
     assert tree.count("HashAggregate") >= 2 or "SortAggregate" in tree
+
+
+def test_kmeans_assignment_never_shuffles_vectors(spark):
+    """Lloyd assignment is a map-side higher-order argmin against ONE
+    broadcast centroid row: every Exchange in the plan is keyed on
+    (cell/pos) centroid aggregation — the corpus (vec_id, vector) must
+    never be a shuffle key."""
+    plan = plan_of(spark, "kmeans_cells")
+    tree = plan.split("\n\n")[0]
+    for line in tree.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "vec_id" not in line, line
+
+
+def test_pq_training_never_shuffles_vectors(spark):
+    """PQ Lloyd training + ADC scoring: every shuffle is keyed on
+    codebook coordinates (sub/cell/spos) or query ids; the one vec_id
+    exchange is the narrow (id, m-codes) array groupBy — raw vectors
+    are never a shuffle key."""
+    import re
+
+    df = QUERIES["sim_pq_topk"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    specs = [m.group(1) for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan)]
+    assert specs, "expected shuffle exchanges in the PQ plan"
+    for spec in specs:
+        assert "ss#" not in spec and "embedding#" not in spec, spec
+    vec_keyed = [s for s in specs if s.startswith("vec_id")]
+    assert len(vec_keyed) == 1, vec_keyed  # only the code-array groupBy

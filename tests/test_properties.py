@@ -176,3 +176,24 @@ def test_pack_greedy_invariants(spark, rows, budget):
         for (d1, p1), (d2, p2) in zip(docs, docs[1:]):
             if p2 == p1 + 1:
                 assert sum(fills[p1]) + costs[d2] > budget
+
+
+def test_pq_adc_topk_is_layout_invariant(spark):
+    """PQ training + encoding + ADC ranking is a pure function of the
+    data: any input partitioning yields bit-identical top-k."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.similarity import pq_adc_topk
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    base = [tuple(r) for r in pq_adc_topk(emb, qs).collect()]
+    shuffled = [
+        tuple(r)
+        for r in pq_adc_topk(emb.repartition(17, "label"), qs).collect()
+    ]
+    assert base == shuffled and len(base) > 0
