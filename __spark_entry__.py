@@ -48,9 +48,7 @@ _SNAPSHOT_PRIORITY = [
     # new this round
     "cube_revenue", "fuzzy_parts", "session_windows", "lm_score",
     "trailing_user_value", "argmax_orders", "corr_price_qty",
-    "sim_pq_topk",
-    # flagship re-confirmation
-    "corpus_prep", "dedup_clusters",
+    "sim_pq_topk", "table_diff", "activity_islands",
 ]
 
 

@@ -97,3 +97,45 @@ def fk_integrity(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("relation")
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconcile two versions of a table by key: per-status row counts
+    (``added`` = key only in right, ``removed`` = only in left,
+    ``changed`` / ``unchanged`` by a portable row fingerprint over
+    ``compare_cols``) — the anti-entropy check that validates a
+    migration, backfill, or replication target against its source.
+
+    The fingerprint is md5 over a unit-separator (0x1f) concat with an
+    explicit null sentinel, so it is engine-portable (callers must
+    stringify floats via a decimal cast upstream — raw double→string
+    formatting is not cross-engine stable).
+
+    Scale shape: each side reduces map-side to (key, hash) before the
+    one full-outer join shuffle on the key; the status aggregation is
+    a 4-row map-side-combined groupBy.  Nothing wider than
+    keys + one hash column ever moves.
+    """
+    sep, sent = chr(0x1F), chr(0x01)  # 0x00 is unsafe in some engines' varchars
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(sent)) for c in compare_cols]
+    fp = F.md5(F.concat_ws(sep, *parts))
+    lh = left.select(*key_cols, fp.alias("h_l"))
+    rh = right.select(*key_cols, fp.alias("h_r"))
+    joined = lh.join(rh, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("h_l").isNull(), F.lit("added"))
+        .when(F.col("h_r").isNull(), F.lit("removed"))
+        .when(F.col("h_l") == F.col("h_r"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )

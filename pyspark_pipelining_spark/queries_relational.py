@@ -1114,6 +1114,112 @@ ORDER BY l_returnflag
 """
 
 
+# --- table reconciliation (anti-entropy diff) -----------------------------
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-validation diff (operators/profile.table_diff): v1 and
+    v2 of orders are derived deterministically from the same scan
+    (modular key filters + a priority rewrite), so both engines see
+    identical add/remove/change populations.  Price enters the
+    fingerprint via a decimal cast — double→string is not cross-engine
+    stable."""
+    from pyspark_pipelining_spark.operators.profile import table_diff
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price_s", F.col("o_totalprice").cast(D).cast("string")
+    )
+    v1 = o.filter(F.col("o_orderkey") % 97 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("0-RECHECK")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "price_s"]
+    return table_diff(v1, v2, ["o_orderkey"], cols)
+
+
+SQL_TABLE_DIFF = """
+WITH o AS (
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_s
+    FROM orders
+),
+v1 AS (
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31), coalesce(o_orderstatus, chr(1)),
+                         coalesce(o_orderpriority, chr(1)),
+                         coalesce(price_s, chr(1)))) AS h_l
+    FROM o WHERE o_orderkey % 97 != 0
+),
+v2 AS (
+    SELECT o_orderkey,
+           md5(concat_ws(chr(31), coalesce(o_orderstatus, chr(1)),
+                         coalesce(CASE WHEN o_orderkey % 101 = 0
+                                       THEN '0-RECHECK'
+                                       ELSE o_orderpriority END, chr(1)),
+                         coalesce(price_s, chr(1)))) AS h_r
+    FROM o WHERE o_orderkey % 89 != 0
+),
+j AS (
+    SELECT CASE WHEN h_l IS NULL THEN 'added'
+                WHEN h_r IS NULL THEN 'removed'
+                WHEN h_l = h_r THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+)
+SELECT status, count(*) AS n_rows FROM j GROUP BY status ORDER BY status
+"""
+
+
+# --- gaps-and-islands: consecutive-day activity runs ----------------------
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-calendar-day activity runs per user — the classic
+    gaps-and-islands rewrite (island key = day_number − row_number,
+    constant within a run).  ONE user_id exchange total: the per-user
+    day dedup is a lag-based keep filter inside the same sorted window
+    pass (same partitioning, no second shuffle), and the final
+    island aggregation is map-side-combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    kept = (
+        days.withColumn("prev", F.lag("day").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("day")))
+        .drop("prev")
+    )
+    grp = F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(w)
+    return (
+        kept.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .drop("grp")
+    )
+
+
+SQL_ACTIVITY_ISLANDS = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+numbered AS (
+    SELECT user_id, day,
+           date_diff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM days
+)
+SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+       count(*) AS n_days
+FROM numbered GROUP BY user_id, grp
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1146,6 +1252,8 @@ QUERIES_REL = {
     "trailing_user_value": q_trailing_user_value,
     "argmax_orders": q_argmax_orders,
     "corr_price_qty": q_corr_price_qty,
+    "table_diff": q_table_diff,
+    "activity_islands": q_activity_islands,
 }
 
 ORACLES_REL = {
@@ -1180,4 +1288,6 @@ ORACLES_REL = {
     "trailing_user_value": SQL_TRAILING_USER_VALUE,
     "argmax_orders": SQL_ARGMAX_ORDERS,
     "corr_price_qty": SQL_CORR_PRICE_QTY,
+    "table_diff": SQL_TABLE_DIFF,
+    "activity_islands": SQL_ACTIVITY_ISLANDS,
 }

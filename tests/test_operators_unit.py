@@ -850,3 +850,20 @@ def test_lm_score_short_doc_guard(spark):
     rows = {r.doc_id: r for r in lm_bigram_score(df).collect()}
     assert set(rows) == {1}
     assert rows[1].n_bigrams == 3  # ab, ba, ab
+
+
+def test_table_diff_statuses(spark):
+    """Each status bucket: added (key only right), removed (only
+    left), changed (fingerprint differs), unchanged."""
+    from pyspark_pipelining_spark.operators.profile import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "k long, v string",
+    )
+    right = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, None), (5, "new")],
+        "k long, v string",
+    )
+    got = {r.status: r.n_rows for r in table_diff(left, right, ["k"], ["v"]).collect()}
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}

@@ -382,3 +382,14 @@ def test_pq_training_never_shuffles_vectors(spark):
         assert "ss#" not in spec and "embedding#" not in spec, spec
     vec_keyed = [s for s in specs if s.startswith("vec_id")]
     assert len(vec_keyed) == 1, vec_keyed  # only the code-array groupBy
+
+
+def test_activity_islands_is_single_user_shuffle(spark):
+    """Gaps-and-islands: the day dedup, the island numbering, and the
+    island aggregation all ride ONE user_id exchange (two Windows on
+    the same partitioning; the (user, grp) agg is satisfied by the
+    user_id distribution)."""
+    plan = plan_of(spark, "activity_islands")
+    tree = plan.split("\n\n")[0].splitlines()
+    assert sum("Exchange" in l and "Broadcast" not in l for l in tree) == 1
+    assert sum("Window" in l for l in tree) == 2
