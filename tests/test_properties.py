@@ -197,3 +197,73 @@ def test_pq_adc_topk_is_layout_invariant(spark):
         for r in pq_adc_topk(emb.repartition(17, "label"), qs).collect()
     ]
     assert base == shuffled and len(base) > 0
+
+
+def test_trailing_user_value_matches_bruteforce(spark):
+    """RANGE-frame trailing sum vs an O(n²) per-user brute force on the
+    smoke events — frame boundaries (inclusive both ends) pinned."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.user_id, r.event_id): (r.ts_us, round(r.trail_value, 2), r.trail_events)
+        for r in QUERIES["trailing_user_value"](spark, SF_SMOKE).collect()
+    }
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"), "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    win = 7 * 86_400 * 10**6
+    for u, evs in by_user.items():
+        for e in evs:
+            in_win = [x for x in evs if e.us - win <= x.us <= e.us]
+            cents = sum(round(x.value * 100) for x in in_win)
+            assert got[(u, e.event_id)] == (e.us, round(cents / 100, 2), len(in_win))
+
+
+def test_lm_score_is_layout_invariant(spark):
+    """Corpus-trained LM scoring is a pure function of the data —
+    identical under any input partitioning."""
+    from pyspark_pipelining_spark.operators.text import lm_bigram_score
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(tuple(r) for r in lm_bigram_score(docs).collect())
+    b = sorted(
+        tuple(r) for r in lm_bigram_score(docs.repartition(13, "source")).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_fuzzy_pairs_is_orientation_invariant(spark):
+    """Pair orientation (key_1 < key_2) and the distance threshold are
+    stable under row order: reversing the input yields the same set."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.linkage import fuzzy_pairs
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    part = load_table(spark, SF_SMOKE, "part")
+    a = sorted(
+        (r.key_1, r.key_2, r.dist)
+        for r in fuzzy_pairs(part, "p_partkey", "p_name", ["p_brand", "p_type"]).collect()
+    )
+    rev = part.orderBy(F.desc("p_partkey")).repartition(7)
+    b = sorted(
+        (r.key_1, r.key_2, r.dist)
+        for r in fuzzy_pairs(rev, "p_partkey", "p_name", ["p_brand", "p_type"]).collect()
+    )
+    assert a == b and len(a) > 0
+    assert all(k1 < k2 for k1, k2, _ in a)
