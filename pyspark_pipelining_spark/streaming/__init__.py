@@ -11,6 +11,8 @@ from pyspark_pipelining_spark.streaming.windows import (
     normalize_event_time,
     run_stream_to_memory,
     sliding_counts_batch,
+    view_click_join_batch,
+    view_click_join_stream,
 )
 
 __all__ = [
@@ -24,4 +26,6 @@ __all__ = [
     "sessionize_batch",
     "sessionize_stream",
     "sliding_counts_batch",
+    "view_click_join_batch",
+    "view_click_join_stream",
 ]

@@ -222,3 +222,90 @@ def write_stream_idempotent(
             f"stream did not finish within {await_seconds}s; stopped (checkpoint "
             f"at {checkpoint_dir} — re-run resumes from the last committed batch)"
         )
+
+
+def view_click_join_batch(
+    views: DataFrame, clicks: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin of :func:`view_click_join_stream`: every (view, click)
+    pair for the same user with the click inside ``(view_ts,
+    view_ts + within]`` — the impression-attribution join.
+
+    Output: ``user_id, view_id, click_id, delta_us``.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(
+            c,
+            [
+                v["user_id"] == c["user_id"],
+                c["c_ts"] > v["v_ts"],
+                c["c_ts"] <= F.expr(f"v_ts + INTERVAL {within}"),
+            ],
+        )
+        .select(
+            v["user_id"],
+            "view_id",
+            "click_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delta_us"),
+        )
+    )
+
+
+def view_click_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the Structured
+    Streaming feature the rest of the streaming slice doesn't cover
+    (stateful ops and window aggs keep per-key state; here BOTH inputs
+    buffer, and the watermark + the time-range predicate are what let
+    Spark evict matched/expired rows instead of holding two unbounded
+    streams).
+
+    State bound: each side keeps only rows younger than
+    ``watermark + within`` in event time; the join condition's explicit
+    upper bound is REQUIRED — without it the state is unbounded and
+    Spark rejects the plan in append mode.
+
+    Inner join, so results emit as matches arrive (the watermark gates
+    state eviction, not output).  Identical output contract to
+    :func:`view_click_join_batch` — the stream ≡ batch agreement is
+    pinned in tests/test_streaming.py.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(
+            c,
+            F.expr(
+                f"user_id = c_user_id AND c_ts > v_ts"
+                f" AND c_ts <= v_ts + INTERVAL {within}"
+            ),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("delta_us"),
+        )
+    )

@@ -405,3 +405,40 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
         per_user.setdefault(r["user_id"], []).append(r["stage"])
     for u, stages in per_user.items():
         assert sorted(stages) == list(range(1, streamed[u] + 1))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: availableNow replay of
+    the two file streams must emit exactly the batch twin's pairs."""
+    from pyspark_pipelining_spark.streaming.windows import (
+        view_click_join_batch,
+        view_click_join_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    expected = sorted(
+        map(tuple, view_click_join_batch(views, clicks).collect())
+    )
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views.write.parquet(vdir)
+    clicks.write.parquet(cdir)
+    sv = spark.readStream.schema(spark.read.parquet(vdir).schema).parquet(vdir)
+    sc_ = spark.readStream.schema(spark.read.parquet(cdir).schema).parquet(cdir)
+    out = view_click_join_stream(sv, sc_)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vc_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = sorted(map(tuple, spark.table("vc_join_test").collect()))
+    assert got == expected and len(got) > 0
