@@ -1277,6 +1277,86 @@ FROM per_nation
 """
 
 
+# --- W-family: exact exponentially-weighted trailing average --------------
+
+
+EWMA_K = 16
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event EWMA of the user's recent spend — classic exponential
+    smoothing (α = 1/2) made bit-exact: true EWMA is a sequential float
+    recurrence (engine-order-dependent), so the weights here are the
+    dyadic series 2^j over the last K=16 events and every term is an
+    int64 product (cents · power-of-two), summed exactly; the ONE float
+    op is the final num/den division.  The newest event carries weight
+    2^(L−1) and the denominator 2^L − 1 renormalizes short histories.
+
+    Scale shape: one user_id shuffle; the window frame is bounded
+    (K rows), so per-row state is O(K) structs regardless of history
+    length — the unbounded-preceding formulation would not scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(EWMA_K - 1), 0)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("us", "event_id", "cents")).over(w))
+    return (
+        base.withColumn("arr", arr)
+        .select(
+            "user_id",
+            "event_id",
+            "us",
+            F.expr(
+                "aggregate(sequence(0, size(arr) - 1), CAST(0 AS BIGINT),"
+                " (acc, j) -> acc + element_at(arr, CAST(j + 1 AS INT)).cents"
+                "   * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)))"
+            ).alias("num"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), size(arr)) - 1"
+            ).alias("den"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "us",
+            (F.col("num").cast("double") / (F.col("den").cast("double") * F.lit(100.0))).alias(
+                "ewma_value"
+            ),
+        )
+    )
+
+
+SQL_EWMA_USER_VALUE = f"""
+WITH base AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+framed AS (
+    SELECT user_id, event_id, us,
+           list_sort(list(struct_pack(us := us, event_id := event_id,
+                                      cents := cents)) OVER w) AS arr
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN {EWMA_K - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, us,
+       CAST(list_sum(list_transform(arr,
+                (x, i) -> x.cents * (CAST(1 AS BIGINT) << (i - 1)))) AS DOUBLE)
+       / (CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS DOUBLE) * 100.0)
+       AS ewma_value
+FROM framed
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1312,6 +1392,7 @@ QUERIES_REL = {
     "table_diff": q_table_diff,
     "activity_islands": q_activity_islands,
     "market_share": q_market_share,
+    "ewma_user_value": q_ewma_user_value,
 }
 
 ORACLES_REL = {
@@ -1349,4 +1430,5 @@ ORACLES_REL = {
     "table_diff": SQL_TABLE_DIFF,
     "activity_islands": SQL_ACTIVITY_ISLANDS,
     "market_share": SQL_MARKET_SHARE,
+    "ewma_user_value": SQL_EWMA_USER_VALUE,
 }

@@ -867,3 +867,46 @@ def test_table_diff_statuses(spark):
     )
     got = {r.status: r.n_rows for r in table_diff(left, right, ["k"], ["v"]).collect()}
     assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
+
+
+def test_ewma_dyadic_weights_hand_computed(spark):
+    """3-event series 1.00, 2.00, 4.00: weights 1,2,4 (newest heaviest),
+    denominator 2^3 - 1 = 7 → EWMA = (100 + 400 + 1600)/(7·100) = 3.0."""
+    from pyspark_pipelining_spark.queries_relational import q_ewma_user_value  # noqa: F401
+    from pyspark_pipelining_spark.queries import QUERIES
+    import datetime as dt
+
+    # drive through the same plan by building a tiny frame inline
+    from pyspark.sql import functions as F, Window
+
+    df = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00", 1.0),
+         (1, 11, "2024-01-01 00:01:00", 2.0),
+         (1, 12, "2024-01-01 00:02:00", 4.0)],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(-15, 0)
+    base = df.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("us", "event_id", "cents")).over(w))
+    out = (
+        base.withColumn("arr", arr)
+        .select(
+            "event_id",
+            (
+                F.expr(
+                    "aggregate(sequence(0, size(arr) - 1), CAST(0 AS BIGINT),"
+                    " (acc, j) -> acc + element_at(arr, CAST(j + 1 AS INT)).cents"
+                    "   * shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)))"
+                ).cast("double")
+                / (F.expr("shiftleft(CAST(1 AS BIGINT), size(arr)) - 1").cast("double") * 100.0)
+            ).alias("ewma"),
+        )
+        .collect()
+    )
+    got = {r.event_id: r.ewma for r in out}
+    assert got[10] == 1.0
+    assert got[11] == (100 * 1 + 200 * 2) / (3 * 100)  # 5/3
+    assert got[12] == 3.0
