@@ -1357,6 +1357,112 @@ FROM framed
 """
 
 
+# --- composite: TPC-H Q3-style unshipped-revenue top-k --------------------
+
+
+def q_unshipped_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-value orders taken before a cutoff with lines
+    still shipping after it, for one market segment — the TPC-H Q3
+    shape: broadcast dim filter, fact equi-join with pushed date
+    predicates on both scans, exact decimal(18,4) revenue, and a
+    TakeOrdered top-k (never a full sort of the aggregate)."""
+    cut = "1997-06-30"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < F.lit(cut))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit(cut)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey", F.to_date("o_orderdate").alias("o_date")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_UNSHIPPED_REVENUE_TOPK = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-06-30'
+  AND CAST(l_shipdate AS DATE) > DATE '1997-06-30'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- W-family: exact rolling median (bounded frame, robust statistic) -----
+
+
+MEDIAN_K = 7
+
+
+def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event median of the user's last 7 event values — the robust
+    sibling of the EWMA smoother.  Exact: the bounded frame's cents
+    collect into an array, sort, and the lower/upper middles average in
+    integer arithmetic (one final division by 200 converts the
+    two-cents sum to dollars).  Scale: one user_id shuffle, O(K) state
+    per row — global exact medians route to histogram_quantiles
+    instead (doclen_quantiles)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(MEDIAN_K - 1), 0)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    mid = (
+        "element_at(arr, CAST((size(arr) + 1) div 2 AS INT))"
+        " + element_at(arr, CAST((size(arr) + 2) div 2 AS INT))"
+    )
+    return (
+        base.withColumn("arr", arr)
+        .select(
+            "user_id",
+            "event_id",
+            "us",
+            (F.expr(mid).cast("double") / F.lit(200.0)).alias("med_value"),
+        )
+    )
+
+
+SQL_ROLLING_MEDIAN_VALUE = f"""
+WITH base AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+framed AS (
+    SELECT user_id, event_id, us,
+           list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN {MEDIAN_K - 1} PRECEDING AND CURRENT ROW)) AS arr
+    FROM base
+)
+SELECT user_id, event_id, us,
+       CAST(arr[CAST((len(arr) + 1) // 2 AS INT)]
+            + arr[CAST((len(arr) + 2) // 2 AS INT)] AS DOUBLE) / 200.0 AS med_value
+FROM framed
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1393,6 +1499,8 @@ QUERIES_REL = {
     "activity_islands": q_activity_islands,
     "market_share": q_market_share,
     "ewma_user_value": q_ewma_user_value,
+    "unshipped_revenue_topk": q_unshipped_revenue_topk,
+    "rolling_median_value": q_rolling_median_value,
 }
 
 ORACLES_REL = {
@@ -1431,4 +1539,6 @@ ORACLES_REL = {
     "activity_islands": SQL_ACTIVITY_ISLANDS,
     "market_share": SQL_MARKET_SHARE,
     "ewma_user_value": SQL_EWMA_USER_VALUE,
+    "unshipped_revenue_topk": SQL_UNSHIPPED_REVENUE_TOPK,
+    "rolling_median_value": SQL_ROLLING_MEDIAN_VALUE,
 }
