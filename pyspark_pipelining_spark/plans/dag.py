@@ -185,3 +185,69 @@ def build_metrics_pipeline(spark: SparkSession, config: PipelineConfig) -> Pipel
         return lift
 
     return p
+
+
+def build_corpus_pipeline(spark: SparkSession, config: PipelineConfig) -> Pipeline:
+    """The LLM training-data supertask as a stage graph — the
+    beyond-reference twin of :func:`build_metrics_pipeline`:
+    scrub → signals (quality + language) → near-dup drop → gate →
+    pack / shuffled export, with the expensive boundaries (scrubbed
+    corpus, final export) materialized idempotently.
+
+    Config knobs via ``config.extra``: ``min_quality`` (gate threshold,
+    default 0.2), ``pack_budget`` (chars per pack, default 2000),
+    ``num_shards`` (export shards, default 4).  ``run_id`` salts the
+    export permutation, so a new run_id is a new epoch order.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators import corpus, dedup
+    from pyspark_pipelining_spark.operators import text as text_ops
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    p = Pipeline(spark, config)
+
+    @p.stage("scrubbed", materialize=True)
+    def scrubbed(spark, cfg, up):
+        docs = load_table(spark, cfg.sf_dir, "documents")
+        clean = corpus.scrub_pii(docs).select("doc_id", "clean")
+        return (
+            docs.select("doc_id", "source", "lang", "n_chars")
+            .join(clean, "doc_id")
+            .withColumnRenamed("clean", "text")
+        )
+
+    @p.stage("signals", requires=("scrubbed",))
+    def signals(spark, cfg, up):
+        d = up["scrubbed"]
+        q = text_ops.quality_score(d).select("doc_id", "quality")
+        lang = text_ops.language_id(d).select("doc_id", "pred_lang")
+        return d.join(q, "doc_id").join(lang, "doc_id")
+
+    @p.stage("deduped", requires=("signals",))
+    def deduped(spark, cfg, up):
+        d = up["signals"]
+        pairs = dedup.minhash_lsh_pairs(d).filter(F.col("est_jaccard") >= 0.5)
+        return dedup.drop_duplicate_docs(d, pairs)
+
+    @p.stage("gated", requires=("deduped",))
+    def gated(spark, cfg, up):
+        min_q = cfg.extra.get("min_quality", 0.2)
+        return up["deduped"].filter(F.col("quality") >= min_q)
+
+    @p.stage("packed", requires=("gated",))
+    def packed(spark, cfg, up):
+        return corpus.pack_greedy(
+            up["gated"].select("doc_id", "source", "n_chars"),
+            budget=cfg.extra.get("pack_budget", 2000),
+        )
+
+    @p.stage("export", requires=("gated",), materialize=True)
+    def export(spark, cfg, up):
+        return corpus.training_shuffle(
+            up["gated"].select("doc_id", "source", "text"),
+            num_shards=cfg.extra.get("num_shards", 4),
+            salt=cfg.run_id,
+        )
+
+    return p

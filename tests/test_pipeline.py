@@ -157,3 +157,32 @@ def test_write_excel_sheets_gated_without_engine(spark, tmp_path):
     except ImportError:
         assert not ok  # clean no-op, no crash, no file
         assert not (tmp_path / "x.xlsx").exists()
+
+
+def test_corpus_pipeline_end_to_end_and_idempotent(spark, tmp_path):
+    """The corpus supertask runs scrub → signals → dedup → gate →
+    pack/export; row counts shrink monotonically through the filters,
+    the export covers exactly the gated docs, and a second run over the
+    same output path skips the materialized stages."""
+    from pyspark_pipelining_spark.plans.dag import build_corpus_pipeline
+
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path), run_id="ep0")
+    p = build_corpus_pipeline(spark, cfg)
+    results = p.run_all()
+    n_scrub = results["scrubbed"].count()
+    n_dedup = results["deduped"].count()
+    n_gate = results["gated"].count()
+    assert n_scrub >= n_dedup >= n_gate > 0
+    assert results["export"].count() == n_gate
+    shards = {r["shard"] for r in results["export"].select("shard").distinct().collect()}
+    assert shards <= set(range(4))
+    packs = results["packed"]
+    assert packs.count() == n_gate  # every gated doc assigned to a pack
+
+    # second pipeline over the same path: materialized stages short-circuit
+    p2 = build_corpus_pipeline(spark, cfg)
+    again = p2.run("export")
+    assert again.count() == n_gate
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "ep0", "scrubbed", "_SUCCESS")
+    )
