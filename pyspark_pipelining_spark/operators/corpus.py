@@ -510,3 +510,45 @@ def merge_pair_counts(df: DataFrame, k: int = 40, text_col: str = "text") -> Dat
     ).select("p.w1", "p.w2")
     counted = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pairs"))
     return counted.orderBy(F.desc("n_pairs"), "w1", "w2").limit(k)
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split0",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in
+    exactly one named split by where its salted id hash falls in
+    cumulative fraction ranges of the hash grid — the dataset-split
+    primitive of an ML data pipeline.
+
+    Properties the naive ``randomSplit`` lacks: reproducible across
+    runs, engines, and partitionings (the hash is a pure function of
+    (salt, id)); disjoint and exhaustive by construction (half-open
+    ranges over one hash draw); stable under appends (an old row's
+    split never changes when new rows arrive); and re-saltable — a new
+    ``salt`` is a fresh independent split.  Zero shuffle: pure map-side
+    expression.
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1
+    (any remainder is an implicit holdout named ``__rest``).
+    Output: input columns + ``split``.
+    """
+    from pyspark_pipelining_spark.operators.dedup import portable_hash_id
+
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = portable_hash_id(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), grid
+    )
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():  # insertion order = range order
+        hi = lo + int(frac * grid)
+        cond = bucket < hi if expr is None else bucket.between(lo, hi - 1)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn("split", expr.otherwise(F.lit("__rest")))

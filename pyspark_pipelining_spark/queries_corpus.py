@@ -885,6 +885,55 @@ FROM per
 """
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = "split0"
+SPLIT_GRID = 1_000_000
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report
+    (operators/corpus.split_assign): per-(split, source) document and
+    char counts — reproducible, append-stable, zero-shuffle assignment
+    that ``randomSplit`` (layout-dependent seed) cannot provide."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        corpus.split_assign(docs, SPLIT_FRACTIONS, salt=SPLIT_SALT, grid=SPLIT_GRID)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _sql_dataset_split() -> str:
+    lo = 0
+    cases = []
+    for name, frac in SPLIT_FRACTIONS.items():
+        hi = lo + int(frac * SPLIT_GRID)
+        cases.append(f"WHEN b >= {lo} AND b < {hi} THEN '{name}'")
+        lo = hi
+    return f"""
+WITH hashed AS (
+    SELECT source, n_chars,
+           ('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {SPLIT_GRID} AS b
+    FROM documents
+),
+tagged AS (
+    SELECT source, n_chars,
+           CASE {" ".join(cases)} ELSE '__rest' END AS split
+    FROM hashed
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM tagged GROUP BY split, source
+"""
+
+
+SQL_DATASET_SPLIT = _sql_dataset_split()
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "cooccur_pmi": q_cooccur_pmi,
@@ -911,6 +960,7 @@ QUERIES_CORPUS = {
     "weighted_sample": q_weighted_sample,
     "bpe_pair_topk": q_bpe_pair_topk,
     "lm_score": q_lm_score,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLES_CORPUS = {
@@ -939,4 +989,5 @@ ORACLES_CORPUS = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "bpe_pair_topk": SQL_BPE_PAIR_TOPK,
     "lm_score": SQL_LM_SCORE,
+    "dataset_split": SQL_DATASET_SPLIT,
 }

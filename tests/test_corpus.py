@@ -190,3 +190,21 @@ def test_mixture_sample_subset_and_monotone_targets(spark):
     n_a_small = len([i for i in small if i % 2 == 0])
     # a's total is 10000; target 2000 -> ~20% of 100 docs, hash variance aside
     assert 5 <= n_a_small <= 40
+
+
+def test_split_assign_disjoint_exhaustive_and_remainder(spark):
+    """Every row gets exactly one split; fractions summing under 1
+    leave an implicit __rest holdout; fractions over 1 are rejected."""
+    import pytest
+
+    from pyspark_pipelining_spark.operators.corpus import split_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, {"train": 0.5, "val": 0.2})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == 1000
+    assert set(counts) <= {"train", "val", "__rest"} and counts["__rest"] > 0
+    # rough proportions (hash uniformity at n=1000: generous tolerance)
+    assert 400 <= counts["train"] <= 600
+    with pytest.raises(ValueError, match="> 1"):
+        split_assign(df, {"a": 0.9, "b": 0.2})
