@@ -218,3 +218,67 @@ def group_corr(
             ).alias("r"),
         )
     )
+
+
+def drift_psi(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    bucket_col: str,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Population stability index per group between two periods — the
+    standard distribution-drift monitor (PSI < 0.1 stable, > 0.25
+    drifted) over pre-bucketed observations.
+
+    Input rows: one per observation with ``period_col`` ∈ {1, 2} and an
+    integer ``bucket_col``.  Laplace add-1 smoothing over the union
+    bucket set keeps empty-on-one-side buckets finite (the classic PSI
+    convention).
+
+    Determinism: counts are exact ints; each bucket's term
+    ``(p−q)·ln(p/q)`` is evaluated from those ints with elementwise
+    IEEE ops (identical on any engine) and quantized to ``1/scale``
+    units BEFORE the per-group sum, so the only reduction is an
+    integer sum — shuffle-order-independent.
+
+    Scale shape: one map-side-combined (group, period, bucket) count,
+    a (group, bucket) re-aggregation of those partials, group-level
+    totals re-aggregated again (never a second scan of the fact), and
+    a broadcast join of the group-sized totals.
+
+    Output: ``<group_col>, n1, n2, n_buckets, psi``.
+    """
+    hist = (
+        df.groupBy(group_col, period_col, bucket_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(group_col, bucket_col)
+        .agg(
+            F.sum(F.when(F.col(period_col) == 1, F.col("n")).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col(period_col) == 2, F.col("n")).otherwise(0)).alias("c2"),
+        )
+    )
+    totals = hist.groupBy(group_col).agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    j = hist.join(F.broadcast(totals), group_col)
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("nb")).cast("double")
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + F.col("nb")).cast("double")
+    ratio = ((F.col("c1") + 1) * (F.col("n2") + F.col("nb"))).cast("double") / (
+        (F.col("c2") + 1) * (F.col("n1") + F.col("nb"))
+    ).cast("double")
+    term_q = F.round((p - q) * F.log(ratio) * scale).cast("long")
+    return (
+        j.withColumn("tq", term_q)
+        .groupBy(group_col, "n1", "n2", "nb")
+        .agg(F.sum("tq").alias("sq"))
+        .select(
+            group_col,
+            "n1",
+            "n2",
+            F.col("nb").alias("n_buckets"),
+            (F.col("sq").cast("double") / F.lit(float(scale))).alias("psi"),
+        )
+    )

@@ -1463,6 +1463,74 @@ FROM framed
 """
 
 
+# --- data-quality: distribution drift between time halves -----------------
+
+
+PSI_BUCKET_CENTS = 1000  # $10-wide value buckets
+
+
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift per event type between the first and
+    second halves of the event-time range (operators/stats.drift_psi):
+    the PSI monitor a pipeline runs on every ingest to catch upstream
+    distribution shifts.  The period split point is a lazy 1-row
+    min/max aggregate cross-joined back — no driver scalar."""
+    from pyspark_pipelining_spark.operators.stats import drift_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid_us")
+    )
+    tagged = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") <= F.col("mid_us"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("period"),
+        F.expr(
+            f"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div {PSI_BUCKET_CENTS}"
+        ).alias("bucket"),
+    )
+    return drift_psi(tagged, "event_type", "period", "bucket").orderBy("event_type")
+
+
+SQL_VALUE_DRIFT_PSI = f"""
+WITH rng AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+    FROM events
+),
+tagged AS (
+    SELECT event_type,
+           CASE WHEN epoch_us(ts) <= mid_us THEN 1 ELSE 2 END AS period,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // {PSI_BUCKET_CENTS} AS bucket
+    FROM events, rng
+),
+hist AS (
+    SELECT event_type, bucket,
+           sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c1,
+           sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS c2
+    FROM tagged GROUP BY event_type, bucket
+),
+totals AS (
+    SELECT event_type, sum(c1) AS n1, sum(c2) AS n2, count(*) AS nb
+    FROM hist GROUP BY event_type
+),
+terms AS (
+    SELECT h.event_type, t.n1, t.n2, t.nb,
+           CAST(round((CAST(h.c1 + 1 AS DOUBLE) / CAST(t.n1 + t.nb AS DOUBLE)
+                       - CAST(h.c2 + 1 AS DOUBLE) / CAST(t.n2 + t.nb AS DOUBLE))
+                      * ln(CAST((h.c1 + 1) * (t.n2 + t.nb) AS DOUBLE)
+                           / CAST((h.c2 + 1) * (t.n1 + t.nb) AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS tq
+    FROM hist h JOIN totals t USING (event_type)
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(nb AS BIGINT) AS n_buckets,
+       CAST(sum(tq) AS DOUBLE) / 1000000000.0 AS psi
+FROM terms GROUP BY event_type, n1, n2, nb
+ORDER BY event_type
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1501,6 +1569,7 @@ QUERIES_REL = {
     "ewma_user_value": q_ewma_user_value,
     "unshipped_revenue_topk": q_unshipped_revenue_topk,
     "rolling_median_value": q_rolling_median_value,
+    "value_drift_psi": q_value_drift_psi,
 }
 
 ORACLES_REL = {
@@ -1541,4 +1610,5 @@ ORACLES_REL = {
     "ewma_user_value": SQL_EWMA_USER_VALUE,
     "unshipped_revenue_topk": SQL_UNSHIPPED_REVENUE_TOPK,
     "rolling_median_value": SQL_ROLLING_MEDIAN_VALUE,
+    "value_drift_psi": SQL_VALUE_DRIFT_PSI,
 }

@@ -910,3 +910,21 @@ def test_ewma_dyadic_weights_hand_computed(spark):
     assert got[10] == 1.0
     assert got[11] == (100 * 1 + 200 * 2) / (3 * 100)  # 5/3
     assert got[12] == 3.0
+
+
+def test_drift_psi_zero_for_identical_distributions(spark):
+    """Identical period distributions give exactly psi = 0 (p == q per
+    bucket, including the smoothing terms); a shifted one is > 0."""
+    from pyspark_pipelining_spark.operators.stats import drift_psi
+
+    same = spark.createDataFrame(
+        [("g", p, b) for p in (1, 2) for b in [0, 0, 1, 1, 2]],
+        "g string, period int, bucket long",
+    )
+    row = drift_psi(same, "g", "period", "bucket").collect()[0]
+    assert row.psi == 0.0 and row.n1 == row.n2 == 5
+    shifted = spark.createDataFrame(
+        [("g", 1, 0)] * 5 + [("g", 2, 9)] * 5,
+        "g string, period int, bucket long",
+    )
+    assert drift_psi(shifted, "g", "period", "bucket").collect()[0].psi > 1.0
