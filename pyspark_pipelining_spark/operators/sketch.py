@@ -367,3 +367,75 @@ def cms_merge(partials: DataFrame) -> DataFrame:
     sketches) into one: cell-wise addition — the defining property of
     the sketch.  One bounded groupBy; output ≤ depth × width rows."""
     return partials.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def kmv_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-overlap estimation between two value sets from their KMV
+    sketches — distinct counts, union, Jaccard, and intersection in one
+    row, without ever materializing either distinct set in one place
+    (the theta-sketch workflow: compare corpus vocabularies, user
+    audiences, url sets across sources).
+
+    Method: the k smallest md5 hashes of each side; the union sketch is
+    the k smallest of the merged min-sets; Jaccard ≈ (union-sketch
+    members present in BOTH sides) / |union sketch| and intersection ≈
+    J·|A∪B|.  Everything below the estimate divisions is exact integer/
+    set arithmetic on deterministic hashes, so the estimates are
+    bit-reproducible on any engine and layout, and EXACT whenever a
+    side has < k distinct values.
+
+    Scale shape: each side reduces map-side to distinct (tag, hash)
+    pairs, then a k-row window per side; the overlap math runs on two
+    k-length arrays in a single crossJoined row.
+
+    Output (one row): ``est_left, est_right, est_union, jaccard,
+    est_intersection`` (doubles, 6dp).
+    """
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast("long")
+
+    def mins(df: DataFrame, tag: str) -> DataFrame:
+        hashed = df.select(F.lit(tag).alias("g"), h.alias("h"))
+        return (
+            _kmv_mins_jvm(hashed, "g", k)
+            .groupBy("g")
+            .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias(f"mins_{tag}"))
+            .drop("g")
+        )
+
+    def est(arr: str):
+        n = F.size(arr)
+        kth = F.element_at(arr, k)
+        return F.round(
+            F.when(n < k, n.cast("double")).otherwise(
+                F.lit(float((k - 1) * TWO_60)) / kth.cast("double")
+            ),
+            6,
+        )
+
+    row = mins(left, "a").crossJoin(mins(right, "b"))
+    u = F.expr(f"slice(array_sort(array_union(mins_a, mins_b)), 1, {k})")
+    row = row.withColumn("u", u)
+    matched = F.size(
+        F.expr(
+            "filter(u, x -> array_contains(mins_a, x) AND array_contains(mins_b, x))"
+        )
+    )
+    jac = matched.cast("double") / F.size("u").cast("double")
+    return row.select(
+        est("mins_a").alias("est_left"),
+        est("mins_b").alias("est_right"),
+        est("u").alias("est_union"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(
+            jac
+            * F.when(F.size("u") < k, F.size("u").cast("double")).otherwise(
+                F.lit(float((k - 1) * TWO_60)) / F.element_at("u", k).cast("double")
+            ),
+            6,
+        ).alias("est_intersection"),
+    )

@@ -934,6 +934,90 @@ FROM tagged GROUP BY split, source
 SQL_DATASET_SPLIT = _sql_dataset_split()
 
 
+KMV_OVERLAP_K = 64
+
+
+def q_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English-vs-other word-BIGRAM vocabulary overlap from KMV
+    sketches (operators/sketch.kmv_overlap): distinct counts, union,
+    Jaccard, and intersection estimated from two k-min sets — the
+    theta-sketch set-operation workflow, without materializing either
+    vocabulary in one place.  Bigrams (not unigrams) because the
+    synthetic corpus shares one small word pool: the pair space is
+    thousands of values, so the kth-min ESTIMATION path is actually
+    exercised rather than the exact small-set fallback."""
+    from pyspark_pipelining_spark.operators.sketch import kmv_overlap
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = with_words(docs).select(
+        "lang",
+        F.explode(
+            # guard: sequence(1, 0) is a DESCENDING Spark array, not empty
+            F.expr(
+                "CASE WHEN size(words) >= 2 THEN"
+                " transform(sequence(1, size(words) - 1),"
+                "  i -> concat(element_at(words, CAST(i AS INT)), ' ',"
+                "              element_at(words, CAST(i + 1 AS INT))))"
+                " ELSE array() END"
+            )
+        ).alias("token"),
+    )
+    return kmv_overlap(
+        grams.filter(F.col("lang") == "en"),
+        grams.filter(F.col("lang") != "en"),
+        "token",
+        k=KMV_OVERLAP_K,
+    )
+
+
+def _sql_kmv_overlap(k: int = KMV_OVERLAP_K) -> str:
+    const = f"{k - 1}.0 * {1 << 60}"
+
+    def est(m: str) -> str:
+        return (
+            f"CASE WHEN len({m}) < {k} THEN round(CAST(len({m}) AS DOUBLE), 6)"
+            f" ELSE round({const} / CAST({m}[{k}] AS DOUBLE), 6) END"
+        )
+
+    return f"""
+WITH {SQL_WORDS},
+tg AS (
+    SELECT lang,
+           list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                          i -> w[i] || ' ' || w[i + 1]) AS gs
+    FROM words
+),
+tok2 AS (SELECT lang, unnest(gs) AS token FROM tg),
+ha AS (SELECT DISTINCT ('0x' || substr(md5(token), 1, 15))::BIGINT AS hh
+       FROM tok2 WHERE lang = 'en'),
+hb AS (SELECT DISTINCT ('0x' || substr(md5(token), 1, 15))::BIGINT AS hh
+       FROM tok2 WHERE lang <> 'en'),
+ma AS (SELECT list(hh ORDER BY hh) AS m
+       FROM (SELECT hh FROM ha ORDER BY hh LIMIT {k})),
+mb AS (SELECT list(hh ORDER BY hh) AS m
+       FROM (SELECT hh FROM hb ORDER BY hh LIMIT {k})),
+uni AS (
+    SELECT ma.m AS a, mb.m AS b,
+           list_slice(list_sort(list_distinct(list_concat(ma.m, mb.m))), 1, {k}) AS u
+    FROM ma, mb
+)
+SELECT {est("a")} AS est_left,
+       {est("b")} AS est_right,
+       {est("u")} AS est_union,
+       round(CAST(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x))) AS DOUBLE)
+             / CAST(len(u) AS DOUBLE), 6) AS jaccard,
+       round((CAST(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x))) AS DOUBLE)
+              / CAST(len(u) AS DOUBLE))
+             * (CASE WHEN len(u) < {k} THEN CAST(len(u) AS DOUBLE)
+                     ELSE {const} / CAST(u[{k}] AS DOUBLE) END), 6) AS est_intersection
+FROM uni
+"""
+
+
+SQL_KMV_VOCAB_OVERLAP = _sql_kmv_overlap()
+
+
 QUERIES_CORPUS = {
     "doclen_histogram": q_doclen_histogram,
     "cooccur_pmi": q_cooccur_pmi,
@@ -961,6 +1045,7 @@ QUERIES_CORPUS = {
     "bpe_pair_topk": q_bpe_pair_topk,
     "lm_score": q_lm_score,
     "dataset_split": q_dataset_split,
+    "kmv_vocab_overlap": q_kmv_vocab_overlap,
 }
 
 ORACLES_CORPUS = {
@@ -990,4 +1075,5 @@ ORACLES_CORPUS = {
     "bpe_pair_topk": SQL_BPE_PAIR_TOPK,
     "lm_score": SQL_LM_SCORE,
     "dataset_split": SQL_DATASET_SPLIT,
+    "kmv_vocab_overlap": SQL_KMV_VOCAB_OVERLAP,
 }

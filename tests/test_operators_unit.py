@@ -928,3 +928,24 @@ def test_drift_psi_zero_for_identical_distributions(spark):
         "g string, period int, bucket long",
     )
     assert drift_psi(shifted, "g", "period", "bucket").collect()[0].psi > 1.0
+
+
+def test_kmv_overlap_exact_for_small_sets_and_sane_estimates(spark):
+    """Below k distinct values every figure is exact; above k the
+    estimates stay within 25% of truth on a 1000-element overlap."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.sketch import kmv_overlap
+
+    small_a = spark.range(4).select(F.concat(F.lit("x"), "id").alias("v"))
+    small_b = spark.range(2, 6).select(F.concat(F.lit("x"), "id").alias("v"))
+    r = kmv_overlap(small_a, small_b, "v", k=64).collect()[0]
+    assert (r.est_left, r.est_right, r.est_union) == (4.0, 4.0, 6.0)
+    assert r.jaccard == round(2 / 6, 6) and r.est_intersection == 2.0
+
+    big_a = spark.range(1000).select(F.concat(F.lit("t"), "id").alias("v"))
+    big_b = spark.range(500, 1500).select(F.concat(F.lit("t"), "id").alias("v"))
+    r = kmv_overlap(big_a, big_b, "v", k=128).collect()[0]
+    assert abs(r.est_left - 1000) / 1000 < 0.25
+    assert abs(r.est_union - 1500) / 1500 < 0.25
+    assert abs(r.est_intersection - 500) / 500 < 0.5  # J·U compounds error
