@@ -39,16 +39,18 @@ _SNAPSHOT_PRIORITY = [
     "contamination", "vocab_topk", "sample_stratified", "sample_hash",
     "pack_greedy", "embedding_coherence", "chunk_overlap", "weighted_sample",
     "bpe_pair_topk",
-    # last green row is r02 (pushed out of the r03 window)
-    "order_gaps", "cumulative_daily_value", "set_ops", "topk_orders",
-    "rollup_order_status", "global_stats", "pivot_returnflag",
-    "asof_attribution",
     # fixed this round (TIMESTAMP_NTZ event-time normalization)
     "sessionize",
     # new this round
     "cube_revenue", "fuzzy_parts", "session_windows", "lm_score",
     "trailing_user_value", "argmax_orders", "corr_price_qty",
-    "sim_pq_topk", "table_diff", "activity_islands",
+    "sim_pq_topk", "table_diff", "activity_islands", "market_share",
+    "ewma_user_value", "unshipped_revenue_topk", "rolling_median_value",
+    "value_drift_psi", "dataset_split", "kmv_vocab_overlap",
+    # r02-green rows exist for order_gaps/cumulative_daily_value/set_ops/
+    # topk_orders/rollup_order_status/global_stats/pivot_returnflag/
+    # asof_attribution (CORRECTNESS_r02.json); they rotate back next round
+    "asof_attribution",
 ]
 
 
