@@ -186,3 +186,21 @@ def test_corpus_pipeline_end_to_end_and_idempotent(spark, tmp_path):
     assert os.path.exists(
         os.path.join(str(tmp_path), "ep0", "scrubbed", "_SUCCESS")
     )
+
+
+def test_cli_runs_corpus_stage(spark, tmp_path):
+    """`python -m pyspark_pipelining_spark corpus --stage scrubbed`
+    parses, runs one stage against the shared session, and reports
+    counts (get_spark reuses the active session, so no new JVM)."""
+    from pyspark_pipelining_spark.__main__ import main
+
+    counts = main(
+        [
+            "corpus",
+            "--sf-dir", SF_SMOKE,
+            "--output", str(tmp_path),
+            "--run-id", "cli1",
+            "--stage", "scrubbed",
+        ]
+    )
+    assert counts == {"scrubbed": 500}
