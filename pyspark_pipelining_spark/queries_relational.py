@@ -1531,6 +1531,51 @@ ORDER BY event_type
 """
 
 
+# --- composite: TPC-H Q18-style large-quantity orders (HAVING + semi) -----
+
+
+Q18_MIN_QTY = 150
+
+
+def q_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total line quantity exceeds a threshold, with
+    customer context — the TPC-H Q18 shape: aggregate + HAVING feeding
+    an IN-subquery.  Spark-first form: the HAVING is a post-aggregate
+    filter and the IN becomes a left-semi join of orders against the
+    qualifying key set, so the fact joins only survivors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "inner")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            F.col("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+SQL_LARGE_QUANTITY_ORDERS = f"""
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {Q18_MIN_QTY}) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1570,6 +1615,7 @@ QUERIES_REL = {
     "unshipped_revenue_topk": q_unshipped_revenue_topk,
     "rolling_median_value": q_rolling_median_value,
     "value_drift_psi": q_value_drift_psi,
+    "large_quantity_orders": q_large_quantity_orders,
 }
 
 ORACLES_REL = {
@@ -1611,4 +1657,5 @@ ORACLES_REL = {
     "unshipped_revenue_topk": SQL_UNSHIPPED_REVENUE_TOPK,
     "rolling_median_value": SQL_ROLLING_MEDIAN_VALUE,
     "value_drift_psi": SQL_VALUE_DRIFT_PSI,
+    "large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
 }

@@ -267,3 +267,39 @@ def test_fuzzy_pairs_is_orientation_invariant(spark):
     )
     assert a == b and len(a) > 0
     assert all(k1 < k2 for k1, k2, _ in a)
+
+
+def test_fuzzy_pairs_matches_bruteforce_dp(spark):
+    """Hypothesis-style cross-check: fuzzy_pairs against a pure-Python
+    Levenshtein DP over random short strings in random blocks."""
+    import random
+
+    from pyspark_pipelining_spark.operators.linkage import fuzzy_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rnd = random.Random(42)
+    rows = [
+        (i, "".join(rnd.choice("abcd") for _ in range(rnd.randint(3, 8))),
+         rnd.choice("XY"))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = sorted(
+        (r.key_1, r.key_2, r.dist)
+        for r in fuzzy_pairs(df, "id", "name", "blk", max_dist=2).collect()
+    )
+    want = sorted(
+        (a[0], b[0], lev(a[1], b[1]))
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[2] == b[2] and lev(a[1], b[1]) <= 2
+    )
+    assert got == want and len(want) > 0
