@@ -282,3 +282,91 @@ def drift_psi(
             (F.col("sq").cast("double") / F.lit(float(scale))).alias("psi"),
         )
     )
+
+
+def group_moments(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis of an integer column via
+    exact sufficient statistics — stock ``skewness()``/``kurtosis()``
+    accumulate float central moments whose value depends on shuffle
+    order.
+
+    Central moments are shift-invariant, so each group's values are
+    first centered on the group's truncated integer mean (a broadcast
+    join of group-sized means — the classic two-pass trick).  The
+    centered residuals are small, so the power sums Σd, Σd², Σd³, Σd⁴
+    fit comfortably in decimal(38,0) at any realistic group size
+    (|d| ≲ value range, not value magnitude).  The integer-scaled
+    central moments M2 = n²m2, M3 = n³m3, M4 = n⁴m4 (closed forms in
+    the code) make the n-powers cancel exactly:
+
+        skewness g1 = M3 / M2^1.5
+        excess kurtosis g2 = M4 / M2² − 3
+
+    with the float boundary confined to the final powers and divisions
+    — identical IEEE on identical exact inputs.
+
+    Output: ``<group_col>, n, skewness, kurtosis_excess`` (groups with
+    zero variance are dropped).
+    """
+    means = df.groupBy(group_col).agg(
+        F.expr(f"sum(CAST({value_col} AS DECIMAL(38,0))) div count(*)").alias("_mu")
+    )
+    d = "CAST({} AS DECIMAL(38,0))".format(f"({value_col} - _mu)")
+    agg = (
+        df.join(F.broadcast(means), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"sum({d})").alias("s1"),
+            F.expr(f"sum({d} * {d})").alias("s2"),
+            F.expr(f"sum({d} * {d} * {d})").alias("s3"),
+            F.expr(f"sum({d} * {d} * {d} * {d})").alias("s4"),
+        )
+    )
+    nd = "CAST(n AS DECIMAL(38,0))"
+    # central moments about the true mean, scaled by n^k to stay integer:
+    # M2 = n·s2 − s1², M3 = n²·s3 − 3n·s1·s2 + 2s1³,
+    # M4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴
+    return (
+        agg.select(
+            group_col,
+            "n",
+            F.expr(f"CAST({nd} * s2 - s1 * s1 AS DECIMAL(38,0))").alias("_m2"),
+            F.expr(
+                f"CAST({nd} * {nd} * s3 - 3 * {nd} * s1 * s2 + 2 * s1 * s1 * s1"
+                " AS DECIMAL(38,0))"
+            ).alias("_m3"),
+            F.expr(
+                f"CAST({nd} * {nd} * {nd} * s4 - 4 * {nd} * {nd} * s1 * s3"
+                f" + 6 * {nd} * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1"
+                " AS DECIMAL(38,0))"
+            ).alias("_m4"),
+        )
+        .filter(F.col("_m2") != 0)
+        .select(
+            group_col,
+            "n",
+            # M2 = n²m2, M3 = n³m3, M4 = n⁴m4 ⇒ the n-powers cancel:
+            # g1 = m3/m2^1.5 = M3/M2^1.5 ; g2 = m4/m2² − 3 = M4/M2² − 3
+            # mult+sqrt instead of pow(): pow is not correctly-rounded
+            # IEEE, so engines can differ by an ulp; sqrt and * are exact
+            F.round(
+                F.col("_m3").cast("double")
+                / (
+                    F.col("_m2").cast("double")
+                    * F.sqrt(F.col("_m2").cast("double"))
+                ),
+                6,
+            ).alias("skewness"),
+            F.round(
+                F.col("_m4").cast("double")
+                / (F.col("_m2").cast("double") * F.col("_m2").cast("double"))
+                - F.lit(3.0),
+                6,
+            ).alias("kurtosis_excess"),
+        )
+    )

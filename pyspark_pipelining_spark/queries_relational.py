@@ -1576,6 +1576,59 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- A-stats: exact skewness / kurtosis -----------------------------------
+
+
+def q_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of event value per type
+    (operators/stats.group_moments): stock skewness()/kurtosis() are
+    shuffle-order-dependent float accumulation; this centers on the
+    integer group mean (shift-invariant central moments) and keeps all
+    power sums exact decimal(38,0)."""
+    from pyspark_pipelining_spark.operators.stats import group_moments
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    return group_moments(ev, "cents", "event_type").orderBy("event_type")
+
+
+SQL_VALUE_MOMENTS = """
+WITH base AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+mu AS (
+    SELECT event_type, sum(CAST(cents AS HUGEINT)) // count(*) AS m
+    FROM base GROUP BY event_type
+),
+agg AS (
+    SELECT b.event_type, count(*) AS n,
+           sum(CAST(cents - m AS HUGEINT)) AS s1,
+           sum(CAST(cents - m AS HUGEINT) * (cents - m)) AS s2,
+           sum(CAST(cents - m AS HUGEINT) * (cents - m) * (cents - m)) AS s3,
+           sum(CAST(cents - m AS HUGEINT) * (cents - m) * (cents - m) * (cents - m)) AS s4
+    FROM base b JOIN mu USING (event_type)
+    GROUP BY b.event_type
+),
+mom AS (
+    SELECT event_type, n,
+           n * s2 - s1 * s1 AS m2,
+           n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+           CAST(n AS HUGEINT) * n * n * s4 - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+           + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4
+    FROM agg
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(m3 AS DOUBLE) / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE))), 6) AS skewness,
+       round(CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0, 6) AS kurtosis_excess
+FROM mom WHERE m2 != 0
+ORDER BY event_type
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1616,6 +1669,7 @@ QUERIES_REL = {
     "rolling_median_value": q_rolling_median_value,
     "value_drift_psi": q_value_drift_psi,
     "large_quantity_orders": q_large_quantity_orders,
+    "value_moments": q_value_moments,
 }
 
 ORACLES_REL = {
@@ -1658,4 +1712,5 @@ ORACLES_REL = {
     "rolling_median_value": SQL_ROLLING_MEDIAN_VALUE,
     "value_drift_psi": SQL_VALUE_DRIFT_PSI,
     "large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
+    "value_moments": SQL_VALUE_MOMENTS,
 }

@@ -949,3 +949,19 @@ def test_kmv_overlap_exact_for_small_sets_and_sane_estimates(spark):
     assert abs(r.est_left - 1000) / 1000 < 0.25
     assert abs(r.est_union - 1500) / 1500 < 0.25
     assert abs(r.est_intersection - 500) / 500 < 0.5  # J·U compounds error
+
+
+def test_group_moments_symmetric_and_skewed(spark):
+    """Symmetric values give skew exactly 0 (uniform {1,2,3}: excess
+    kurtosis −1.5); adding a far-right outlier flips skew positive."""
+    from pyspark_pipelining_spark.operators.stats import group_moments
+
+    sym = spark.createDataFrame(
+        [("g", v) for v in (1, 2, 3)], "g string, x long"
+    )
+    r = group_moments(sym, "x", "g").collect()[0]
+    assert r.skewness == 0.0 and r.kurtosis_excess == -1.5
+    skewed = spark.createDataFrame(
+        [("g", v) for v in (1, 1, 1, 1, 100)], "g string, x long"
+    )
+    assert group_moments(skewed, "x", "g").collect()[0].skewness > 1.0
