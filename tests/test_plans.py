@@ -393,3 +393,21 @@ def test_activity_islands_is_single_user_shuffle(spark):
     tree = plan.split("\n\n")[0].splitlines()
     assert sum("Exchange" in l and "Broadcast" not in l for l in tree) == 1
     assert sum("Window" in l for l in tree) == 2
+
+
+def test_unshipped_revenue_topk_uses_take_ordered(spark):
+    """The Q3 top-k must be a TakeOrderedAndProject over the aggregate,
+    never a full global sort, and both date filters must reach the
+    parquet scans."""
+    plan = plan_of(spark, "unshipped_revenue_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+
+
+def test_market_share_broadcasts_all_dims_single_fact_agg(spark):
+    """Q8 shape: every dim join is broadcast (fact never shuffles for
+    them); the ratio window runs over nation-sized partials only."""
+    plan = plan_of(spark, "market_share")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert tree.count("BroadcastHashJoin") >= 3
