@@ -303,3 +303,66 @@ def test_fuzzy_pairs_matches_bruteforce_dp(spark):
         if a[0] < b[0] and a[2] == b[2] and lev(a[1], b[1]) <= 2
     )
     assert got == want and len(want) > 0
+
+
+def test_table_diff_self_is_all_unchanged(spark):
+    """diff(T, T) must report every row unchanged — the reconciliation
+    identity that catches fingerprint instability."""
+    from pyspark_pipelining_spark.operators.profile import table_diff
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    got = {r.status: r.n_rows for r in table_diff(
+        o, o, ["o_orderkey"], ["o_orderstatus", "o_orderpriority"]
+    ).collect()}
+    assert got == {"unchanged": o.count()}
+
+
+def test_drift_psi_is_symmetric_in_periods(spark):
+    """PSI's (p−q)ln(p/q) terms are symmetric under period swap, so
+    swapping period labels must reproduce the identical psi."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.stats import drift_psi
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type",
+        (F.pmod("event_id", F.lit(2)) + 1).cast("int").alias("period"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000").alias("bucket"),
+    )
+    swapped = ev.withColumn("period", (F.lit(3) - F.col("period")).cast("int"))
+    a = {r[0]: r.psi for r in drift_psi(ev, "event_type", "period", "bucket").collect()}
+    b = {r[0]: r.psi for r in drift_psi(swapped, "event_type", "period", "bucket").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_cube_revenue_grand_total_consistency(spark):
+    """The CUBE's all-null row (gid 7) must equal the sum of the
+    fully-specified cells (gid 0) — Expand produced every granularity
+    from one scan consistently."""
+    from pyspark_pipelining_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["cube_revenue"](spark, SF_SMOKE).collect()
+    grand = [r for r in rows if r.gid == 7]
+    cells = [r for r in rows if r.gid == 0]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(r.n_orders for r in cells)
+    assert abs(grand[0].revenue - sum(r.revenue for r in cells)) < 1e-6
+
+
+def test_session_windows_partition_events_exactly(spark):
+    """Native session windows must partition the event stream: session
+    counts sum to the table size and every window spans >= the gap."""
+    from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["session_windows"](spark, SF_SMOKE).collect()
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    gap_us = 30 * 60 * 10**6
+    assert all(r.end_us - r.start_us >= gap_us for r in rows)
