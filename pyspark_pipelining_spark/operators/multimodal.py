@@ -134,3 +134,37 @@ def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media_df.select(
         "media_id", F.posexplode(frames).alias("frame_no", "ts_ms_idx")
     ).select("media_id", "frame_no", (F.col("ts_ms_idx") * every_ms).alias("ts_ms"))
+
+
+def audio_window_plan(
+    media_df: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio analysis-window *plan*: one row per overlapping
+    (window_ms, hop_ms) analysis window that fits inside the clip,
+    from metadata only — the STFT/feature-window sizing pre-pass, the
+    audio sibling of :func:`frame_sample_plan` (same rationale: plan
+    the extraction from metadata, decode only what the plan demands).
+
+    Windows are fully contained: n = (duration − window) div hop + 1
+    when duration ≥ window, else 0 (short clips yield no rows).
+    Output: ``media_id, window_no, start_ms, end_ms``.  Pure map-side
+    sequence/explode — no shuffle at any scale.
+    """
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    n = F.when(
+        dur >= window_ms,
+        F.expr(
+            f"(coalesce(meta.duration_ms, 0) - {window_ms}) div {hop_ms}"
+        ) + 1,
+    ).otherwise(F.lit(0))
+    wins = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )
+    return media_df.select(
+        "media_id", F.explode(wins).alias("window_no")
+    ).select(
+        "media_id",
+        "window_no",
+        (F.col("window_no") * hop_ms).alias("start_ms"),
+        (F.col("window_no") * hop_ms + window_ms).alias("end_ms"),
+    )

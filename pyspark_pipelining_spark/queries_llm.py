@@ -580,6 +580,37 @@ FROM documents, unnest(range(0, (doc_id % 5 * 1000 + 500) // 1000 + 1)) AS t(i)
 """
 
 
+def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window plan (operators/multimodal
+    .audio_window_plan): deterministic per-clip durations synthesized
+    from ids (no audio fixtures in the container); some clips are
+    shorter than one window and contribute zero rows — the plan
+    handles them without special-casing."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs).withColumn(
+        "meta",
+        F.col("meta")
+        .withField("modality", F.lit("audio"))
+        .withField("duration_ms", (F.col("media_id") % 7 * 700 + 800).cast("long")),
+    )
+    return multimodal.audio_window_plan(media, window_ms=1000, hop_ms=500)
+
+
+SQL_MEDIA_AUDIO_WINDOWS = """
+WITH clips AS (
+    SELECT doc_id AS media_id, doc_id % 7 * 700 + 800 AS dur FROM documents
+),
+n AS (
+    SELECT media_id,
+           CASE WHEN dur >= 1000 THEN (dur - 1000) // 500 + 1 ELSE 0 END AS nw
+    FROM clips
+)
+SELECT media_id, CAST(t.i AS BIGINT) AS window_no,
+       t.i * 500 AS start_ms, t.i * 500 + 1000 AS end_ms
+FROM n, unnest(range(0, nw)) AS t(i)
+"""
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (operators/text.
     repetition_signals): chars covered by the most repetitive word
@@ -644,6 +675,7 @@ QUERIES_LLM = {
     "sim_near_dup": q_sim_near_dup,
     "media_features": q_media_features,
     "media_frame_plan": q_media_frame_plan,
+    "media_audio_windows": q_media_audio_windows,
 }
 
 ORACLES_LLM = {
@@ -664,6 +696,7 @@ ORACLES_LLM = {
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "media_features": SQL_MEDIA_FEATURES,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
+    "media_audio_windows": SQL_MEDIA_AUDIO_WINDOWS,
 }
 
 
