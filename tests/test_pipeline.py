@@ -204,3 +204,18 @@ def test_cli_runs_corpus_stage(spark, tmp_path):
         ]
     )
     assert counts == {"scrubbed": 500}
+
+
+def test_driver_contract_registry_is_complete_and_bijective():
+    """__spark_entry__ must expose every registered query exactly once,
+    in the same order for queries() and oracle_sql(), with the
+    snapshot-priority window exactly 50 names, all resolvable."""
+    import __spark_entry__ as e
+    from pyspark_pipelining_spark.queries import ORACLES, QUERIES
+
+    q, o = list(e.queries()), list(e.oracle_sql())
+    assert q == o
+    assert sorted(q) == sorted(QUERIES) == sorted(ORACLES)
+    assert len(q) == len(set(q))
+    assert len(e._SNAPSHOT_PRIORITY) == 50
+    assert set(e._SNAPSHOT_PRIORITY) <= set(QUERIES)
