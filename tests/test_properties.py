@@ -366,3 +366,40 @@ def test_session_windows_partition_events_exactly(spark):
     assert sum(r.n_events for r in rows) == total
     gap_us = 30 * 60 * 10**6
     assert all(r.end_us - r.start_us >= gap_us for r in rows)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cluster_assignments_matches_union_find(spark, edges):
+    """Random small graphs: pointer-jumped min-id label propagation must
+    agree with a Python union-find's min-id components exactly."""
+    from pyspark_pipelining_spark.operators.dedup import cluster_assignments
+
+    nodes = sorted({n for e in edges for n in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_1 long, doc_2 long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in cluster_assignments(pairs).collect()
+    }
+    assert got == want
