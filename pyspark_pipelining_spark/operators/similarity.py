@@ -606,3 +606,65 @@ def pq_adc_topk(
         .filter(F.col("rn") <= topk)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss) — ANN's dimensionality path
+# ---------------------------------------------------------------------------
+
+
+def rp_signs(dim: int, k: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix shared between engine and
+    oracle (the minhash_coeffs precedent): sign(i, j) = parity of
+    md5(f"{i}:{j}").  A dense Rademacher matrix satisfies the JL lemma
+    with the same guarantees as Gaussian entries."""
+    import hashlib
+
+    return [
+        [
+            1 - 2 * (hashlib.md5(f"{i}:{j}".encode()).digest()[-1] & 1)
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def rp_project(
+    emb_df: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 10**6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: project each embedding to ``k``
+    Rademacher-signed sums — the dimensionality-reduction pre-pass that
+    shrinks a 100 TB ANN problem's vector payload ``dim/k``-fold while
+    approximately preserving pairwise distances (JL lemma).
+
+    Exact arithmetic: coordinates snap to the 1/``grid`` lattice and
+    each projection is an int64 signed sum (|r_j| ≤ dim·grid·max|x|,
+    far below overflow), so the sketch is bit-identical on any engine
+    or layout.  Pure map-side work — zero shuffle.
+
+    Output: ``<id_col>, r0..r{k-1}`` (int64) and ``norm2`` (Σ r_j²).
+    """
+    signs = rp_signs(dim, k)
+    snapped = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {grid}) AS BIGINT))"
+    )
+    cols = []
+    for j in range(k):
+        lits = ", ".join(str(v) for v in signs[j])
+        cols.append(
+            F.expr(
+                f"aggregate(zip_with(_s, array({lits}), (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias(f"r{j}")
+        )
+    out = emb_df.select(id_col, snapped.alias("_s")).select(id_col, *cols)
+    norm2 = None
+    for j in range(k):
+        term = F.col(f"r{j}") * F.col(f"r{j}")
+        norm2 = term if norm2 is None else norm2 + term
+    return out.withColumn("norm2", norm2)

@@ -580,6 +580,46 @@ FROM documents, unnest(range(0, (doc_id % 5 * 1000 + 500) // 1000 + 1)) AS t(i)
 """
 
 
+RP_K, RP_DIM, RP_GRID = 8, 64, 10**6
+
+
+def q_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection sketch of every
+    embedding (operators/similarity.rp_project): 64 floats → 8 exact
+    int64 Rademacher sums + the sketch norm — the payload-shrinking
+    pre-pass for ANN at scale, bit-identical on any engine/layout."""
+    return similarity.rp_project(
+        load_table(spark, sf_dir, "embeddings"), k=RP_K, dim=RP_DIM, grid=RP_GRID
+    )
+
+
+def _sql_rp() -> str:
+    signs = similarity.rp_signs(RP_DIM, RP_K)
+    r_cols = []
+    for j in range(RP_K):
+        lits = ", ".join(str(v) for v in signs[j])
+        r_cols.append(
+            f"list_sum(list_transform(range(1, {RP_DIM} + 1),"
+            f" i -> sv[CAST(i AS INT)] * ([{lits}])[i])) AS r{j}"
+        )
+    norm = " + ".join(f"r{j} * r{j}" for j in range(RP_K))
+    return f"""
+WITH s AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * {RP_GRID}) AS BIGINT)) AS sv
+    FROM embeddings
+),
+proj AS (SELECT vec_id, {", ".join(r_cols)} FROM s)
+SELECT vec_id, {", ".join(f"CAST(r{j} AS BIGINT) AS r{j}" for j in range(RP_K))},
+       CAST({norm} AS BIGINT) AS norm2
+FROM proj
+"""
+
+
+SQL_RP_SKETCH = _sql_rp()
+
+
 def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio analysis-window plan (operators/multimodal
     .audio_window_plan): deterministic per-clip durations synthesized
@@ -676,6 +716,7 @@ QUERIES_LLM = {
     "media_features": q_media_features,
     "media_frame_plan": q_media_frame_plan,
     "media_audio_windows": q_media_audio_windows,
+    "rp_sketch": q_rp_sketch,
 }
 
 ORACLES_LLM = {
@@ -697,6 +738,7 @@ ORACLES_LLM = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     "media_audio_windows": SQL_MEDIA_AUDIO_WINDOWS,
+    "rp_sketch": SQL_RP_SKETCH,
 }
 
 

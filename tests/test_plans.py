@@ -411,3 +411,10 @@ def test_market_share_broadcasts_all_dims_single_fact_agg(spark):
     tree = plan.split("\n\n")[0]
     assert "SortMergeJoin" not in tree
     assert tree.count("BroadcastHashJoin") >= 3
+
+
+def test_rp_sketch_is_pure_map_side(spark):
+    """The JL projection must be shuffle-free: no Exchange anywhere in
+    its plan (pure per-row integer arithmetic)."""
+    plan = plan_of(spark, "rp_sketch")
+    assert "Exchange" not in plan.split("\n\n")[0]

@@ -403,3 +403,35 @@ def test_cluster_assignments_matches_union_find(spark, edges):
         r.doc_id: r.cluster_id for r in cluster_assignments(pairs).collect()
     }
     assert got == want
+
+
+def test_rp_sketch_roughly_preserves_distance_order(spark):
+    """JL property (loose): over sampled vector pairs, sketch distances
+    correlate positively with true distances — rank agreement on the
+    extremes, not exact values."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.similarity import rp_project
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 40)
+    true_vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    sk = {
+        r.vec_id: [r[f"r{j}"] for j in range(8)]
+        for r in rp_project(emb, k=8).collect()
+    }
+    pairs = [(a, b) for a in sorted(true_vecs) for b in sorted(true_vecs) if a < b]
+
+    def d2(u, v):
+        return sum((x - y) ** 2 for x, y in zip(u, v))
+
+    true_d = {(a, b): d2(true_vecs[a], true_vecs[b]) for a, b in pairs}
+    sk_d = {(a, b): d2(sk[a], sk[b]) for a, b in pairs}
+    # Spearman-ish check: the closest decile by true distance must have a
+    # smaller mean sketch distance than the farthest decile
+    ranked = sorted(pairs, key=lambda p: true_d[p])
+    n10 = max(len(ranked) // 10, 1)
+    near = sum(sk_d[p] for p in ranked[:n10]) / n10
+    far = sum(sk_d[p] for p in ranked[-n10:]) / n10
+    assert near < far
