@@ -668,3 +668,124 @@ def rp_project(
         term = F.col(f"r{j}") * F.col(f"r{j}")
         norm2 = term if norm2 is None else norm2 + term
     return out.withColumn("norm2", norm2)
+
+
+def ivfpq_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    cells: int = 8,
+    nprobe: int = 2,
+    topk: int = 5,
+    grid: int = PQ_GRID,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape, composed from the two
+    existing stages: the coarse quantizer prunes each query to
+    ``nprobe`` cells (``ivf_assign``), and only those cells' vectors
+    are scored, in the compressed domain, by PQ asymmetric distance
+    (``pq_train_codes`` codebooks + per-query lookup tables).
+
+    Scale shape: the corpus flows as (vec_id, cell, m codes) — vectors
+    themselves never join or shuffle after encoding; probes and
+    distance tables are broadcast (|q|·nprobe and |q|·m·k rows); the
+    candidate join is an equi-join on the cell key, so at 100 TB a
+    cell-partitioned layout turns each probe into a pruned scan
+    exactly as in :func:`ivf_topk`.
+
+    Output: ``query_id, vec_id, adc_d, rn`` (rn ≤ topk per query;
+    self-matches excluded, mirroring ivf_topk).
+    """
+    codes, codebook = pq_train_codes(
+        emb_df, m=m, k=k, iters=iters, dim=dim, grid=grid
+    )
+    code_arr = codes.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(sub, cell))), p -> p.cell)"
+        ).alias("code")
+    )
+    cell_df = spread(emb_df).select(
+        "vec_id", ivf_assign(F.col("embedding"), cells, dim).alias("ivf_cell")
+    )
+    cand_side = code_arr.join(cell_df, "vec_id")
+
+    qscores = ivf_cell_scores(F.col("query_vec"), cells, dim)
+    probes = (
+        query_df.select(
+            F.col("query_id").alias("qid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("c"), qscores[j].alias("s"))
+                        for j in range(cells)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("qid", F.col("p.c").alias("ivf_cell"), F.col("p.s").alias("s"))
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("ivf_cell"))
+    probes = (
+        probes.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "ivf_cell")
+    )
+
+    d2 = dim // m
+    qsubs = query_df.select(
+        F.col("query_id").alias("qid"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" j -> struct(CAST(j AS BIGINT) AS sub,"
+                f" slice(transform(query_vec,"
+                f"   x -> CAST(round(CAST(x AS DOUBLE) * {grid}) AS BIGINT)),"
+                f"   j * {d2} + 1, {d2}) AS qs))"
+            )
+        ).alias("e"),
+    ).select("qid", "e.sub", "e.qs")
+    dtq = (
+        qsubs.join(F.broadcast(codebook), "sub")
+        .select(
+            "qid",
+            "sub",
+            "cell",
+            F.expr(
+                "aggregate(zip_with(qs, centroid, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("d"),
+        )
+        .groupBy("qid", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(cell, d))), p -> p.d)"
+            ).alias("tab")
+        )
+        .groupBy("qid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, tab))), p -> p.tab)"
+            ).alias("tabs")
+        )
+    )
+
+    cand = cand_side.join(F.broadcast(probes), "ivf_cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = cand.join(F.broadcast(dtq), "qid").select(
+        F.col("qid").alias("query_id"),
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+            f" (acc, j) -> acc + element_at(element_at(tabs, CAST(j + 1 AS INT)),"
+            f"  CAST(element_at(code, CAST(j + 1 AS INT)) + 1 AS INT)))"
+        ).alias("adc_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= topk)
+        .orderBy("query_id", "rn")
+    )

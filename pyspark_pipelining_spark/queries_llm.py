@@ -580,6 +580,119 @@ FROM documents, unnest(range(0, (doc_id % 5 * 1000 + 500) // 1000 + 1)) AS t(i)
 """
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.ivfpq_topk): coarse cells prune
+    each query to nprobe inverted lists, PQ asymmetric distance scores
+    only those candidates in the compressed domain — the production
+    index composition of the sim_ivf and sim_pq stages."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, _query_vecs(spark, sf_dir), m=4, k=8, iters=2, dim=DIM,
+        cells=8, nprobe=2, topk=TOPK,
+    )
+
+
+def _sql_ivfpq(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    grid: int = 10**6,
+    cells: int = 8,
+    nprobe: int = 2,
+    nq: int = N_QUERIES,
+    topk: int = TOPK,
+) -> str:
+    """PQ Lloyd/encode/table CTEs (as in _sql_pq) + IVF probe pruning;
+    candidates = probed cells minus self-matches."""
+    d2 = dim // m
+    steps = []
+    prev = "a0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+c{i} AS (
+    SELECT p.sub, p.cell, b.spos, sum(b.s) // count(*) AS c
+    FROM base b JOIN {prev} p ON b.vec_id = p.vec_id AND b.sub = p.sub
+    GROUP BY p.sub, p.cell, b.spos
+),
+d{i} AS (
+    SELECT b.vec_id, b.sub, c{i}.cell,
+           CAST(sum((b.s - c{i}.c) * (b.s - c{i}.c)) AS BIGINT) AS d
+    FROM base b JOIN c{i} ON b.sub = c{i}.sub AND b.spos = c{i}.spos
+    GROUP BY b.vec_id, b.sub, c{i}.cell
+),
+a{i} AS (
+    SELECT vec_id, sub, cell FROM (
+        SELECT vec_id, sub, cell,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+        FROM d{i})
+    WHERE rn = 1
+)""")
+        prev = f"a{i}"
+    corp_scores = [_sql_ivf_score("embedding", j) for j in range(cells)]
+    best = "greatest(" + ", ".join(f"s{j}" for j in range(cells)) + ")"
+    argmax = "CASE " + " ".join(
+        f"WHEN s{j} = {best} THEN {j}" for j in range(cells)
+    ) + " END"
+    score_cols = ", ".join(f"{s} AS s{j}" for j, s in enumerate(corp_scores))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT qid, {j} AS pcell, s{j} AS score FROM qs2" for j in range(cells)
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, CAST((g.i - 1) // {d2} AS BIGINT) AS sub,
+           (g.i - 1) % {d2} AS spos,
+           CAST(round(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * {grid})
+                AS BIGINT) AS s
+    FROM embeddings, generate_series(1, {dim}) AS g(i)
+),
+a0 AS (
+    SELECT vec_id, CAST(t.j AS BIGINT) AS sub, vec_id % {k} AS cell
+    FROM embeddings, range({m}) t(j)
+),
+{",".join(steps)},
+dt AS (
+    SELECT q.vec_id AS qid, q.sub, c{iters}.cell,
+           CAST(sum((q.s - c{iters}.c) * (q.s - c{iters}.c)) AS BIGINT) AS d
+    FROM base q JOIN c{iters} ON q.sub = c{iters}.sub AND q.spos = c{iters}.spos
+    WHERE q.vec_id < {nq}
+    GROUP BY q.vec_id, q.sub, c{iters}.cell
+),
+cellsco AS (SELECT vec_id, {score_cols} FROM embeddings),
+corpcell AS (SELECT vec_id, {argmax} AS pcell FROM cellsco),
+qs2 AS (SELECT vec_id AS qid, {score_cols} FROM embeddings WHERE vec_id < {nq}),
+probes_all AS ({probe_rows}),
+probes AS (
+    SELECT qid, pcell FROM (
+        SELECT qid, pcell,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, pcell ASC) AS pr
+        FROM probes_all
+    ) WHERE pr <= {nprobe}
+),
+cand AS (
+    SELECT p.qid, c.vec_id
+    FROM corpcell c JOIN probes p ON c.pcell = p.pcell
+    WHERE c.vec_id != p.qid
+),
+scored AS (
+    SELECT cand.qid AS query_id, cand.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc_d
+    FROM cand
+    JOIN {prev} a ON a.vec_id = cand.vec_id
+    JOIN dt ON dt.qid = cand.qid AND dt.sub = a.sub AND dt.cell = a.cell
+    GROUP BY cand.qid, cand.vec_id
+)
+SELECT query_id, vec_id, adc_d,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id)
+            AS BIGINT) AS rn
+FROM scored
+QUALIFY rn <= {topk}
+ORDER BY query_id, rn
+"""
+
+
+SQL_SIM_IVFPQ_TOPK = _sql_ivfpq()
+
+
 RP_K, RP_DIM, RP_GRID = 8, 64, 10**6
 
 
@@ -717,6 +830,7 @@ QUERIES_LLM = {
     "media_frame_plan": q_media_frame_plan,
     "media_audio_windows": q_media_audio_windows,
     "rp_sketch": q_rp_sketch,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
 }
 
 ORACLES_LLM = {
@@ -739,6 +853,7 @@ ORACLES_LLM = {
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     "media_audio_windows": SQL_MEDIA_AUDIO_WINDOWS,
     "rp_sketch": SQL_RP_SKETCH,
+    "sim_ivfpq_topk": SQL_SIM_IVFPQ_TOPK,
 }
 
 

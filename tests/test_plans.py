@@ -418,3 +418,17 @@ def test_rp_sketch_is_pure_map_side(spark):
     its plan (pure per-row integer arithmetic)."""
     plan = plan_of(spark, "rp_sketch")
     assert "Exchange" not in plan.split("\n\n")[0]
+
+
+def test_ivfpq_corpus_flows_as_codes_never_vectors(spark):
+    """IVF-PQ: after encoding, the corpus moves as (vec_id, cell,
+    codes) only — no shuffle is keyed on the raw embedding; probes and
+    distance tables are broadcast."""
+    import re
+
+    df = QUERIES["sim_ivfpq_topk"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for spec in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding#" not in spec.group(1) and "ss#" not in spec.group(1), spec.group(1)
