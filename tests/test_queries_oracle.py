@@ -20,6 +20,9 @@ def test_query_matches_oracle_smoke(spark, name):
         assert df.count() >= 0
         return
     compare(spark, SF_SMOKE, QUERIES[name], ORACLES[name])
+    # empty-but-matching hides date/filter bugs: every registered query
+    # must produce rows on the smoke data (verified for all 111)
+    assert QUERIES[name](spark, SF_SMOKE).count() > 0
 
 
 @pytest.mark.slow
