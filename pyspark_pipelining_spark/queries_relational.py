@@ -1629,6 +1629,39 @@ ORDER BY event_type
 """
 
 
+# --- hypertable-style continuous aggregate: rollup + raw-tail stitch ------
+
+
+def q_hypertable_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type value totals read the continuous-aggregate way
+    (the TimescaleDB hypertable-rollup pattern): closed days come from
+    the materialized rollup aggregation, the still-open newest day is
+    aggregated from raw events, and the two stitch by union — giving
+    real-time correctness with rollup-read cost for history.  The
+    split point (max event day) is a lazy 1-row aggregate; the oracle
+    is the plain daily aggregation, which the stitch must equal
+    exactly (exact-cents sums make the two paths bit-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    tagged = ev.crossJoin(F.broadcast(rng)).withColumn("day", F.to_date("ts"))
+    grain = ["day", "event_type"]
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum("value", "total_value"),
+    ]
+    rollup = tagged.filter(F.col("day") < F.col("maxd")).groupBy(*grain).agg(*aggs)
+    tail = tagged.filter(F.col("day") >= F.col("maxd")).groupBy(*grain).agg(*aggs)
+    return rollup.unionByName(tail)
+
+
+SQL_HYPERTABLE_STITCH = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES_REL = {
     "pricing_summary": q_pricing_summary,
     "zorder_stats": q_zorder_stats,
@@ -1670,6 +1703,7 @@ QUERIES_REL = {
     "value_drift_psi": q_value_drift_psi,
     "large_quantity_orders": q_large_quantity_orders,
     "value_moments": q_value_moments,
+    "hypertable_stitch": q_hypertable_stitch,
 }
 
 ORACLES_REL = {
@@ -1713,4 +1747,5 @@ ORACLES_REL = {
     "value_drift_psi": SQL_VALUE_DRIFT_PSI,
     "large_quantity_orders": SQL_LARGE_QUANTITY_ORDERS,
     "value_moments": SQL_VALUE_MOMENTS,
+    "hypertable_stitch": SQL_HYPERTABLE_STITCH,
 }
