@@ -213,35 +213,56 @@ def inverted_index(
     text_col: str = "text",
     min_df: int = 2,
     max_postings: int = 10,
+    salts: int = 8,
 ) -> DataFrame:
     """Token -> posting-list inverted index (head): per token, the
     document frequency and the first ``max_postings`` doc_ids in sorted
     order — the retrieval structure behind term lookup / BM25 serving.
 
-    Scale shape: per-doc ``array_distinct`` BEFORE explode (map-side
-    dedup — the token stream that shuffles is already unique per doc),
-    then ONE exchange: both window functions (partition count, ranked
-    row_number) and the follow-up groupBy share the token partitioning,
-    so Spark reuses the shuffle.  ``row_number <= max_postings`` runs
-    BEFORE collect_list, so per-token state is bounded even for
-    stopword-grade tokens — the full-postings variant of this operator
-    would instead bucket-write by token and never collect."""
+    Scale shape (two-phase salted top-k): per-doc ``array_distinct``
+    BEFORE explode (map-side dedup — the token stream that shuffles is
+    already unique per doc), then phase 1 partitions by
+    ``(token, salt)`` where salt = hash(doc_id) mod ``salts``, so a
+    stopword-grade token's posting stream is sorted as ``salts``
+    independent spillable sorts instead of one giant task; each salt
+    bucket keeps its smallest ``max_postings`` ids plus its exact
+    count.  Phase 2 merges per token: doc_freq = Σ bucket counts, and
+    the global smallest-k is the smallest k of the ≤ salts·k merged
+    candidates (every global top-k id is top-k within its own bucket,
+    so the merge is lossless).  Per-token state after phase 1 is
+    bounded by salts·max_postings regardless of token frequency.  The
+    full-postings variant of this operator would instead bucket-write
+    by token and never collect."""
     words = with_words(df, text_col)
     toks = words.select("doc_id", F.explode(F.array_distinct("words")).alias("token"))
-    part = Window.partitionBy("token")
-    ranked = toks.select(
+    salted = toks.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)).cast("int")
+    )
+    part = Window.partitionBy("token", "salt")
+    ranked = salted.select(
         "token",
+        "salt",
         "doc_id",
-        F.count(F.lit(1)).over(part).alias("doc_freq"),
+        F.count(F.lit(1)).over(part).alias("bucket_cnt"),
         F.row_number().over(part.orderBy("doc_id")).alias("rn"),
     )
-    return (
-        ranked.filter((F.col("rn") <= max_postings) & (F.col("doc_freq") >= min_df))
-        .groupBy("token")
+    partial = (
+        ranked.filter(F.col("rn") <= max_postings)
+        .groupBy("token", "salt")
         .agg(
-            F.max("doc_freq").alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.max("bucket_cnt").alias("bucket_cnt"),
+            F.collect_list("doc_id").alias("ids"),
         )
+    )
+    return (
+        partial.groupBy("token")
+        .agg(
+            F.sum("bucket_cnt").alias("doc_freq"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("ids"))), 1, max_postings
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
         .orderBy("token")
     )
 

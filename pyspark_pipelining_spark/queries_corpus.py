@@ -791,13 +791,26 @@ INDEX_POSTINGS = 10
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index head (operators/text.inverted_index): per token,
-    document frequency + first 10 sorted doc_ids."""
+    document frequency + first 10 sorted doc_ids.
+
+    The posting array is serialized to a comma-joined string at this
+    query boundary — the driver's pandas canonicalizer cannot sort or
+    hash list-valued cells (CORRECTNESS_r04 ``unhashable type: 'list'``)
+    — while the operator itself keeps returning the typed ArrayType
+    column for programmatic users."""
     from pyspark_pipelining_spark.operators import text as text_ops
 
-    return text_ops.inverted_index(
+    idx = text_ops.inverted_index(
         load_table(spark, sf_dir, "documents"),
         min_df=INDEX_MIN_DF,
         max_postings=INDEX_POSTINGS,
+    )
+    return idx.select(
+        "token",
+        "doc_freq",
+        F.array_join(F.expr("transform(postings, x -> CAST(x AS STRING))"), ",").alias(
+            "postings"
+        ),
     )
 
 
@@ -810,7 +823,8 @@ agg AS (
            (list(doc_id ORDER BY doc_id))[1:{INDEX_POSTINGS}] AS postings
     FROM toks GROUP BY token
 )
-SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq, postings
+SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
+       array_to_string(postings, ',') AS postings
 FROM agg
 WHERE doc_freq >= {INDEX_MIN_DF}
 ORDER BY token

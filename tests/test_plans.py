@@ -432,3 +432,26 @@ def test_ivfpq_corpus_flows_as_codes_never_vectors(spark):
     )
     for spec in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "embedding#" not in spec.group(1) and "ss#" not in spec.group(1), spec.group(1)
+
+
+def test_inverted_index_topk_is_salted_two_phase(spark):
+    """The hot-token guard: no window sort may run over a bare token
+    partition (a stopword token would serialize its whole posting
+    stream into one task).  Phase 1 must sort/partition on
+    (token, salt) and the per-token merge must be a hash aggregate over
+    the bounded salts*k partials."""
+    import re
+
+    plan = plan_of(spark, "inverted_index")
+    # every window function must partition on (token, salt), never bare
+    # token — windowspecdefinition(token#N, salt#M, ...) in the plan
+    wspecs = re.findall(r"windowspecdefinition\((token#\d+[^,]*, [^,]*)", plan)
+    assert wspecs, "no window spec found"
+    for spec in wspecs:
+        assert "salt#" in spec, f"window over bare token partition: {spec}"
+    # phase 1 exchanges on (token, salt); phase-2 merge of the bounded
+    # salts*k partials may hash on bare token (legitimately tiny rows)
+    specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any(s.startswith("token#") and "salt#" in s for s in specs), specs
+    # phase-2 merge is an aggregation (partial+final), not a window
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
