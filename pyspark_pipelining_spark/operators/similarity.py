@@ -458,6 +458,11 @@ def pq_train_codes(
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if iters < 1:
+        raise ValueError(
+            f"iters must be >= 1 (got {iters}): the codebook and the "
+            "distance column only exist after the first Lloyd step"
+        )
     d2 = dim // m
     snapped = emb_df.select(
         id_col,
@@ -565,12 +570,22 @@ def pq_adc_topk(
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("d"),
     )
+    # Densify each (qid, sub) table to exactly k slots indexed BY CELL
+    # ID, not by position: if a Lloyd cell empties during training the
+    # surviving cell ids are non-contiguous, and a positional
+    # collect_list lookup would read the wrong cell's distance (or NULL
+    # out of bounds).  Codes can only ever reference cells present in
+    # the final codebook, so the NULL filler slots are never read.
     qtabs_row = (
         dt.groupBy("qid", "sub")
-        .agg(
+        .agg(F.expr("map_from_entries(collect_list(struct(cell, d)))").alias("dmap"))
+        .select(
+            "qid",
+            "sub",
             F.expr(
-                "transform(array_sort(collect_list(struct(cell, d))), p -> p.d)"
-            ).alias("tab")
+                f"transform(sequence(0, {k - 1}),"
+                f" c -> element_at(dmap, CAST(c AS BIGINT)))"
+            ).alias("tab"),
         )
         .groupBy("qid")
         .agg(
@@ -758,10 +773,16 @@ def ivfpq_topk(
             ).alias("d"),
         )
         .groupBy("qid", "sub")
-        .agg(
+        # dense k-slot table indexed by cell id (see pq_adc_topk: a
+        # positional lookup breaks when a Lloyd cell empties)
+        .agg(F.expr("map_from_entries(collect_list(struct(cell, d)))").alias("dmap"))
+        .select(
+            "qid",
+            "sub",
             F.expr(
-                "transform(array_sort(collect_list(struct(cell, d))), p -> p.d)"
-            ).alias("tab")
+                f"transform(sequence(0, {k - 1}),"
+                f" c -> element_at(dmap, CAST(c AS BIGINT)))"
+            ).alias("tab"),
         )
         .groupBy("qid")
         .agg(

@@ -187,6 +187,15 @@ def group_corr(
     multiset of rows.  Groups where either variance term is zero are
     dropped (r undefined).
 
+    Overflow envelope (decimal(38,0) is a hard cap — Spark NULLs an
+    overflowing product under non-ANSI, which the ``_dx != 0`` filter
+    would silently drop): the largest intermediate is n·Σx² ≤ n²·V²
+    where V bounds |x|,|y|, so exactness requires **n·V < 10¹⁹** per
+    group — e.g. cents-scale values (V ≤ 10⁹) are safe to 10¹⁰ rows
+    per group, far past any 100 TB partition.  Callers outside that
+    envelope should run under ``spark.sql.ansi.enabled=true`` so
+    overflow raises instead of nulling.
+
     Output: ``<group_col>, n, r``.
     """
     d = "CAST({} AS DECIMAL(38,0))"
@@ -308,6 +317,17 @@ def group_moments(
 
     with the float boundary confined to the final powers and divisions
     — identical IEEE on identical exact inputs.
+
+    Overflow envelope (decimal(38,0) caps at 10³⁸; Spark NULLs an
+    overflowing product under non-ANSI, and a NULLed moment would
+    silently drop the group via the variance filter): with residual
+    bound R = max|value − mean| within a group, the largest
+    intermediate is the M4 closed form ≈ n³·Σd⁴ ≤ n⁴·R⁴, so exactness
+    requires **n·R < ~3·10⁹** per group.  Quantized-score inputs
+    (R ≤ 10³) are safe to ~3M rows per group; wider-range groups
+    should pre-scale the column or run under
+    ``spark.sql.ansi.enabled=true`` so overflow raises instead of
+    nulling.
 
     Output: ``<group_col>, n, skewness, kurtosis_excess`` (groups with
     zero variance are dropped).

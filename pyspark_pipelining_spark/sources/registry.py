@@ -176,10 +176,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(field.dataType, T.TimestampType) and isinstance(
             actual, T.TimestampNTZType
         ):
-            try:  # NTZ wall-clock == epoch wall-clock only under UTC
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
-            except Exception:
-                pass
+            # NTZ wall-clock == epoch wall-clock only under UTC.  The
+            # engine's whole timestamp contract (unix_micros arithmetic,
+            # date_trunc vs the naive-timestamp DuckDB oracle) assumes a
+            # UTC session, so pin it and FAIL LOUDLY if the session ends
+            # up non-UTC — a silent fallback would shift every epoch
+            # value downstream with no error.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                raise SchemaError(
+                    f"table {name!r} has a TIMESTAMP_NTZ column "
+                    f"({field.name}); reading it requires a UTC session "
+                    "timezone, but spark.sql.session.timeZone="
+                    f"{spark.conf.get('spark.sql.session.timeZone')!r} "
+                    "could not be pinned to UTC"
+                )
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 

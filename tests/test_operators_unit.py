@@ -965,3 +965,47 @@ def test_group_moments_symmetric_and_skewed(spark):
         [("g", v) for v in (1, 1, 1, 1, 100)], "g string, x long"
     )
     assert group_moments(skewed, "x", "g").collect()[0].skewness > 1.0
+
+
+def test_pq_adc_dense_tables_survive_noncontiguous_cells(spark):
+    """ADC lookup tables are indexed by cell id: when Lloyd leaves
+    empty cells (non-contiguous surviving ids), a positional table
+    would read the wrong cell's distance — the dense k-slot table must
+    still score exactly (ADVICE r04, similarity.py ADC lookup)."""
+    from pyspark_pipelining_spark.operators.similarity import pq_adc_topk
+
+    dim, m, k = 8, 2, 8
+    # vec ids 0,1,2,5,6 seed cells {0,1,2,5,6} (cell = id mod 8) and the
+    # vectors are far apart, so cells 3,4,7 stay empty and ids keep a gap
+    vecs = {
+        0: [0.0] * 8,
+        1: [1.0] * 8,
+        2: [2.0] * 8,
+        5: [5.0] * 8,
+        6: [6.0] * 8,
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(100, [4.9] * 8)], "query_id long, query_vec array<double>"
+    )
+    out = pq_adc_topk(emb, q, m=m, k=k, iters=2, dim=dim, topk=len(vecs))
+    rows = [(r["vec_id"], r["adc_d"]) for r in out.collect()]
+    # every vector is its own centroid here, so ADC distance == exact
+    # snapped L2^2 distance
+    grid = 10**6
+    snap = lambda xs: [round(x * grid) for x in xs]  # noqa: E731
+    qs = snap([4.9] * 8)
+    exact = {
+        i: sum((a - b) ** 2 for a, b in zip(qs, snap(v))) for i, v in vecs.items()
+    }
+    assert rows == sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))
+
+
+def test_pq_train_codes_rejects_zero_iters(spark):
+    from pyspark_pipelining_spark.operators.similarity import pq_train_codes
+
+    emb = spark.createDataFrame([(0, [0.0] * 8)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="iters"):
+        pq_train_codes(emb, m=2, k=2, iters=0, dim=8)
