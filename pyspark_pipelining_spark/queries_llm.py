@@ -602,9 +602,12 @@ def _sql_ivfpq(
     nprobe: int = 2,
     nq: int = N_QUERIES,
     topk: int = TOPK,
+    rerank: int = 0,
 ) -> str:
     """PQ Lloyd/encode/table CTEs (as in _sql_pq) + IVF probe pruning;
-    candidates = probed cells minus self-matches."""
+    candidates = probed cells minus self-matches.  ``rerank > 0``
+    appends the exact-L2 refine stage over the ADC top-``rerank``
+    shortlist (mirrors ``similarity.ivfpq_topk(rerank=...)``)."""
     d2 = dim // m
     steps = []
     prev = "a0"
@@ -680,17 +683,62 @@ scored AS (
     JOIN {prev} a ON a.vec_id = cand.vec_id
     JOIN dt ON dt.qid = cand.qid AND dt.sub = a.sub AND dt.cell = a.cell
     GROUP BY cand.qid, cand.vec_id
-)
+){_sql_ivfpq_tail(topk, rerank)}
+"""
+
+
+def _sql_ivfpq_tail(topk: int, rerank: int) -> str:
+    if not rerank:
+        return f"""
 SELECT query_id, vec_id, adc_d,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id)
             AS BIGINT) AS rn
 FROM scored
 QUALIFY rn <= {topk}
-ORDER BY query_id, rn
-"""
+ORDER BY query_id, rn"""
+    return f""",
+short AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id) AS rr
+        FROM scored)
+    WHERE rr <= {rerank}
+),
+ex AS (
+    SELECT s.query_id, s.vec_id,
+           CAST(sum((b.s - qb.s) * (b.s - qb.s)) AS BIGINT) AS exact_d
+    FROM short s
+    JOIN base b ON b.vec_id = s.vec_id
+    JOIN base qb ON qb.vec_id = s.query_id AND qb.sub = b.sub AND qb.spos = b.spos
+    GROUP BY s.query_id, s.vec_id
+)
+SELECT query_id, vec_id, exact_d,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY exact_d, vec_id)
+            AS BIGINT) AS rn
+FROM ex
+QUALIFY rn <= {topk}
+ORDER BY query_id, rn"""
 
 
 SQL_SIM_IVFPQ_TOPK = _sql_ivfpq()
+
+IVFPQ_RERANK = 20
+
+
+def q_sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (operators/similarity.ivfpq_topk with
+    ``rerank``): the ADC top-20 shortlist per query is re-scored with
+    exact integer L2² on the snapped vectors — the FAISS
+    IndexRefineFlat composition that restores recall when quantization
+    distortion swamps small neighbor margins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, _query_vecs(spark, sf_dir), m=4, k=8, iters=2, dim=DIM,
+        cells=8, nprobe=2, topk=TOPK, rerank=IVFPQ_RERANK,
+    )
+
+
+SQL_SIM_IVFPQ_RERANK = _sql_ivfpq(rerank=IVFPQ_RERANK)
 
 
 RP_K, RP_DIM, RP_GRID = 8, 64, 10**6
@@ -831,6 +879,7 @@ QUERIES_LLM = {
     "media_audio_windows": q_media_audio_windows,
     "rp_sketch": q_rp_sketch,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
+    "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
 }
 
 ORACLES_LLM = {
@@ -854,6 +903,7 @@ ORACLES_LLM = {
     "media_audio_windows": SQL_MEDIA_AUDIO_WINDOWS,
     "rp_sketch": SQL_RP_SKETCH,
     "sim_ivfpq_topk": SQL_SIM_IVFPQ_TOPK,
+    "sim_ivfpq_rerank": SQL_SIM_IVFPQ_RERANK,
 }
 
 

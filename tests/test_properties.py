@@ -435,3 +435,59 @@ def test_rp_sketch_roughly_preserves_distance_order(spark):
     near = sum(sk_d[p] for p in ranked[:n10]) / n10
     far = sum(sk_d[p] for p in ranked[-n10:]) / n10
     assert near < far
+
+
+def test_ivfpq_recall_at_5_vs_bruteforce(spark):
+    """An ANN index's real metric is recall@k vs exact search.  The
+    fixture embeddings are near-random unit vectors (max neighbor
+    cosine ≈ 0.35 vs p99 background ≈ 0.29), so recall is structurally
+    capped by IVF cell coverage ≈ nprobe/cells for ANY coarse
+    quantizer; the contract asserted here is the data-independent one:
+
+    1. exact re-rank recovers the full exact-within-probed-cells
+       ceiling (recall(ivfpq+rerank) == recall(ivf exact) at the same
+       nprobe) — i.e. the PQ stage with refine loses NOTHING;
+    2. probing every cell with a corpus-wide shortlist reproduces
+       brute-force exactly (recall 1.0) — the index machinery itself
+       is lossless;
+    3. recall is monotone in nprobe."""
+    from pyspark_pipelining_spark.operators import similarity
+    from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    truth: dict[int, set[int]] = {}
+    for r in QUERIES["sim_bruteforce_topk"](spark, SF_SMOKE).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    n_true = sum(len(t) for t in truth.values())
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def recall(df) -> float:
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / n_true
+
+    def ivfpq(nprobe: int, rerank: int) -> float:
+        return recall(
+            similarity.ivfpq_topk(
+                emb, qv, m=4, k=8, iters=2, dim=64, cells=8,
+                nprobe=nprobe, topk=5, rerank=rerank,
+            )
+        )
+
+    # (2) full probe + corpus-wide shortlist == brute force
+    assert ivfpq(nprobe=8, rerank=1000) == 1.0
+
+    # (1) rerank recovers the exact-within-probed-cells ceiling
+    r2 = ivfpq(nprobe=2, rerank=1000)
+    r2_exact = recall(similarity.ivf_topk(emb, qv, k=5, cells=8, nprobe=2))
+    assert r2 == r2_exact, (r2, r2_exact)
+
+    # (3) monotone in nprobe
+    r4 = ivfpq(nprobe=4, rerank=1000)
+    assert r2 <= r4 + 1e-9 <= 1.0 + 1e-9, (r2, r4)
