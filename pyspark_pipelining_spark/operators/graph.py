@@ -132,3 +132,56 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .unionByName(tris.select(F.col("c").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def node_jaccard(pairs: DataFrame) -> DataFrame:
+    """Neighbor-set Jaccard similarity for each candidate pair in an
+    undirected graph given as (doc_1, doc_2) edges with doc_1 < doc_2
+    — structural similarity (do these two documents sit in the same
+    near-dup neighborhood?), the link-prediction baseline.
+
+    Scale shape: the edge list symmetrizes once; degrees are ONE
+    node-keyed count; common neighbors come from the standard
+    wedge-join (edges ⋈ edges on the shared endpoint) RESTRICTED to
+    the candidate pairs first, so the join is |pairs|-bounded, not
+    |wedges|-bounded.  Pairs with no common neighbor survive via the
+    left join with ``common = 0``.
+
+    Output: ``doc_1, doc_2, deg_1, deg_2, common, jaccard`` (6dp;
+    neighbor sets include the partner node itself, so
+    ``union = deg_1 + deg_2 - common`` is never zero for an edge).
+    """
+    p = pairs.select("doc_1", "doc_2")
+    edges = p.unionByName(
+        p.select(F.col("doc_2").alias("doc_1"), F.col("doc_1").alias("doc_2"))
+    )
+    deg = edges.groupBy("doc_1").agg(F.count(F.lit(1)).alias("deg"))
+    ea = edges.select(F.col("doc_1").alias("a"), F.col("doc_2").alias("na"))
+    eb = edges.select(F.col("doc_1").alias("b"), F.col("doc_2").alias("nb"))
+    common = (
+        p.join(ea, p["doc_1"] == ea["a"])
+        .join(eb, (p["doc_2"] == eb["b"]) & (ea["na"] == eb["nb"]))
+        .groupBy("doc_1", "doc_2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        p.join(common, ["doc_1", "doc_2"], "left")
+        .join(deg.select(F.col("doc_1"), F.col("deg").alias("deg_1")), "doc_1")
+        .join(
+            deg.select(F.col("doc_1").alias("doc_2"), F.col("deg").alias("deg_2")),
+            "doc_2",
+        )
+        .select(
+            "doc_1",
+            "doc_2",
+            "deg_1",
+            "deg_2",
+            F.coalesce("common", F.lit(0)).alias("common"),
+            F.round(
+                F.coalesce("common", F.lit(0))
+                / (F.col("deg_1") + F.col("deg_2") - F.coalesce("common", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_1", "doc_2")
+    )

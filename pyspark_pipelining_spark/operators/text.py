@@ -491,3 +491,54 @@ def lm_bigram_score(
             F.col("total_q6") / (F.lit(float(scale)) * F.col("n_bigrams")), 6
         ).alias("avg_logp"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that appear in NO other document — the
+    memorization/boilerplate signal (low novelty = the document is
+    assembled from corpus-common phrases; the complement of the
+    Gopher/RefinedWeb duplicate-n-gram filters).
+
+    Scale shape: per-doc ``array_distinct`` before the explode (the
+    n-gram stream that shuffles is unique per doc), ONE groupBy on the
+    n-gram key for document frequency, and the doc-side join reuses the
+    same key; the final per-doc aggregate is doc-keyed.  Docs with
+    fewer than ``n`` words surface with ``n_ngrams = 0, novelty = 0``.
+
+    Output: ``doc_id, n_ngrams, n_unique, novelty`` (6dp).
+    """
+    words = with_words(df, text_col)
+    # _word_grams guards size < n (sequence(1, 0) is DESCENDING [1, 0]
+    # in Spark and would fabricate grams for too-short docs)
+    grams = words.select("doc_id", F.array_distinct(_word_grams(n)).alias("grams"))
+    toks = grams.select("doc_id", F.explode("grams").alias("gram"))
+    gdf = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        toks.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.round(F.col("n_unique") / F.col("n_ngrams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -780,6 +780,10 @@ FROM sess GROUP BY user_id, session_no
 # ---------------------------------------------------------------------------
 
 from pyspark_pipelining_spark.queries_corpus import ORACLES_CORPUS, QUERIES_CORPUS  # noqa: E402
+from pyspark_pipelining_spark.queries_analytics import (  # noqa: E402
+    ORACLES_ANALYTICS,
+    QUERIES_ANALYTICS,
+)
 from pyspark_pipelining_spark.queries_llm import ORACLES_LLM, QUERIES_LLM  # noqa: E402
 from pyspark_pipelining_spark.queries_relational import ORACLES_REL, QUERIES_REL  # noqa: E402
 
@@ -807,6 +811,7 @@ QUERIES: dict[str, QueryFn] = {
     **QUERIES_LLM,
     **QUERIES_REL,
     **QUERIES_CORPUS,
+    **QUERIES_ANALYTICS,
 }
 
 ORACLES: dict[str, str] = {
@@ -833,4 +838,5 @@ ORACLES: dict[str, str] = {
     **ORACLES_LLM,
     **ORACLES_REL,
     **ORACLES_CORPUS,
+    **ORACLES_ANALYTICS,
 }

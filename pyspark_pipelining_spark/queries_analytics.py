@@ -1,0 +1,744 @@
+"""Round-5 coverage additions: TPC-H-analogue relational queries the
+registry did not yet exercise (EXISTS semi-joins, nation-pair
+multi-hop joins, left-join count distributions, conditional promo
+ratios, correlated-average filters, OR-of-ANDs scan predicates,
+NOT-EXISTS anti aggregation, argmax-by-window supplier, ntile decile
+cuts) plus the behavioral-analytics and corpus operators from
+``operators/analytics.py`` / ``text.ngram_novelty`` /
+``graph.node_jaccard``.
+
+Conventions follow queries.py: money through decimal (exact) cast to
+double only at the boundary, every computed column aliased identically
+in both dialects, ORDER BY deterministic (metric + key tiebreak).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators import analytics, dedup, graph
+from pyspark_pipelining_spark.operators import text as text_ops
+from pyspark_pipelining_spark.queries_llm import SQL_WORDS, _minhash_fragments
+from pyspark_pipelining_spark.sources.registry import load_table
+
+D2 = "decimal(18,2)"
+D4 = "decimal(18,4)"
+DISC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+# --- TPC-H Q4 analogue: priority counts of late-shipping orders ---------
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in 1995Q3 with at least one lineitem shipped after the
+    order date, counted by priority — the EXISTS/semi-join aggregate
+    (TPC-H Q4 shape; the fixture has no commitdate, so ship-after-order
+    is the lateness predicate)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-07-01"))
+        & (F.to_date("o_orderdate") < F.lit("1995-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- TPC-H Q7 analogue: nation-pair shipping volume by year -------------
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """International shipping revenue per (supplier nation, customer
+    nation, year) — TPC-H Q7's multi-hop join shape: the supplier side
+    and the customer side each hop through their nation dim (all
+    broadcast); the only big join is lineitem ⋈ orders on the order
+    key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = s.join(F.broadcast(sn), s["s_nationkey"] == sn["s_nk"]).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(cn), c["c_nationkey"] == cn["c_nk"]).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(F.expr(DISC)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE sn.n_name != cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q10 analogue: returned-item revenue per customer, top 20 -----
+
+
+def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in 1995Q4 (TPC-H
+    Q10): fact joins, decimal-exact revenue ranking with a key
+    tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr(DISC)).alias("_rev"))
+    )
+    return (
+        rev.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+SQL_RETURNED_REVENUE_TOPK = f"""
+WITH rev AS (
+    SELECT o_custkey, sum({DISC}) AS _rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND CAST(o_orderdate AS DATE) >= DATE '1995-10-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+    GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(_rev AS DOUBLE) AS revenue, c_acctbal, n_name
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY _rev DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- TPC-H Q13 analogue: customer order-count distribution --------------
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed k orders, including k = 0 (TPC-H Q13):
+    the left-outer-join count followed by a count-of-counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- TPC-H Q14 analogue: promo revenue share by month --------------------
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of 1995 revenue from PROMO-type parts, by ship month
+    (TPC-H Q14): conditional decimal aggregation with one IEEE ratio at
+    the boundary."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1995
+    )
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.expr(DISC)
+    agg = (
+        j.groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc)).alias("_promo"),
+            F.sum(disc).alias("_total"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        F.coalesce(F.col("_promo"), F.lit(0)).cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(100.0)
+            * F.coalesce(F.col("_promo"), F.lit(0)).cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_pct"),
+    ).orderBy("ship_month")
+
+
+SQL_PROMO_REVENUE = f"""
+WITH agg AS (
+    SELECT month(l_shipdate) AS ship_month,
+           sum(CASE WHEN p_type = 'PROMO' THEN {DISC} END) AS _promo,
+           sum({DISC}) AS _total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1995
+    GROUP BY 1
+)
+SELECT CAST(ship_month AS BIGINT) AS ship_month,
+       CAST(COALESCE(_promo, 0) AS DOUBLE) AS promo_revenue,
+       CAST(_total AS DOUBLE) AS total_revenue,
+       round(100.0 * CAST(COALESCE(_promo, 0) AS DOUBLE)
+             / CAST(_total AS DOUBLE), 6) AS promo_pct
+FROM agg
+ORDER BY ship_month
+"""
+
+
+# --- TPC-H Q17 analogue: small-quantity revenue for one brand ------------
+
+Q17_BRAND = "Brand#1"
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity orders (below 20%
+    of the part's average quantity) of one brand moved in bulk (TPC-H
+    Q17): the correlated per-part average as a self-aggregation join.
+    Quantities are small integers in doubles, so their sums and the
+    avg division are exact/deterministic IEEE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    brand_li = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    thresh = brand_li.groupBy(F.col("l_partkey").alias("t_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("t")
+    )
+    small = brand_li.join(
+        F.broadcast(thresh), F.col("l_partkey") == F.col("t_pk")
+    ).filter(F.col("l_quantity") < F.col("t"))
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(D2)).cast("double") / 7.0, 6
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = f"""
+WITH brand_li AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = '{Q17_BRAND}'
+),
+thresh AS (
+    SELECT l_partkey AS t_pk, 0.2 * avg(l_quantity) AS t
+    FROM brand_li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+           AS avg_yearly,
+       count(*) AS n_rows
+FROM brand_li JOIN thresh ON l_partkey = t_pk
+WHERE l_quantity < t
+"""
+
+
+# --- TPC-H Q19 analogue: OR-of-ANDs discounted revenue -------------------
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three brand/size/quantity bands (TPC-H Q19): the
+    disjunctive predicate that exercises Catalyst's join-condition
+    pushdown — each disjunct pairs part attributes with lineitem
+    attributes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 35)
+        )
+    )
+    return j.filter(band & F.col("l_discount").between(0.02, 0.08)).agg(
+        F.sum(F.expr(DISC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISCOUNTED_REVENUE = f"""
+SELECT CAST(sum({DISC}) AS DOUBLE) AS revenue, count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 25)
+    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 35))
+  AND l_discount BETWEEN 0.02 AND 0.08
+"""
+
+
+# --- TPC-H Q22 analogue: wealthy customers with no orders ----------------
+
+
+IDLE_CUTOFF = "2000-01-01"
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers whose balance beats the positive-balance
+    average but who have placed no order since 2000 (TPC-H Q22 shape):
+    scalar-subquery broadcast + NOT EXISTS anti-join + aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit(IDLE_CUTOFF)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(D2)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(D2)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_IDLE_CUSTOMERS = f"""
+WITH avg_bal AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS a
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '{IDLE_CUTOFF}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# --- TPC-H Q15 analogue: top supplier(s) by quarter revenue --------------
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1995Q1 revenue (TPC-H Q15): the
+    argmax-against-global-max shape as a 1-row broadcast, comparing
+    EXACT decimals (ties all surface)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1995-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(F.expr(DISC)).alias("_r"))
+    mx = rev.agg(F.max("_r").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_r") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("_r").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH rev AS (
+    SELECT l_suppkey, sum({DISC}) AS _r
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1995-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(_r AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE _r = (SELECT max(_r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- ntile decile cut over customer value --------------------------------
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles via ntile(10) with a fully
+    deterministic ordering (exact cents, key tiebreak) — the decile
+    table every growth dashboard starts from."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("v")
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("o_custkey"))
+    return (
+        cents.select("o_custkey", "v", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("v").alias("total_cents"),
+            F.min("v").alias("min_cents"),
+            F.max("v").alias("max_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_CUSTOMER_VALUE_DECILES = """
+WITH cents AS (
+    SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS v
+    FROM orders GROUP BY o_custkey
+),
+t AS (
+    SELECT o_custkey, v, ntile(10) OVER (ORDER BY v DESC, o_custkey) AS decile
+    FROM cents
+)
+SELECT decile, count(*) AS n_customers,
+       CAST(sum(v) AS BIGINT) AS total_cents,
+       min(v) AS min_cents, max(v) AS max_cents
+FROM t GROUP BY decile ORDER BY decile
+"""
+
+
+# --- behavioral analytics (operators/analytics.py) -----------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream
+    (operators/analytics.retention_cohorts)."""
+    return analytics.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+SQL_RETENTION_COHORTS = """
+WITH wk AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+    FROM events
+),
+ch AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset,
+       count(DISTINCT user_id) AS users
+FROM wk JOIN ch USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of customers
+    (operators/analytics.rfm_segments)."""
+    return analytics.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS (
+    SELECT o_custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_order,
+           count(*) AS freq,
+           sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+d0 AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+seg AS (
+    SELECT o_custkey, monetary,
+           ntile(4) OVER (ORDER BY date_diff('day', last_order, d0) ASC, o_custkey) AS r,
+           ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+    FROM per, d0
+)
+SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' || CAST(m AS VARCHAR)
+           AS segment,
+       count(*) AS n_customers,
+       CAST(sum(monetary) AS BIGINT) AS monetary_cents
+FROM seg
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-weekday seasonality per event type
+    (operators/analytics.seasonal_dow_index)."""
+    return analytics.seasonal_dow_index(load_table(spark, sf_dir, "events"))
+
+
+SQL_SEASONAL_DOW_INDEX = """
+WITH per AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS dow,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS s
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(n_events) AS tn, sum(s) AS ts_ FROM per GROUP BY 1)
+SELECT event_type, dow, CAST(n_events AS BIGINT) AS n_events,
+       round(CAST(s AS DOUBLE) / n_events, 6) AS avg_cents,
+       round((CAST(s AS DOUBLE) / n_events) / (CAST(ts_ AS DOUBLE) / tn), 6)
+           AS seasonal_index
+FROM per JOIN tot USING (event_type)
+ORDER BY event_type, dow
+"""
+
+
+def q_cross_corr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged view→purchase daily co-movement
+    (operators/analytics.cross_corr_lag)."""
+    return analytics.cross_corr_lag(load_table(spark, sf_dir, "events")).filter(
+        F.col("n_days") > 0
+    )
+
+
+SQL_CROSS_CORR_LAG = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS v
+    FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2
+),
+x AS (SELECT day, v AS x FROM daily WHERE event_type = 'view'),
+y AS (SELECT day AS yday, v AS y FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(i AS INTEGER) AS lag FROM range(-3, 4) t(i)),
+j AS (
+    SELECT lag, count(*) AS n_days, sum(x * y) AS sxy, sum(x) AS sx, sum(y) AS sy
+    FROM lags JOIN x ON TRUE JOIN y ON yday = day + lag
+    GROUP BY lag
+)
+SELECT lag, n_days, CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num
+FROM j
+WHERE n_days > 0
+ORDER BY lag
+"""
+
+
+# --- corpus: n-gram novelty + filter funnel -------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of corpus-unique trigrams
+    (operators/text.ngram_novelty)."""
+    return text_ops.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH {SQL_WORDS},
+grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               AS g
+    FROM words
+),
+toks AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+gdf AS (SELECT gram, count(*) AS df FROM toks GROUP BY gram),
+per AS (
+    SELECT doc_id, count(*) AS n_ngrams,
+           sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+    FROM toks JOIN gdf USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique,
+       CASE WHEN COALESCE(n_ngrams, 0) > 0
+            THEN round(CAST(n_unique AS DOUBLE) / n_ngrams, 6)
+            ELSE 0.0 END AS novelty
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter survivorship funnel
+    (operators/analytics.filter_funnel)."""
+    return analytics.filter_funnel(load_table(spark, sf_dir, "documents"))
+
+
+SQL_FILTER_FUNNEL = """
+WITH f AS (
+    SELECT n_chars >= 200 AS c1,
+           len(string_split_regex(lower(text), ' +')) >= 30 AS c2,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) >= 0.6 AS c3
+    FROM documents
+),
+agg AS (
+    SELECT count(*) AS s0,
+           sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS s1,
+           sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS s2,
+           sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS s3
+    FROM f
+)
+SELECT stage_idx, stage, CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(n_rows AS DOUBLE) / s0, 6) AS pct
+FROM (
+    SELECT 0 AS stage_idx, 'all_docs' AS stage, s0 AS n_rows, s0 FROM agg
+    UNION ALL SELECT 1, 'min_chars_200', s1, s0 FROM agg
+    UNION ALL SELECT 2, 'min_words_30', s2, s0 FROM agg
+    UNION ALL SELECT 3, 'alpha_ratio_60', s3, s0 FROM agg
+)
+ORDER BY stage_idx
+"""
+
+
+# --- graph: neighbor-set Jaccard over LSH candidate pairs ----------------
+
+
+def q_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard for every LSH near-dup candidate pair
+    (operators/graph.node_jaccard over the dedup_clusters edge set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return graph.node_jaccard(pairs)
+
+
+def _sql_node_jaccard(threshold: float = 0.5, num_hashes: int = 16, bands: int = 8) -> str:
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    return f"""
+WITH {ctes},
+p AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1, doc_2 FROM p
+    UNION ALL
+    SELECT doc_2, doc_1 FROM p
+),
+deg AS (SELECT doc_1, count(*) AS deg FROM edges GROUP BY doc_1),
+common AS (
+    SELECT p.doc_1, p.doc_2, count(*) AS common
+    FROM p
+    JOIN edges ea ON ea.doc_1 = p.doc_1
+    JOIN edges eb ON eb.doc_1 = p.doc_2 AND eb.doc_2 = ea.doc_2
+    GROUP BY p.doc_1, p.doc_2
+)
+SELECT p.doc_1, p.doc_2, d1.deg AS deg_1, d2.deg AS deg_2,
+       CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+       round(CAST(COALESCE(c.common, 0) AS DOUBLE)
+             / (d1.deg + d2.deg - COALESCE(c.common, 0)), 6) AS jaccard
+FROM p
+LEFT JOIN common c ON c.doc_1 = p.doc_1 AND c.doc_2 = p.doc_2
+JOIN deg d1 ON d1.doc_1 = p.doc_1
+JOIN deg d2 ON d2.doc_1 = p.doc_2
+ORDER BY p.doc_1, p.doc_2
+"""
+
+
+SQL_NODE_JACCARD = _sql_node_jaccard()
+
+
+QUERIES_ANALYTICS = {
+    "order_priority_counts": q_order_priority_counts,
+    "volume_shipping": q_volume_shipping,
+    "returned_revenue_topk": q_returned_revenue_topk,
+    "customer_distribution": q_customer_distribution,
+    "promo_revenue": q_promo_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "discounted_revenue": q_discounted_revenue,
+    "idle_customers": q_idle_customers,
+    "top_supplier": q_top_supplier,
+    "customer_value_deciles": q_customer_value_deciles,
+    "retention_cohorts": q_retention_cohorts,
+    "rfm_segments": q_rfm_segments,
+    "seasonal_dow_index": q_seasonal_dow_index,
+    "cross_corr_lag": q_cross_corr_lag,
+    "ngram_novelty": q_ngram_novelty,
+    "filter_funnel": q_filter_funnel,
+    "node_jaccard": q_node_jaccard,
+}
+
+ORACLES_ANALYTICS = {
+    "order_priority_counts": SQL_ORDER_PRIORITY_COUNTS,
+    "volume_shipping": SQL_VOLUME_SHIPPING,
+    "returned_revenue_topk": SQL_RETURNED_REVENUE_TOPK,
+    "customer_distribution": SQL_CUSTOMER_DISTRIBUTION,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "discounted_revenue": SQL_DISCOUNTED_REVENUE,
+    "idle_customers": SQL_IDLE_CUSTOMERS,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "customer_value_deciles": SQL_CUSTOMER_VALUE_DECILES,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "seasonal_dow_index": SQL_SEASONAL_DOW_INDEX,
+    "cross_corr_lag": SQL_CROSS_CORR_LAG,
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "filter_funnel": SQL_FILTER_FUNNEL,
+    "node_jaccard": SQL_NODE_JACCARD,
+}

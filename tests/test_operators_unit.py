@@ -1009,3 +1009,98 @@ def test_pq_train_codes_rejects_zero_iters(spark):
     emb = spark.createDataFrame([(0, [0.0] * 8)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="iters"):
         pq_train_codes(emb, m=2, k=2, iters=0, dim=8)
+
+
+def test_retention_cohorts_offsets_and_counts(spark):
+    from pyspark_pipelining_spark.operators.analytics import retention_cohorts
+
+    # u1 active weeks 0 and 2 (Mondays 2024-01-01, 2024-01-15); u2 week 0 only
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-02 10:00:00"),
+            (1, "2024-01-03 11:00:00"),
+            (1, "2024-01-16 09:00:00"),
+            (2, "2024-01-04 08:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {(str(r["cohort_week"]), r["week_offset"]): r["users"] for r in retention_cohorts(df).collect()}
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
+
+
+def test_cross_corr_lag_exact_numerator(spark):
+    from pyspark_pipelining_spark.operators.analytics import cross_corr_lag
+
+    # x: day0=1.00, day1=2.00 (cents 100, 200); y: day1=3.00, day2=6.00
+    df = spark.createDataFrame(
+        [
+            ("view", "2024-01-01 00:00:00", 1.0),
+            ("view", "2024-01-02 00:00:00", 2.0),
+            ("purchase", "2024-01-02 00:00:00", 3.0),
+            ("purchase", "2024-01-03 00:00:00", 6.0),
+        ],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = {r["lag"]: (r["n_days"], r["cov_num"]) for r in cross_corr_lag(df, max_lag=1).collect()}
+    # lag +1: pairs (100,300),(200,600) -> n=2, num=2*(30000+120000)-300*900=30000
+    assert rows[1] == (2, 30000)
+    # lag 0: pair (200,300) -> n=1, num=1*60000-200*300=0
+    assert rows[0] == (1, 0)
+
+
+def test_filter_funnel_is_monotone_and_complete(spark):
+    from pyspark_pipelining_spark.operators.analytics import filter_funnel
+
+    df = spark.createDataFrame(
+        [(1, "short", 5), (2, "word " * 50, 250), (3, "a1b2! " * 50, 300)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = filter_funnel(df).collect()
+    counts = [r["n_rows"] for r in rows]
+    assert counts[0] == 3 and counts == sorted(counts, reverse=True)
+    assert rows[0]["pct"] == 1.0
+
+
+def test_ngram_novelty_short_docs_and_shared_grams(spark):
+    from pyspark_pipelining_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),                # < 3 words -> 0 grams
+            (2, "x y z w"),            # grams: 'x y z', 'y z w'
+            (3, "x y z q"),            # grams: 'x y z' (shared), 'y z q'
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_ngrams"], r["n_unique"], r["novelty"]) for r in ngram_novelty(df).collect()}
+    assert out[1] == (0, 0, 0.0)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 1, 0.5)
+
+
+def test_node_jaccard_triangle_plus_tail(spark):
+    from pyspark_pipelining_spark.operators.graph import node_jaccard
+
+    # triangle 1-2-3 plus tail 3-4; pair (1,2): N(1)={2,3}, N(2)={1,3} -> common={3}
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_1 long, doc_2 long"
+    )
+    out = {(r["doc_1"], r["doc_2"]): r for r in node_jaccard(pairs).collect()}
+    r12 = out[(1, 2)]
+    assert (r12["deg_1"], r12["deg_2"], r12["common"]) == (2, 2, 1)
+    assert r12["jaccard"] == round(1 / 3, 6)
+    r34 = out[(3, 4)]
+    # N(3)={1,2,4}, N(4)={3} -> no common, union=4
+    assert (r34["deg_1"], r34["deg_2"], r34["common"], r34["jaccard"]) == (3, 1, 0, 0.0)
+
+
+def test_rfm_segments_partition_customers(spark):
+    from pyspark_pipelining_spark.operators.analytics import rfm_segments
+
+    df = spark.createDataFrame(
+        [(k, f"1995-0{1 + k % 8}-01 00:00:00", 100.0 * (k + 1)) for k in range(8)],
+        "o_custkey long, od string, o_totalprice double",
+    ).select("o_custkey", F.col("od").cast("timestamp").alias("o_orderdate"), "o_totalprice")
+    rows = rfm_segments(df).collect()
+    assert sum(r["n_customers"] for r in rows) == 8
+    assert sum(r["monetary_cents"] for r in rows) == sum(100 * 100 * (k + 1) for k in range(8))

@@ -455,3 +455,20 @@ def test_inverted_index_topk_is_salted_two_phase(spark):
     assert any(s.startswith("token#") and "salt#" in s for s in specs), specs
     # phase-2 merge is an aggregation (partial+final), not a window
     assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
+
+def test_returned_revenue_topk_pushes_flag_and_date_filters(spark):
+    """Q10 shape: the returnflag equality and the order-date range must
+    reach the parquet scans, not sit above the join."""
+    plan = plan_of(spark, "returned_revenue_topk")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1995-10-01" in plan
+
+
+def test_volume_shipping_has_no_cartesian_or_nested_loop(spark):
+    """Q7 shape: every hop is an equi-join (broadcast at test scale,
+    shuffle-hash/SMJ on the fact pair at cluster scale) — a cartesian
+    or nested-loop anywhere means a join condition got dropped."""
+    plan = plan_of(spark, "volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
