@@ -22,37 +22,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate snapshots the first 50 registry entries
-# (CORRECTNESS_r02/r03 are each exactly the first 50 keys in dict order).
-# With more registered queries than slots we rotate: queries that have never had a
-# driver row come first, then those whose last green row is stale (r02),
-# then the freshly fixed ones, then a flagship re-confirmation set.  The
-# local pytest oracle gate (tests/test_queries_oracle.py) covers ALL
-# registered queries every run regardless of this ordering.
+# (CORRECTNESS_r02-r04 are each exactly the first 50 keys in dict order).
+# With more registered queries than slots we rotate: queries that have
+# never had a driver row come first (incl. everything added this round),
+# then rows whose last green is stale (r01/r02), then a flagship
+# re-confirmation set.  VALIDATION.md tracks the last externally
+# validated round for every query; the local pytest oracle gate
+# (tests/test_queries_oracle.py) covers ALL registered queries every run
+# regardless of this ordering.
 _SNAPSHOT_PRIORITY = [
-    # never driver-snapshotted (added after the r02/r03 windows)
-    "interval_attribution", "scd2_customer_priority", "funnel_report",
-    "order_trend", "value_outliers", "customer_quartiles", "gapfill_daily",
-    "doclen_histogram", "cooccur_pmi", "inverted_index", "tfidf_top_terms",
-    "hll_distinct_tokens", "kmv_distinct_tokens", "mixture_sample",
-    "collapse_repeats", "bloom_prefilter", "bm25_rank", "cms_heavy_hitters",
-    "dedup_lines", "dedup_matrix", "doclen_quantiles", "scrub_pii",
-    "contamination", "vocab_topk", "sample_stratified", "sample_hash",
-    "pack_greedy", "embedding_coherence", "chunk_overlap", "weighted_sample",
-    "bpe_pair_topk",
-    # fixed this round (TIMESTAMP_NTZ event-time normalization)
-    "sessionize",
-    # new this round
-    "cube_revenue", "fuzzy_parts", "session_windows", "lm_score",
-    "trailing_user_value", "argmax_orders", "corr_price_qty",
-    "sim_pq_topk", "table_diff", "activity_islands", "market_share",
-    "ewma_user_value", "unshipped_revenue_topk", "rolling_median_value",
-    "value_drift_psi", "dataset_split", "kmv_vocab_overlap",
-    "large_quantity_orders",
-    # NOT in this 50-slot window (next round's rotation): value_moments
-    # (newest, local sf0.01 validation only) and the r02-green rows
-    # order_gaps/cumulative_daily_value/set_ops/topk_orders/
-    # rollup_order_status/global_stats/pivot_returnflag/asof_attribution
-    # (all green in CORRECTNESS_r02.json)
+    # -- never driver-snapshotted: the r04 red row (now string-postings)
+    "inverted_index",
+    # -- never driver-snapshotted: missed every earlier window
+    "media_audio_windows", "rp_sketch", "sim_ivfpq_topk", "value_moments",
+    "hypertable_stitch",
+    # -- never driver-snapshotted: added in round 5
+    "sim_ivfpq_rerank", "order_priority_counts", "volume_shipping",
+    "returned_revenue_topk", "customer_distribution", "promo_revenue",
+    "small_qty_revenue", "discounted_revenue", "idle_customers",
+    "top_supplier", "customer_value_deciles", "retention_cohorts",
+    "rfm_segments", "seasonal_dow_index", "cross_corr_lag",
+    "ngram_novelty", "filter_funnel", "node_jaccard",
+    # -- stale: last green row is r02
+    "asof_attribution", "cumulative_daily_value", "global_stats",
+    "order_gaps", "pivot_returnflag", "rollup_order_status", "set_ops",
+    "topk_orders",
+    # -- flagship re-confirmation (one per operator family)
+    "pricing_summary", "revenue_by_region", "reach_all_dims",
+    "reach_by_etype", "mapping", "before_after_lift", "dedup_exact",
+    "dedup_minhash", "dedup_clusters", "sim_bruteforce_topk",
+    "sim_ivf_topk", "sim_lsh_topk", "sim_near_dup", "kmeans_cells",
+    "media_features", "pagerank_docs", "graph_triangles", "corpus_prep",
 ]
 
 

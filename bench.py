@@ -56,17 +56,25 @@ def main() -> None:
                 spark.catalog.clearCache()
         timings[name] = best
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # compact separators keep the one-line contract short enough that a
+    # tail-truncating log capture still holds the whole line (BENCH_r03/
+    # r04 lost the first ~34 queries to truncation); the full payload is
+    # also persisted next to the script so per-query history survives
+    # regardless of how much stdout the driver keeps.
+    line = json.dumps(payload, separators=(",", ":"))
+    print(line)
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_FULL.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
