@@ -784,6 +784,10 @@ from pyspark_pipelining_spark.queries_analytics import (  # noqa: E402
     ORACLES_ANALYTICS,
     QUERIES_ANALYTICS,
 )
+from pyspark_pipelining_spark.queries_coverage import (  # noqa: E402
+    ORACLES_COVERAGE,
+    QUERIES_COVERAGE,
+)
 from pyspark_pipelining_spark.queries_llm import ORACLES_LLM, QUERIES_LLM  # noqa: E402
 from pyspark_pipelining_spark.queries_relational import ORACLES_REL, QUERIES_REL  # noqa: E402
 
@@ -812,6 +816,7 @@ QUERIES: dict[str, QueryFn] = {
     **QUERIES_REL,
     **QUERIES_CORPUS,
     **QUERIES_ANALYTICS,
+    **QUERIES_COVERAGE,
 }
 
 ORACLES: dict[str, str] = {
@@ -839,4 +844,5 @@ ORACLES: dict[str, str] = {
     **ORACLES_REL,
     **ORACLES_CORPUS,
     **ORACLES_ANALYTICS,
+    **ORACLES_COVERAGE,
 }
