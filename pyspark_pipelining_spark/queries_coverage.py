@@ -398,6 +398,549 @@ LIMIT 20
 """
 
 
+# ========================================================================
+# Part 2: data-engineering + corpus/embedding coverage
+# ========================================================================
+
+
+# --- MERGE INTO (upsert) classification ----------------------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE of 2001+ order deltas into positive-balance customer
+    accounts (operators/cdc.merge_upsert): matched rows update
+    (balance + delta), source-only rows insert, target-only rows keep.
+    Exact integer cents throughout."""
+    from pyspark_pipelining_spark.operators.cdc import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    target = c.select(
+        "c_custkey",
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias("balance_cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") >= 2001)
+    source = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("delta_cents")
+    )
+    merged = merge_upsert(
+        target, source, "c_custkey", "balance_cents", "delta_cents",
+        combine=lambda t, s: t + s,
+    )
+    return merged.withColumnRenamed("merged", "new_balance_cents").orderBy("c_custkey")
+
+
+SQL_MERGE_UPSERT = """
+WITH target AS (
+    SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS balance_cents
+    FROM customer WHERE c_acctbal > 0.0
+),
+source AS (
+    SELECT o_custkey AS c_custkey,
+           sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS delta_cents
+    FROM orders WHERE year(o_orderdate) >= 2001
+    GROUP BY o_custkey
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN 'update'
+            WHEN s.c_custkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                THEN balance_cents + delta_cents
+            WHEN s.c_custkey IS NOT NULL THEN delta_cents
+            ELSE balance_cents END AS new_balance_cents
+FROM target t FULL JOIN source s ON t.c_custkey = s.c_custkey
+ORDER BY c_custkey
+"""
+
+
+# --- percentile / distribution windows -----------------------------------
+
+
+def q_acctbal_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of every customer's balance within its
+    nation, over a tiebroken (balance, key) total order so both
+    functions are exact rationals — identical IEEE in any engine."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("balance_pr"),
+        F.cume_dist().over(w).alias("balance_cd"),
+    ).orderBy("c_custkey")
+
+
+SQL_ACCTBAL_PERCENTILE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS balance_pr,
+       cume_dist() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal ASC, c_custkey ASC) AS balance_cd
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals (Benford
+    screen for synthetic/fabricated money columns).  The digit comes
+    from the integer cents string — no float log in sight."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.expr("CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = per.agg(F.sum("n_orders").alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("_t"), 6).alias("pct"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH per AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS INTEGER) AS digit,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT digit, n_orders,
+       round(CAST(n_orders AS DOUBLE) / (SELECT sum(n_orders) FROM per), 6) AS pct
+FROM per
+ORDER BY digit
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type: the day where the
+    cumulative sum of n·v_d − T (the ×n-scaled residual from the mean,
+    an exact integer) peaks in magnitude.  One groupBy + one window —
+    no driver loop."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("v"))
+    wt = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        (F.count(F.lit(1)).over(wt) * F.col("v") - F.sum("v").over(wt)).alias("_r"),
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+    ).withColumn("_cusum", F.sum("_r").over(wcum))
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("_cusum"))), F.asc("day")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wpk))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("peak_day"),
+            F.col("_cusum").alias("peak_cusum"),
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2
+),
+resid AS (
+    SELECT event_type, day,
+           count(*) OVER (PARTITION BY event_type) AS n_days,
+           count(*) OVER (PARTITION BY event_type) * v
+               - sum(v) OVER (PARTITION BY event_type) AS _r
+    FROM daily
+),
+scored AS (
+    SELECT event_type, day, n_days,
+           sum(_r) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cusum
+    FROM resid
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY abs(_cusum) DESC, day ASC) AS _rn
+    FROM scored
+)
+SELECT event_type, day AS peak_day, _cusum AS peak_cusum, n_days
+FROM ranked WHERE _rn = 1
+ORDER BY event_type
+"""
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into balance bands via a broadcast non-equi
+    (range) join against a 5-row band table — the dimension-banding
+    join every BI layer needs; at any scale it is a broadcast
+    nested-loop over 5 rows, never a shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(
+        [
+            ("1_debt", -1000.0, 0.0),
+            ("2_low", 0.0, 2500.0),
+            ("3_mid", 2500.0, 5000.0),
+            ("4_high", 5000.0, 7500.0),
+            ("5_top", 7500.0, 10000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("c_acctbal") > F.col("lo")) & (F.col("c_acctbal") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)")).alias("balance_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+SQL_RANGE_JOIN_BANDS = """
+WITH bands(band, lo, hi) AS (
+    VALUES ('1_debt', -1000.0, 0.0), ('2_low', 0.0, 2500.0),
+           ('3_mid', 2500.0, 5000.0), ('4_high', 5000.0, 7500.0),
+           ('5_top', 7500.0, 10000.0)
+)
+SELECT band, count(*) AS n_customers,
+       sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS balance_cents
+FROM customer JOIN bands ON c_acctbal > lo AND c_acctbal <= hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+def q_order_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank vs row_number over each customer's order
+    values — the three ranking semantics side by side (ties rank
+    equal; row_number tiebreaks on the order key), top-3 by rank."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy(F.desc("cents"))
+    wu = Window.partitionBy("o_custkey").orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    return (
+        cents.select(
+            "o_custkey",
+            "o_orderkey",
+            "cents",
+            F.rank().over(wv).alias("rnk"),
+            F.dense_rank().over(wv).alias("drnk"),
+            F.row_number().over(wu).alias("rn"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+SQL_ORDER_RANK_TIES = """
+WITH cents AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, cents,
+       rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC) AS drnk,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY cents DESC, o_orderkey ASC) AS rn
+FROM cents
+QUALIFY rnk <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# --- corpus: character diversity + source vocabulary overlap -------------
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document alphabetic character diversity: total letters,
+    distinct letters, and the Simpson collision numerator
+    Σ cᵢ·(cᵢ−1) — an exact-integer diversity screen (no float
+    entropy, so it hashes identically everywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), ""),
+                lambda ch: (ch >= "a") & (ch <= "z"),
+            )
+        ).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_alpha"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("simpson_num"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CHAR_DIVERSITY = """
+WITH chars AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
+                                      ch -> ch >= 'a' AND ch <= 'z')) AS ch
+    FROM documents
+),
+per AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2)
+SELECT doc_id, sum(c) AS n_alpha, count(*) AS n_distinct,
+       sum(c * (c - 1)) AS simpson_num
+FROM per GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vocabulary Jaccard between every source pair — the
+    corpus-mixing overlap matrix.  The self-join is token-keyed (work
+    per token is bounded by n_sources², never n_docs²), so the shape
+    survives any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("source", F.explode(F.split(F.lower("text"), " +")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy(F.col("source").alias("sz_src")).agg(
+        F.count(F.lit(1)).alias("vocab")
+    )
+    a = vocab.select(F.col("source").alias("source_1"), "token")
+    b = vocab.select(F.col("source").alias("source_2"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("vocab", "n_1")),
+            F.col("source_1") == F.col("sz_src"),
+        )
+        .drop("sz_src")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("vocab", "n_2")),
+            F.col("source_2") == F.col("sz_src"),
+        )
+        .drop("sz_src")
+        .select(
+            "source_1",
+            "source_2",
+            "n_1",
+            "n_2",
+            "inter",
+            F.round(
+                F.col("inter") / (F.col("n_1") + F.col("n_2") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source_1", "source_2")
+    )
+
+
+SQL_SOURCE_VOCAB_JACCARD = """
+WITH vocab AS (
+    SELECT DISTINCT source, tok AS token
+    FROM (SELECT source, unnest(string_split_regex(lower(text), ' +')) AS tok
+          FROM documents)
+    WHERE tok != ''
+),
+sizes AS (SELECT source, count(*) AS vocab FROM vocab GROUP BY source),
+inter AS (
+    SELECT a.source AS source_1, b.source AS source_2, count(*) AS inter
+    FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_1, source_2, s1.vocab AS n_1, s2.vocab AS n_2, inter,
+       round(CAST(inter AS DOUBLE) / (s1.vocab + s2.vocab - inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON source_1 = s1.source
+JOIN sizes s2 ON source_2 = s2.source
+ORDER BY source_1, source_2
+"""
+
+
+# --- embeddings: scalar quantization + matryoshka prefix agreement -------
+
+
+def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SQ8 scalar quantization audit: min/max of the vector,
+    the sum of its 0-255 codes, and how many dims saturate.  Codes are
+    floor((x−min)·255/(max−min)) with the arithmetic written
+    identically in both engines (float→double widening is exact)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    return (
+        e.select("vec_id", dbl.alias("_v"))
+        .select(
+            "vec_id",
+            F.array_min("_v").alias("vmin"),
+            F.array_max("_v").alias("vmax"),
+            "_v",
+        )
+        .select(
+            "vec_id",
+            "vmin",
+            "vmax",
+            F.expr(
+                "aggregate(transform(_v, x -> CAST(floor((x - vmin) * 255 /"
+                " (vmax - vmin)) AS BIGINT)), CAST(0 AS BIGINT),"
+                " (acc, c) -> acc + c)"
+            ).alias("code_sum"),
+            F.expr(
+                "aggregate(transform(_v, x -> CAST(floor((x - vmin) * 255 /"
+                " (vmax - vmin)) AS BIGINT)), CAST(0 AS BIGINT),"
+                " (acc, c) -> acc + CASE WHEN c = 255 THEN 1 ELSE 0 END)"
+            ).alias("n_saturated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBEDDING_SQ8 = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS _v FROM embeddings
+),
+mm AS (
+    SELECT vec_id, _v,
+           list_aggregate(_v, 'min') AS vmin,
+           list_aggregate(_v, 'max') AS vmax
+    FROM v
+)
+SELECT vec_id, vmin, vmax,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(_v, x -> CAST(floor((x - vmin) * 255 / (vmax - vmin))
+                                        AS BIGINT))),
+           (acc, c) -> acc + c) AS code_sum,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(_v, x -> CAST(floor((x - vmin) * 255 / (vmax - vmin))
+                                        AS BIGINT))),
+           (acc, c) -> acc + CASE WHEN c = 255 THEN 1 ELSE 0 END) AS n_saturated
+FROM mm
+ORDER BY vec_id
+"""
+
+
+MRL_PREFIX_DIM = 16
+MRL_N_QUERIES = 3
+
+
+def q_mrl_prefix_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style check: does the top-1 neighbor under the
+    16-dim prefix of each embedding agree with the full 64-dim top-1?
+    Runs the exact cosine top-k operator twice (full and truncated)
+    and joins the winners — the cheap-prefix-then-rerank design
+    question answered with data."""
+    from pyspark_pipelining_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pre = e.select(
+        "vec_id", F.slice("embedding", 1, MRL_PREFIX_DIM).alias("embedding")
+    )
+    qf = e.filter(F.col("vec_id") < MRL_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qp = pre.filter(F.col("vec_id") < MRL_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full1 = (
+        similarity.cosine_topk(e, qf, k=1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("full_top1"),
+            F.col("cosine").alias("full_cosine"),
+        )
+    )
+    pre1 = (
+        similarity.cosine_topk(pre, qp, k=1)
+        .select(
+            F.col("query_id").alias("p_qid"),
+            F.col("vec_id").alias("prefix_top1"),
+            F.col("cosine").alias("prefix_cosine"),
+        )
+    )
+    return (
+        full1.join(pre1, full1["query_id"] == pre1["p_qid"])
+        .select(
+            "query_id",
+            "full_top1",
+            "full_cosine",
+            "prefix_top1",
+            "prefix_cosine",
+            F.when(F.col("full_top1") == F.col("prefix_top1"), 1)
+            .otherwise(0)
+            .alias("agree"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_mrl_top1(vec_expr: str, qvec_expr: str) -> str:
+    dot = f"list_dot_product({vec_expr}, {qvec_expr})"
+    ne = f"sqrt(list_dot_product({vec_expr}, {vec_expr}))"
+    nq = f"sqrt(list_dot_product({qvec_expr}, {qvec_expr}))"
+    return f"round({dot} / ({ne} * {nq}), 6)"
+
+
+SQL_MRL_PREFIX_AGREEMENT = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec
+    FROM embeddings WHERE vec_id < {MRL_N_QUERIES}
+),
+fullp AS (
+    SELECT q.query_id, e.vec_id,
+           {_sql_mrl_top1('CAST(e.embedding AS DOUBLE[])', 'CAST(q.query_vec AS DOUBLE[])')} AS cosine
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+prep AS (
+    SELECT q.query_id, e.vec_id,
+           {_sql_mrl_top1(f'CAST(e.embedding[1:{MRL_PREFIX_DIM}] AS DOUBLE[])',
+                          f'CAST(q.query_vec[1:{MRL_PREFIX_DIM}] AS DOUBLE[])')} AS cosine
+    FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+f1 AS (
+    SELECT query_id, vec_id AS full_top1, cosine AS full_cosine
+    FROM fullp QUALIFY row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id ASC) = 1
+),
+p1 AS (
+    SELECT query_id, vec_id AS prefix_top1, cosine AS prefix_cosine
+    FROM prep QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) = 1
+)
+SELECT query_id, full_top1, full_cosine, prefix_top1, prefix_cosine,
+       CASE WHEN full_top1 = prefix_top1 THEN 1 ELSE 0 END AS agree
+FROM f1 JOIN p1 USING (query_id)
+ORDER BY query_id
+"""
+
+
 QUERIES_COVERAGE = {
     "min_cost_supplier": q_min_cost_supplier,
     "forecast_revenue": q_forecast_revenue,
@@ -407,6 +950,16 @@ QUERIES_COVERAGE = {
     "brand_supplier_cnt": q_brand_supplier_cnt,
     "dominant_suppliers": q_dominant_suppliers,
     "waiting_orders": q_waiting_orders,
+    "merge_upsert": q_merge_upsert,
+    "acctbal_percentile": q_acctbal_percentile,
+    "benford_digits": q_benford_digits,
+    "cusum_changepoint": q_cusum_changepoint,
+    "range_join_bands": q_range_join_bands,
+    "order_rank_ties": q_order_rank_ties,
+    "char_diversity": q_char_diversity,
+    "source_vocab_jaccard": q_source_vocab_jaccard,
+    "embedding_sq8": q_embedding_sq8,
+    "mrl_prefix_agreement": q_mrl_prefix_agreement,
 }
 
 ORACLES_COVERAGE = {
@@ -418,4 +971,14 @@ ORACLES_COVERAGE = {
     "brand_supplier_cnt": SQL_BRAND_SUPPLIER_CNT,
     "dominant_suppliers": SQL_DOMINANT_SUPPLIERS,
     "waiting_orders": SQL_WAITING_ORDERS,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "acctbal_percentile": SQL_ACCTBAL_PERCENTILE,
+    "benford_digits": SQL_BENFORD_DIGITS,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "range_join_bands": SQL_RANGE_JOIN_BANDS,
+    "order_rank_ties": SQL_ORDER_RANK_TIES,
+    "char_diversity": SQL_CHAR_DIVERSITY,
+    "source_vocab_jaccard": SQL_SOURCE_VOCAB_JACCARD,
+    "embedding_sq8": SQL_EMBEDDING_SQ8,
+    "mrl_prefix_agreement": SQL_MRL_PREFIX_AGREEMENT,
 }

@@ -1104,3 +1104,22 @@ def test_rfm_segments_partition_customers(spark):
     rows = rfm_segments(df).collect()
     assert sum(r["n_customers"] for r in rows) == 8
     assert sum(r["monetary_cents"] for r in rows) == sum(100 * 100 * (k + 1) for k in range(8))
+
+
+def test_merge_upsert_all_three_actions(spark):
+    from pyspark_pipelining_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([(1, 100), (2, 200)], ["k", "v"])
+    source = spark.createDataFrame([(2, 5), (3, 7)], ["k", "d"])
+    out = merge_upsert(target, source, "k", "v", "d", combine=lambda t, s: t + s)
+    rows = {r["k"]: (r["action"], r["merged"]) for r in out.collect()}
+    assert rows == {1: ("keep", 100), 2: ("update", 205), 3: ("insert", 7)}
+
+
+def test_merge_upsert_default_source_wins(spark):
+    from pyspark_pipelining_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([(1, 100)], ["k", "v"])
+    source = spark.createDataFrame([(1, 5)], ["k", "d"])
+    out = merge_upsert(target, source, "k", "v", "d")
+    assert out.collect()[0]["merged"] == 5

@@ -472,3 +472,39 @@ def test_volume_shipping_has_no_cartesian_or_nested_loop(spark):
     plan = plan_of(spark, "volume_shipping")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_cost_supplier_broadcasts_dims_single_pair_shuffle(spark):
+    """Q2 shape: part and supplier must come in as broadcast joins; the
+    only exchange is the hash shuffle for the pair-distinct (plus AQE
+    coalescing) — no dim-side shuffle."""
+    plan = plan_of(spark, "min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    """Q6 shape: a pure scan-aggregate — quantity and discount bounds
+    must reach the parquet scan as pushed filters."""
+    plan = plan_of(spark, "forecast_revenue")
+    assert "LessThan(l_quantity,24" in plan
+    assert "GreaterThanOrEqual(l_discount,0.04)" in plan
+    # and no join at all
+    assert "Join" not in plan
+
+
+def test_range_join_bands_is_broadcast_nested_loop(spark):
+    """The 5-row band table must be the broadcast side of a nested-loop
+    range join — the correct shape for a non-equi dim join (a cartesian
+    against an un-broadcast side would shuffle the fact)."""
+    plan = plan_of(spark, "range_join_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_orders_scans_lineitem_once(spark):
+    """Q21 restated as one per-order aggregate: the classic EXISTS /
+    NOT-EXISTS formulation self-joins the fact twice; ours must scan
+    lineitem exactly once."""
+    plan = plan_of(spark, "waiting_orders")
+    assert plan.count("lineitem.parquet") == 1
