@@ -36,23 +36,24 @@ _SNAPSHOT_PRIORITY = [
     # -- never driver-snapshotted: missed every earlier window
     "media_audio_windows", "rp_sketch", "sim_ivfpq_topk", "value_moments",
     "hypertable_stitch",
-    # -- never driver-snapshotted: added in round 5
+    # -- never driver-snapshotted: added late round 4
     "sim_ivfpq_rerank", "order_priority_counts", "volume_shipping",
     "returned_revenue_topk", "customer_distribution", "promo_revenue",
     "small_qty_revenue", "discounted_revenue", "idle_customers",
     "top_supplier", "customer_value_deciles", "retention_cohorts",
     "rfm_segments", "seasonal_dow_index", "cross_corr_lag",
     "ngram_novelty", "filter_funnel", "node_jaccard",
+    # -- never driver-snapshotted: added in round 5 (queries_coverage)
+    "min_cost_supplier", "forecast_revenue", "product_profit",
+    "important_parts", "ship_delay_priority", "brand_supplier_cnt",
+    "dominant_suppliers", "waiting_orders", "merge_upsert",
+    "acctbal_percentile", "benford_digits", "cusum_changepoint",
+    "range_join_bands", "order_rank_ties", "char_diversity",
+    "source_vocab_jaccard", "embedding_sq8", "mrl_prefix_agreement",
     # -- stale: last green row is r02
     "asof_attribution", "cumulative_daily_value", "global_stats",
     "order_gaps", "pivot_returnflag", "rollup_order_status", "set_ops",
     "topk_orders",
-    # -- flagship re-confirmation (one per operator family)
-    "pricing_summary", "revenue_by_region", "reach_all_dims",
-    "reach_by_etype", "mapping", "before_after_lift", "dedup_exact",
-    "dedup_minhash", "dedup_clusters", "sim_bruteforce_topk",
-    "sim_ivf_topk", "sim_lsh_topk", "sim_near_dup", "kmeans_cells",
-    "media_features", "pagerank_docs", "graph_triangles", "corpus_prep",
 ]
 
 
