@@ -508,3 +508,12 @@ def test_waiting_orders_scans_lineitem_once(spark):
     lineitem exactly once."""
     plan = plan_of(spark, "waiting_orders")
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_char_diversity_is_map_side_no_explode(spark):
+    """Per-letter counts come from higher-order functions over the
+    char array — an explode (Generate) or a groupBy (HashAggregate)
+    would ship one row per character through a shuffle."""
+    plan = plan_of(spark, "char_diversity")
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
