@@ -185,3 +185,44 @@ def node_jaccard(pairs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_1", "doc_2")
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    a: str = "doc_1",
+    b: str = "doc_2",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    removing nodes whose current degree is below ``k`` (and their
+    edges).  A fixed round count keeps the plan finite and the oracle
+    expressible (the SQL unrolls the same rounds); full-fixpoint coreness
+    would iterate to convergence with the same per-round shape.
+
+    Scale shape per round: one node-keyed degree aggregation and one
+    semi-join of edges against surviving nodes — both shuffles keyed on
+    node id.  The edge table is ``localCheckpoint``-ed up front so the
+    iterative plan never re-executes the upstream candidate-pair
+    pipeline (same pattern as pagerank_int).
+
+    Output: ``node, degree`` for nodes surviving all rounds, with their
+    post-peel degree.
+    """
+    und = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
+        pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    )
+    edges = und.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("s")
+        edges = (
+            edges.join(keep, "s", "leftsemi")
+            .join(keep.select(F.col("s").alias("d")), "d", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("node")
+    )

@@ -948,6 +948,188 @@ ORDER BY query_id
 """
 
 
+# ========================================================================
+# Part 3: iterative graph peeling + time-series bars
+# ========================================================================
+
+
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round 2-core peeling of the near-dup candidate graph
+    (operators/graph.kcore_peel over the MinHash-LSH edges): which
+    documents sit in densely-duplicated neighborhoods after hair
+    removal."""
+    from pyspark_pipelining_spark.operators import dedup, graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return graph.kcore_peel(pairs, k=2, rounds=3)
+
+
+def _sql_kcore_peel(threshold: float = 0.5, num_hashes: int = 16, bands: int = 8) -> str:
+    from pyspark_pipelining_spark.queries_llm import _minhash_fragments
+
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    peel = []
+    prev = "e0"
+    for r in range(1, 4):
+        peel.append(
+            f"""k{r} AS (
+    SELECT s FROM {prev} GROUP BY s HAVING count(*) >= 2
+),
+e{r} AS (
+    SELECT e.s, e.d FROM {prev} e
+    WHERE e.s IN (SELECT s FROM k{r}) AND e.d IN (SELECT s FROM k{r})
+)"""
+        )
+        prev = f"e{r}"
+    peels = ",\n".join(peel)
+    return f"""
+WITH {ctes},
+p AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+),
+e0 AS (
+    SELECT doc_1 AS s, doc_2 AS d FROM p
+    UNION ALL
+    SELECT doc_2 AS s, doc_1 AS d FROM p
+),
+{peels}
+SELECT s AS node, count(*) AS degree
+FROM e3 GROUP BY s
+ORDER BY node
+"""
+
+
+SQL_KCORE_PEEL = _sql_kcore_peel()
+
+
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (TWAP): each value
+    holds until the user's next event; weights are exact epoch-micro
+    durations, products accumulate in decimal(38,0) (cents × micros
+    overflows int64), and the single IEEE division happens once at the
+    boundary."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("_next", F.lead("ts").over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(_next) - unix_micros(ts)").alias("dur"),
+            "cents",
+        )
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur").alias("total_micros"),
+            F.sum(
+                F.expr("CAST(cents AS DECIMAL(38,0)) * CAST(dur AS DECIMAL(38,0))")
+            ).alias("_num"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_micros",
+            F.round(
+                F.col("_num").cast("double") / F.col("total_micros").cast("double"), 6
+            ).alias("twap_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_TWAP_USER_VALUE = """
+WITH rows_ AS (
+    SELECT user_id,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+agg AS (
+    SELECT user_id, count(*) AS n_intervals, sum(dur) AS total_micros,
+           sum(CAST(cents AS HUGEINT) * CAST(dur AS HUGEINT)) AS _num
+    FROM rows_ WHERE dur IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id, n_intervals, CAST(total_micros AS BIGINT) AS total_micros,
+       round(CAST(_num AS DOUBLE) / CAST(total_micros AS DOUBLE), 6) AS twap_cents
+FROM agg
+ORDER BY user_id
+"""
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type: open/close by event-time (with
+    an event-id tiebreak so ties are deterministic), high/low as exact
+    cents — the time-series downsampling shape, one shuffle on the
+    (type, day) key."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        base.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rd", F.row_number().over(wd))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("cents"))).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("_rd") == 1, F.col("cents"))).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_OHLC_DAILY = """
+WITH base AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+rn AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY ts ASC, event_id ASC) AS _ra,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY ts DESC, event_id DESC) AS _rd
+    FROM base
+)
+SELECT event_type, day,
+       max(CASE WHEN _ra = 1 THEN cents END) AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       max(CASE WHEN _rd = 1 THEN cents END) AS close_cents,
+       count(*) AS n_events
+FROM rn
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
 QUERIES_COVERAGE = {
     "min_cost_supplier": q_min_cost_supplier,
     "forecast_revenue": q_forecast_revenue,
@@ -967,6 +1149,9 @@ QUERIES_COVERAGE = {
     "source_vocab_jaccard": q_source_vocab_jaccard,
     "embedding_sq8": q_embedding_sq8,
     "mrl_prefix_agreement": q_mrl_prefix_agreement,
+    "kcore_peel": q_kcore_peel,
+    "twap_user_value": q_twap_user_value,
+    "ohlc_daily": q_ohlc_daily,
 }
 
 ORACLES_COVERAGE = {
@@ -988,4 +1173,7 @@ ORACLES_COVERAGE = {
     "source_vocab_jaccard": SQL_SOURCE_VOCAB_JACCARD,
     "embedding_sq8": SQL_EMBEDDING_SQ8,
     "mrl_prefix_agreement": SQL_MRL_PREFIX_AGREEMENT,
+    "kcore_peel": SQL_KCORE_PEEL,
+    "twap_user_value": SQL_TWAP_USER_VALUE,
+    "ohlc_daily": SQL_OHLC_DAILY,
 }

@@ -1123,3 +1123,22 @@ def test_merge_upsert_default_source_wins(spark):
     source = spark.createDataFrame([(1, 5)], ["k", "d"])
     out = merge_upsert(target, source, "k", "v", "d")
     assert out.collect()[0]["merged"] == 5
+
+
+def test_kcore_peel_strips_tails_keeps_core(spark):
+    from pyspark_pipelining_spark.operators.graph import kcore_peel
+
+    # triangle 1-2-3 (2-core) + tail 3-4-5 (peels away over 2 rounds)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["doc_1", "doc_2"]
+    )
+    out = {r["node"]: r["degree"] for r in kcore_peel(pairs, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_zero_rounds_is_degree_table(spark):
+    from pyspark_pipelining_spark.operators.graph import kcore_peel
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_1", "doc_2"])
+    out = {r["node"]: r["degree"] for r in kcore_peel(pairs, rounds=0).collect()}
+    assert out == {1: 1, 2: 2, 3: 1}

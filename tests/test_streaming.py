@@ -4,6 +4,8 @@ qa_hourshift oracle family)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark.sources.registry import load_table
@@ -442,3 +444,59 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
             q.stop()
     got = sorted(map(tuple, spark.table("vc_join_test").collect()))
     assert got == expected and len(got) > 0
+
+
+def test_cdc_apply_stream_matches_batch_merge(spark, tmp_path):
+    """apply_changes_stream folded over micro-batches must equal one
+    batch merge of all the deltas: the versioned-snapshot MERGE is
+    associative over batch boundaries."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark.streaming.cdc import (
+        apply_changes_stream,
+        read_current,
+    )
+
+    src = str(tmp_path / "deltas")
+    os.makedirs(src)
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    pd.DataFrame({"k": [1, 1, 2], "v": [10, 5, 7]}).to_parquet(f"{src}/a.parquet")
+    pd.DataFrame({"k": [2, 3], "v": [1, 9]}).to_parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema("k BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "state")
+    apply_changes_stream(
+        stream, table, str(tmp_path / "ckpt"), key="k", value_col="v"
+    )
+    got = {r["k"]: r["v"] for r in read_current(spark, table).collect()}
+    assert got == {1: 15, 2: 8, 3: 9}
+
+
+def test_cdc_apply_stream_rerun_is_noop(spark, tmp_path):
+    """Re-running the finished CDC stream must not change the state
+    table (checkpoint skips committed batches)."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark.streaming.cdc import (
+        apply_changes_stream,
+        read_current,
+    )
+
+    src = str(tmp_path / "deltas")
+    os.makedirs(src)
+    pd.DataFrame({"k": [1], "v": [4]}).to_parquet(f"{src}/a.parquet")
+
+    def run():
+        stream = spark.readStream.schema("k BIGINT, v BIGINT").parquet(src)
+        apply_changes_stream(
+            stream, str(tmp_path / "state"), str(tmp_path / "ckpt"), "k", "v"
+        )
+
+    run()
+    run()
+    got = read_current(spark, str(tmp_path / "state")).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, 4)]
