@@ -151,7 +151,14 @@ def node_jaccard(pairs: DataFrame) -> DataFrame:
     neighbor sets include the partner node itself, so
     ``union = deg_1 + deg_2 - common`` is never zero for an edge).
     """
-    p = pairs.select("doc_1", "doc_2")
+    # The candidate-pair input is typically an expensive LSH pipeline;
+    # this plan references it from five branches (edge union ×2, the
+    # pair spine, both wedge sides).  Truncating lineage once up front
+    # guarantees a single execution regardless of whether AQE's
+    # ReusedExchange can dedupe the branches (it usually can here —
+    # measured ~11% at sf0.1 — but reuse is plan-shape-fragile and the
+    # wedge join dominates anyway).
+    p = pairs.select("doc_1", "doc_2").localCheckpoint(eager=True)
     edges = p.unionByName(
         p.select(F.col("doc_2").alias("doc_1"), F.col("doc_1").alias("doc_2"))
     )
