@@ -50,11 +50,11 @@ _SNAPSHOT_PRIORITY = [
     "acctbal_percentile", "benford_digits", "cusum_changepoint",
     "range_join_bands", "order_rank_ties", "char_diversity",
     "source_vocab_jaccard", "embedding_sq8", "mrl_prefix_agreement",
-    "kcore_peel", "twap_user_value", "ohlc_daily",
-    # -- stale: last green row is r02 (the other three r02 rows rotate
+    "kcore_peel", "twap_user_value", "ohlc_daily", "cluster_purity",
+    # -- stale: last green row is r02 (the other four r02 rows rotate
     # back in next round; never-validated queries outrank them)
     "asof_attribution", "cumulative_daily_value", "global_stats",
-    "order_gaps", "pivot_returnflag",
+    "order_gaps",
 ]
 
 

@@ -1130,6 +1130,64 @@ ORDER BY event_type, day
 """
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label purity of the integer-lattice k-means cells: per
+    cell, the majority ground-truth label (smallest label wins ties),
+    its share of the cell, and the cell size — the standard external
+    clustering-quality check, exercised on the same deterministic
+    assignment the kmeans_cells oracle replays."""
+    from pyspark_pipelining_spark.operators.cluster import kmeans_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_int(emb, k=8, iters=2).select("vec_id", "cell")
+    lab = emb.select("vec_id", "label")
+    per = (
+        assign.join(lab, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .withColumn("size", F.sum("n").over(Window.partitionBy("cell")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+            "size",
+            F.round(F.col("n") / F.col("size"), 6).alias("purity"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _sql_cluster_purity() -> str:
+    from pyspark_pipelining_spark.queries_llm import SQL_KMEANS_CELLS
+
+    return f"""
+WITH assign AS ({SQL_KMEANS_CELLS}),
+per AS (
+    SELECT a.cell, e.label, count(*) AS n
+    FROM assign a JOIN embeddings e USING (vec_id)
+    GROUP BY a.cell, e.label
+),
+sized AS (
+    SELECT cell, label, n,
+           sum(n) OVER (PARTITION BY cell) AS size,
+           row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS _rn
+    FROM per
+)
+SELECT cell, label AS majority_label, n AS majority_n, CAST(size AS BIGINT) AS size,
+       round(CAST(n AS DOUBLE) / size, 6) AS purity
+FROM sized WHERE _rn = 1
+ORDER BY cell
+"""
+
+
+SQL_CLUSTER_PURITY = _sql_cluster_purity()
+
+
 QUERIES_COVERAGE = {
     "min_cost_supplier": q_min_cost_supplier,
     "forecast_revenue": q_forecast_revenue,
@@ -1152,6 +1210,7 @@ QUERIES_COVERAGE = {
     "kcore_peel": q_kcore_peel,
     "twap_user_value": q_twap_user_value,
     "ohlc_daily": q_ohlc_daily,
+    "cluster_purity": q_cluster_purity,
 }
 
 ORACLES_COVERAGE = {
@@ -1176,4 +1235,5 @@ ORACLES_COVERAGE = {
     "kcore_peel": SQL_KCORE_PEEL,
     "twap_user_value": SQL_TWAP_USER_VALUE,
     "ohlc_daily": SQL_OHLC_DAILY,
+    "cluster_purity": SQL_CLUSTER_PURITY,
 }

@@ -491,3 +491,69 @@ def test_ivfpq_recall_at_5_vs_bruteforce(spark):
     # (3) monotone in nprobe
     r4 = ivfpq(nprobe=4, rerank=1000)
     assert r2 <= r4 + 1e-9 <= 1.0 + 1e-9, (r2, r4)
+
+
+@given(
+    target=st.dictionaries(st.integers(1, 20), st.integers(-100, 100), max_size=12),
+    source=st.dictionaries(st.integers(1, 20), st.integers(-100, 100), max_size=12),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_upsert_matches_dict_model(spark, target, source):
+    """merge_upsert ≡ the obvious dict fold for any key overlap."""
+    from pyspark_pipelining_spark.operators.cdc import merge_upsert
+
+    t = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [(None, None)], "k bigint, v bigint"
+    ).filter(F.col("k").isNotNull())
+    s = spark.createDataFrame(
+        [(k, v) for k, v in source.items()] or [(None, None)], "k bigint, d bigint"
+    ).filter(F.col("k").isNotNull())
+    out = {
+        r["k"]: (r["action"], r["merged"])
+        for r in merge_upsert(t, s, "k", "v", "d", combine=lambda a, b: a + b).collect()
+    }
+    expect = {}
+    for k in set(target) | set(source):
+        if k in target and k in source:
+            expect[k] = ("update", target[k] + source[k])
+        elif k in source:
+            expect[k] = ("insert", source[k])
+        else:
+            expect[k] = ("keep", target[k])
+    assert out == expect
+
+
+def _python_kcore_peel(edges, k, rounds):
+    """Reference synchronous peel: all sub-k nodes removed together."""
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    for _ in range(rounds):
+        deg = {}
+        for s, _d in und:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        und = {(s, d) for (s, d) in und if s in keep and d in keep}
+    deg = {}
+    for s, _d in und:
+        deg[s] = deg.get(s, 0) + 1
+    return deg
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 10)).filter(lambda e: e[0] < e[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    rounds=st.integers(0, 3),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_peel_matches_python_model(spark, edges, rounds):
+    from pyspark_pipelining_spark.operators.graph import kcore_peel
+
+    pairs = spark.createDataFrame(edges, ["doc_1", "doc_2"])
+    got = {r["node"]: r["degree"] for r in kcore_peel(pairs, k=2, rounds=rounds).collect()}
+    assert got == _python_kcore_peel(edges, 2, rounds)
