@@ -557,3 +557,49 @@ def test_kcore_peel_matches_python_model(spark, edges, rounds):
     pairs = spark.createDataFrame(edges, ["doc_1", "doc_2"])
     got = {r["node"]: r["degree"] for r in kcore_peel(pairs, k=2, rounds=rounds).collect()}
     assert got == _python_kcore_peel(edges, 2, rounds)
+
+
+LAYOUT_SENSITIVE = [
+    # float/window/iterative shapes where shuffle order or scan split
+    # boundaries would surface any hidden order-dependence
+    "ewma_user_value",
+    "rolling_median_value",
+    "weighted_sample",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "value_moments",
+    "lm_score",
+    "pagerank_docs",
+    "cusum_changepoint",
+    "twap_user_value",
+]
+
+
+def test_layout_invariance_sweep(spark):
+    """Re-running a query under a hostile layout (prime shuffle
+    partition count + tiny scan splits) must produce byte-identical
+    rows: results are functions of the data, never of the partitioning.
+    This is the 1000-executor safety contract in miniature."""
+    import pytest as _pytest
+
+    from pyspark_pipelining_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def run(name):
+        return sorted(tuple(str(x) for x in r) for r in QUERIES[name](spark, SF_SMOKE).collect())
+
+    base, hostile = {}, {}
+    for name in LAYOUT_SENSITIVE:
+        base[name] = run(name)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_mb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        for name in LAYOUT_SENSITIVE:
+            hostile[name] = run(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mb)
+    diffs = [n for n in LAYOUT_SENSITIVE if base[n] != hostile[n]]
+    assert not diffs, f"layout-dependent results: {diffs}"
