@@ -517,3 +517,24 @@ def test_char_diversity_is_map_side_no_explode(spark):
     plan = plan_of(spark, "char_diversity")
     assert "Generate" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_no_query_has_cartesian_or_python_row_udf(spark):
+    """Repo-wide invariants over every registered query's physical
+    plan: (1) no CartesianProduct — scalar stitches must broadcast, so
+    they compile to BroadcastNestedLoopJoin over one row, never a
+    cartesian of two real tables; (2) no BatchEvalPython — row-at-a-time
+    Python UDFs are banned from the hot path (Arrow-batched
+    mapInPandas/applyInPandas compile to different nodes and stay
+    allowed)."""
+    offenders = {}
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan invariant violations: {offenders}"
