@@ -23,13 +23,22 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-    """Parquet table sink; at scale pass ``partition_by`` (e.g. date)
-    so downstream readers get partition pruning."""
-    writer = df.write.mode(mode)
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    format: str = "parquet",
+) -> None:
+    """Columnar table sink (``parquet`` default, ``orc`` for ORC-based
+    warehouses); at scale pass ``partition_by`` (e.g. date) so
+    downstream readers get partition pruning."""
+    if format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported table format {format!r} (parquet|orc)")
+    writer = df.write.mode(mode).format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def write_bucketed(

@@ -211,3 +211,31 @@ def test_write_partitioned_dynamic_overwrite_touches_only_present_partitions(spa
     write_partitioned(fix, path, ["day"], dynamic=False)
     got2 = sorted((r["day"], r["v"]) for r in spark.read.parquet(path).collect())
     assert got2 == [("d2", 30), ("d2", 31)]
+
+
+def test_write_table_orc_round_trip(spark, tmp_path):
+    """ORC sink round-trips values and partition pruning like parquet."""
+    from pyspark_pipelining_spark.sources.sinks import write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], ["id", "grp", "v"]
+    )
+    out = str(tmp_path / "t_orc")
+    write_table(df, out, partition_by=["grp"], format="orc")
+    back = spark.read.orc(out)
+    assert sorted((r["id"], r["grp"], r["v"]) for r in back.collect()) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30)
+    ]
+    # partition layout exists -> pruning applies on grp
+    import os as _os
+    assert any(d.startswith("grp=") for d in _os.listdir(out))
+
+
+def test_write_table_rejects_unknown_format(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark_pipelining_spark.sources.sinks import write_table
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with _pytest.raises(ValueError, match="unsupported table format"):
+        write_table(df, str(tmp_path / "x"), format="avro")
