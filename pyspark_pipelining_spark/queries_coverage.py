@@ -459,7 +459,12 @@ ORDER BY c_custkey
 def q_acctbal_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of every customer's balance within its
     nation, over a tiebroken (balance, key) total order so both
-    functions are exact rationals — identical IEEE in any engine."""
+    functions are exact rationals — identical IEEE in any engine.
+
+    Scale note: rank windows need a per-group total order, so each
+    nation sorts in one task chain; with billions of rows per group the
+    scale path is histogram cutpoints (`corpus.histogram_quantiles`,
+    used by `customer_quartiles`) rather than exact per-row ranks."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     return c.select(
@@ -1073,8 +1078,13 @@ ORDER BY user_id
 def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC bars per event type: open/close by event-time (with
     an event-id tiebreak so ties are deterministic), high/low as exact
-    cents — the time-series downsampling shape, one shuffle on the
-    (type, day) key."""
+    cents — the time-series downsampling shape.
+
+    Scale shape: ONE aggregation with map-side partial combine —
+    open/close are ``min_by``/``max_by`` against the unique
+    ``(ts, event_id)`` struct, so no per-partition sort ever happens
+    (a row_number window would fully sort each (type, day) partition;
+    a hot day would funnel into one task)."""
     e = load_table(spark, sf_dir, "events")
     base = e.select(
         "event_type",
@@ -1083,21 +1093,13 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
     )
-    wa = Window.partitionBy("event_type", "day").orderBy(
-        F.asc("ts"), F.asc("event_id")
-    )
-    wd = Window.partitionBy("event_type", "day").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
     return (
-        base.withColumn("_ra", F.row_number().over(wa))
-        .withColumn("_rd", F.row_number().over(wd))
-        .groupBy("event_type", "day")
+        base.groupBy("event_type", "day")
         .agg(
-            F.max(F.when(F.col("_ra") == 1, F.col("cents"))).alias("open_cents"),
+            F.expr("min_by(cents, struct(ts, event_id))").alias("open_cents"),
             F.max("cents").alias("high_cents"),
             F.min("cents").alias("low_cents"),
-            F.max(F.when(F.col("_rd") == 1, F.col("cents"))).alias("close_cents"),
+            F.expr("max_by(cents, struct(ts, event_id))").alias("close_cents"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type", "day")

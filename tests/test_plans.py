@@ -538,3 +538,11 @@ def test_no_query_has_cartesian_or_python_row_udf(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"plan invariant violations: {offenders}"
+
+
+def test_ohlc_daily_has_no_window(spark):
+    """open/close come from min_by/max_by aggregation (map-side
+    combinable), never a row_number window — a hot (type, day) group
+    must not funnel into a single sorted task."""
+    plan = plan_of(spark, "ohlc_daily")
+    assert "Window" not in plan
