@@ -38,8 +38,9 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost) — TPC-H Q2's correlated-min shape as a window argmin with a
     deterministic suppkey tiebreak.
 
-    Scale shape: the only wide operation is one distinct over
-    ``(l_partkey, l_suppkey)`` (a single hash shuffle of two ids);
+    Scale shape: the broadcast semi-join against the qualifying parts
+    runs BEFORE the pair-distinct, so the one wide operation (a hash
+    shuffle of two ids) carries only the filtered slice of lineitem;
     part and supplier are broadcast dims.
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -47,7 +48,15 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")
     )
     s = load_table(spark, sf_dir, "supplier")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    pairs = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "leftsemi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     w = Window.partitionBy("p_partkey").orderBy(
         F.asc("s_acctbal"), F.asc("s_suppkey")
     )
