@@ -176,6 +176,10 @@ def cross_corr_lag(
         )
         .groupBy("event_type", "day")
         .agg(F.sum("cents").alias("v"))
+        # 2·max_lag+1 union branches each reference the daily series
+        # twice; truncate lineage ONCE so the fact scan + aggregate
+        # never re-executes even if AQE exchange reuse fails to fire
+        .localCheckpoint(eager=True)
     )
     x = daily.filter(F.col("event_type") == type_x).select("day", F.col("v").alias("x"))
     y = daily.filter(F.col("event_type") == type_y).select(

@@ -98,7 +98,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
-            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
         .agg(F.sum(F.expr(DISC)).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -219,7 +219,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     disc = F.expr(DISC)
     agg = (
-        j.groupBy(F.month("l_shipdate").alias("ship_month"))
+        j.groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", disc)).alias("_promo"),
             F.sum(disc).alias("_total"),
@@ -450,7 +450,7 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("v"), F.asc("o_custkey"))
     return (
-        cents.select("o_custkey", "v", F.ntile(10).over(w).alias("decile"))
+        cents.select("o_custkey", "v", F.ntile(10).over(w).cast("long").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -473,7 +473,7 @@ t AS (
 )
 SELECT decile, count(*) AS n_customers,
        CAST(sum(v) AS BIGINT) AS total_cents,
-       min(v) AS min_cents, max(v) AS max_cents
+       CAST(min(v) AS BIGINT) AS min_cents, CAST(max(v) AS BIGINT) AS max_cents
 FROM t GROUP BY decile ORDER BY decile
 """
 

@@ -154,7 +154,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
         .agg((F.sum(profit10).cast("double") / 10.0).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
@@ -195,7 +195,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = val.agg(F.sum("_v").alias("_t"))
     return (
         val.crossJoin(F.broadcast(tot))
-        .filter(F.col("_v") > F.col("_t") * 0.001)
+        # ×1000 instead of ×0.001 keeps the comparison in EXACT decimal
+        # on both engines (0.001 is not double-representable, and a
+        # borderline part could classify differently per engine)
+        .filter(F.col("_v") * 1000 > F.col("_t"))
         .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
@@ -210,7 +213,7 @@ WITH val AS (
 )
 SELECT l_partkey, CAST(_v AS DOUBLE) AS part_value
 FROM val
-WHERE _v > (SELECT sum(_v) FROM val) * 0.001
+WHERE _v * 1000 > (SELECT sum(_v) FROM val)
 ORDER BY part_value DESC, l_partkey
 """
 
@@ -249,10 +252,10 @@ SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
             WHEN date_diff('day', CAST(o_orderdate AS DATE),
                            CAST(l_shipdate AS DATE)) <= 60 THEN '31-60d'
             ELSE '61d+' END AS delay_bucket,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 ORDER BY delay_bucket
@@ -453,10 +456,10 @@ SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
        CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN 'update'
             WHEN s.c_custkey IS NOT NULL THEN 'insert'
             ELSE 'keep' END AS action,
-       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
-                THEN balance_cents + delta_cents
-            WHEN s.c_custkey IS NOT NULL THEN delta_cents
-            ELSE balance_cents END AS new_balance_cents
+       CAST(CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                     THEN balance_cents + delta_cents
+                 WHEN s.c_custkey IS NOT NULL THEN delta_cents
+                 ELSE balance_cents END AS BIGINT) AS new_balance_cents
 FROM target t FULL JOIN source s ON t.c_custkey = s.c_custkey
 ORDER BY c_custkey
 """
@@ -594,7 +597,7 @@ ranked AS (
                                  ORDER BY abs(_cusum) DESC, day ASC) AS _rn
     FROM scored
 )
-SELECT event_type, day AS peak_day, _cusum AS peak_cusum, n_days
+SELECT event_type, day AS peak_day, CAST(_cusum AS BIGINT) AS peak_cusum, n_days
 FROM ranked WHERE _rn = 1
 ORDER BY event_type
 """
@@ -637,7 +640,7 @@ WITH bands(band, lo, hi) AS (
            ('5_top', 7500.0, 10000.0)
 )
 SELECT band, count(*) AS n_customers,
-       sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS balance_cents
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS balance_cents
 FROM customer JOIN bands ON c_acctbal > lo AND c_acctbal <= hi
 GROUP BY band
 ORDER BY band
@@ -661,9 +664,9 @@ def q_order_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             "cents",
-            F.rank().over(wv).alias("rnk"),
-            F.dense_rank().over(wv).alias("drnk"),
-            F.row_number().over(wu).alias("rn"),
+            F.rank().over(wv).cast("long").alias("rnk"),
+            F.dense_rank().over(wv).cast("long").alias("drnk"),
+            F.row_number().over(wu).cast("long").alias("rn"),
         )
         .filter(F.col("rnk") <= 3)
         .orderBy("o_custkey", "rn")
@@ -731,8 +734,8 @@ WITH chars AS (
     FROM documents
 ),
 per AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2)
-SELECT doc_id, sum(c) AS n_alpha, count(*) AS n_distinct,
-       sum(c * (c - 1)) AS simpson_num
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_alpha, count(*) AS n_distinct,
+       CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
 FROM per GROUP BY doc_id
 ORDER BY doc_id
 """

@@ -31,3 +31,44 @@ def test_query_matches_oracle_sf001(spark, name):
     if name not in ORACLES:
         pytest.skip("rows-only query")
     compare(spark, SF_ORACLE, QUERIES[name], ORACLES[name])
+
+
+# Columns where DuckDB's pandas path yields float64 against an integral
+# Spark column BECAUSE the column is nullable (rollup NULLs / left-join
+# misses): both engines' pandas conversions coerce identically, so the
+# driver compare stays green (proven r02/r04).  Anything NOT in this
+# allowlist is the red-row class from r03 (media_features HUGEINT):
+# an un-CAST integer sum in the oracle SQL.
+_NULLABLE_FLOAT64_OK = {
+    ("asof_attribution", "click_event_id"),
+    ("cube_revenue", "o_year"),
+}
+
+
+def test_oracle_pandas_dtypes_match_spark_integrals(spark):
+    """Every integral Spark output column must come back integral from
+    DuckDB's pandas path (the driver's canonicalizer): a HUGEINT sum
+    left un-CAST stringifies as '15.0' vs Spark's '15' and turns the
+    driver row red even though fetchall-based compares stay green."""
+    from tests.oracle_utils import duck_connection
+
+    con = duck_connection(SF_SMOKE)
+    offenders = []
+    try:
+        for name in QUERY_NAMES:
+            sdf = QUERIES[name](spark, SF_SMOKE)
+            integral = {
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+            }
+            if not integral:
+                continue
+            pdf = con.execute(ORACLES[name]).df()
+            for c, t in pdf.dtypes.items():
+                if c in integral and str(t).startswith("float"):
+                    if (name, c) not in _NULLABLE_FLOAT64_OK:
+                        offenders.append((name, c, str(t)))
+    finally:
+        con.close()
+    assert not offenders, f"un-CAST integer aggregates in oracle SQL: {offenders}"
