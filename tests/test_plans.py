@@ -510,13 +510,13 @@ def test_waiting_orders_scans_lineitem_once(spark):
     assert plan.count("lineitem.parquet") == 1
 
 
-def test_char_diversity_is_map_side_no_explode(spark):
-    """Per-letter counts come from higher-order functions over the
-    char array — an explode (Generate) or a groupBy (HashAggregate)
-    would ship one row per character through a shuffle."""
+def test_char_diversity_has_partial_aggregation(spark):
+    """The exploded char stream must partially aggregate BEFORE the
+    doc_id shuffle (≤26 rows per doc per partition cross the wire) —
+    losing the map-side combine would shuffle one row per character."""
     plan = plan_of(spark, "char_diversity")
-    assert "Generate" not in plan
-    assert "HashAggregate" not in plan
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "Partial" in plan or "count(1)" in plan
 
 
 def test_no_query_has_cartesian_or_python_row_udf(spark):
