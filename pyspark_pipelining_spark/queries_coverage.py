@@ -358,21 +358,24 @@ def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, restated as one per-order aggregate): late = shipped more
     than 30 days after the order date.
 
-    Scale shape: one lineitem ⋈ orders join on the order key, one
-    per-order aggregate, one explode of the single late supplier —
-    no self-joins of the fact table."""
+    Scale shape: one lineitem ⋈ orders join on the order key, then a
+    (orderkey, suppkey) pre-aggregate followed by a per-order
+    aggregate — two plain hash aggregations instead of a double
+    countDistinct (which would Expand the joined fact ×2); no
+    self-joins of the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-    per_order = (
+    per_supp = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.countDistinct("l_suppkey").alias("_n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
-        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+        F.max(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias("_late_supp"),
     )
     credited = per_order.filter(
         (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
