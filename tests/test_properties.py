@@ -603,3 +603,61 @@ def test_layout_invariance_sweep(spark):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mb)
     diffs = [n for n in LAYOUT_SENSITIVE if base[n] != hostile[n]]
     assert not diffs, f"layout-dependent results: {diffs}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=10_000), # second offset
+            st.integers(min_value=0, max_value=99_999), # cents
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),  # unique ts per user
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_twap_query_matches_python_model(spark, rows, tmp_path_factory):
+    """End-to-end property check of the registered twap_user_value
+    query: synthetic events are written as a real <sf_dir>/events.parquet
+    and the query's exact numerator/denominator must equal the plain
+    Python hold-until-next-event fold."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries import QUERIES
+
+    sf_dir = str(tmp_path_factory.mktemp("twap_sf"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [EPOCH + dt.timedelta(seconds=s) for (_u, s, _c) in rows],
+            "user_id": [u for (u, _s, _c) in rows],
+            "event_type": "view",
+            "value": [c / 100.0 for (_u, _s, c) in rows],
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r["user_id"]: (r["n_intervals"], r["total_micros"], r["twap_cents"])
+        for r in QUERIES["twap_user_value"](spark, sf_dir).collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list] = {}
+    for i, (u, s, c) in enumerate(rows):
+        # floor(value*100) must re-derive the cents the query sees
+        by_user.setdefault(u, []).append((s, i, int((c / 100.0) * 100 // 1)))
+    for u, evs in by_user.items():
+        evs.sort()
+        if len(evs) < 2:
+            continue
+        num = den = 0
+        for (s0, _i0, c0), (s1, _i1, _c1) in zip(evs, evs[1:]):
+            dur = (s1 - s0) * 1_000_000
+            num += c0 * dur
+            den += dur
+        expect[u] = (len(evs) - 1, den, round(num / den, 6))
+    assert got == expect
