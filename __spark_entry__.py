@@ -23,45 +23,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate snapshots the first 50 registry entries
 # (CORRECTNESS_r02-r04 are each exactly the first 50 keys in dict order).
-# With more registered queries than slots we rotate: queries that have
-# never had a driver row come first (incl. everything added this round),
-# then rows whose last green is stale (r01/r02), then a flagship
-# re-confirmation set.  VALIDATION.md tracks the last externally
-# validated round for every query; the local pytest oracle gate
-# (tests/test_queries_oracle.py) covers ALL registered queries every run
-# regardless of this ordering.
-_SNAPSHOT_PRIORITY = [
-    # -- never driver-snapshotted: the r04 red row (now string-postings)
-    "inverted_index",
-    # -- never driver-snapshotted: missed every earlier window
-    "media_audio_windows", "rp_sketch", "sim_ivfpq_topk", "value_moments",
-    "hypertable_stitch",
-    # -- never driver-snapshotted: added late round 4
-    "sim_ivfpq_rerank", "order_priority_counts", "volume_shipping",
-    "returned_revenue_topk", "customer_distribution", "promo_revenue",
-    "small_qty_revenue", "discounted_revenue", "idle_customers",
-    "top_supplier", "customer_value_deciles", "retention_cohorts",
-    "rfm_segments", "seasonal_dow_index", "cross_corr_lag",
-    "ngram_novelty", "filter_funnel", "node_jaccard",
-    # -- never driver-snapshotted: added in round 5 (queries_coverage)
-    "min_cost_supplier", "forecast_revenue", "product_profit",
-    "important_parts", "ship_delay_priority", "brand_supplier_cnt",
-    "dominant_suppliers", "waiting_orders", "merge_upsert",
-    "acctbal_percentile", "benford_digits", "cusum_changepoint",
-    "range_join_bands", "order_rank_ties", "char_diversity",
-    "source_vocab_jaccard", "embedding_sq8", "mrl_prefix_agreement",
-    "kcore_peel", "twap_user_value", "ohlc_daily", "cluster_purity",
-    # -- stale: last green row is r02 (the other four r02 rows rotate
-    # back in next round; never-validated queries outrank them)
-    "asof_attribution", "cumulative_daily_value", "global_stats",
-    "order_gaps",
-]
+# With more registered queries than slots, the exposure order is
+# COMPUTED from the committed CORRECTNESS_r*.json history: queries with
+# no green driver row come first (in registry order), then everything
+# else by oldest last-green round — so every query cycles back through
+# the window periodically with zero hand-maintenance.  VALIDATION.md
+# records the same derivation per query; the local pytest oracle gate
+# (tests/test_queries_oracle.py) covers ALL registered queries every
+# run regardless of this ordering.
+
+
+def _last_green_rounds() -> dict[str, int]:
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for q, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last[q] = max(last.get(q, 0), rnd)
+    return last
 
 
 def _rotated(d: dict) -> dict:
-    out = {k: d[k] for k in _SNAPSHOT_PRIORITY if k in d}
-    out.update({k: v for k, v in d.items() if k not in out})
-    return out
+    last = _last_green_rounds()
+    idx = {k: i for i, k in enumerate(d)}
+    order = sorted(d, key=lambda k: (last.get(k, -1), idx[k]))
+    return {k: d[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -217,5 +217,15 @@ def test_driver_contract_registry_is_complete_and_bijective():
     assert q == o
     assert sorted(q) == sorted(QUERIES) == sorted(ORACLES)
     assert len(q) == len(set(q))
-    assert len(e._SNAPSHOT_PRIORITY) == 50
-    assert set(e._SNAPSHOT_PRIORITY) <= set(QUERIES)
+    # computed rotation: every query with no green driver row must sit
+    # inside the driver's 50-row snapshot window (or, once fewer than
+    # 50 remain unvalidated, the window tops up with the stalest rows)
+    last = e._last_green_rounds()
+    never = [k for k in QUERIES if k not in last]
+    window = set(q[:50])
+    assert set(never[:50]) <= window
+    if len(never) < 50:
+        stale_in_window = sorted(last[k] for k in window if k in last)
+        all_rounds = sorted(last[k] for k in QUERIES if k in last)
+        # the stale slots are filled oldest-first
+        assert stale_in_window == all_rounds[: len(stale_in_window)]
