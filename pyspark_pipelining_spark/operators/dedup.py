@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark import cache
 from pyspark_pipelining_spark.operators.text import with_words
-from pyspark_pipelining_spark.sources.registry import spread
+
 
 MERSENNE = (1 << 31) - 1  # 2147483647, prime — minhash universe
 

@@ -40,7 +40,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_pipelining_spark.sources.registry import SchemaError, load_table, require_columns
+from pyspark_pipelining_spark.sources.registry import load_table, require_columns
 
 #: Deterministic projection-factor formula used to derive the projection
 #: dim from ``customer`` (FIXTURES.md §B.2): exact multiples of 0.25 so

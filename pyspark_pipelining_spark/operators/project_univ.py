@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspark_pipelining_spark.operators.media import union_frames
 
 
 def universe_ratio(df: DataFrame, proj_df: DataFrame, univ_df: DataFrame) -> DataFrame:
