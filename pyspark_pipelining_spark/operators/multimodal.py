@@ -168,3 +168,57 @@ def audio_window_plan(
         (F.col("window_no") * hop_ms).alias("start_ms"),
         (F.col("window_no") * hop_ms + window_ms).alias("end_ms"),
     )
+
+
+# --- JVM-side binary header synthesis + sniffing -------------------------
+
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
+
+
+def synthesize_png_payload(media_df: DataFrame) -> DataFrame:
+    """Rebuild each payload as a structurally REAL PNG prefix — the
+    8-byte signature plus an IHDR-style chunk carrying the metadata's
+    width/height as big-endian u32 — followed by the original bytes.
+
+    The point: downstream header *sniffing* (the thing a 100 TB media
+    pipeline actually does before deciding to decode) can then be
+    tested against honest bytes, with no codec anywhere.  Construction
+    is pure JVM (`unhex`/`format_string`/`concat` on binary).
+    """
+    w_hex = F.expr("lpad(hex(meta.width), 8, '0')")
+    h_hex = F.expr("lpad(hex(meta.height), 8, '0')")
+    header = F.concat(
+        F.unhex(F.lit(_PNG_MAGIC_HEX)),
+        F.unhex(F.lit("0000000D")),  # IHDR length 13
+        F.encode(F.lit("IHDR"), "utf-8"),
+        F.unhex(w_hex),
+        F.unhex(h_hex),
+    )
+    return media_df.select(
+        "media_id",
+        F.concat(header, F.col("payload")).alias("payload"),
+        "meta",
+    )
+
+
+def sniff_headers(media_df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Container-format sniffing without decoding: match magic bytes
+    and parse the dimension fields straight out of the binary column —
+    entirely JVM-side (`substring` on binary → `hex` → `conv`), so it
+    whole-stage-codegens and never touches a Python worker (the media
+    triage scan you run on 100 TB BEFORE committing to decode).
+
+    Output: ``media_id, sniffed_mime, sniffed_width, sniffed_height``
+    (mime ``'image/png'`` with parsed dims on a PNG signature,
+    ``'application/octet-stream'`` with NULL dims otherwise)."""
+    p = F.col(payload_col)
+    is_png = F.hex(F.substring(p, 1, 8)) == _PNG_MAGIC_HEX
+    be_u32 = lambda off: F.conv(F.hex(F.substring(p, off, 4)), 16, 10).cast("long")  # noqa: E731
+    return media_df.select(
+        "media_id",
+        F.when(is_png, F.lit("image/png"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("sniffed_mime"),
+        F.when(is_png, be_u32(17)).alias("sniffed_width"),
+        F.when(is_png, be_u32(21)).alias("sniffed_height"),
+    )

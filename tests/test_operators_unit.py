@@ -1142,3 +1142,41 @@ def test_kcore_peel_zero_rounds_is_degree_table(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_1", "doc_2"])
     out = {r["node"]: r["degree"] for r in kcore_peel(pairs, rounds=0).collect()}
     assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_media_header_sniff_round_trip_and_rejects_non_png(spark):
+    """synthesize_png_payload writes a REAL PNG signature + big-endian
+    dims; sniff_headers must parse them back exactly, JVM-side, and
+    classify unwrapped payloads as opaque bytes with NULL dims."""
+    from pyspark_pipelining_spark.operators.multimodal import (
+        documents_as_media,
+        sniff_headers,
+        synthesize_png_payload,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    media = documents_as_media(docs)
+    wrapped = synthesize_png_payload(media)
+    sniffed = sniff_headers(wrapped).join(
+        media.select("media_id", "meta"), "media_id"
+    )
+    rows = sniffed.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["sniffed_mime"] == "image/png"
+        assert r["sniffed_width"] == r["meta"]["width"]
+        assert r["sniffed_height"] == r["meta"]["height"]
+    # unwrapped text payloads must NOT sniff as PNG
+    plain = sniff_headers(media).collect()
+    assert all(
+        r["sniffed_mime"] == "application/octet-stream"
+        and r["sniffed_width"] is None
+        for r in plain
+    )
+    # the sniff plan is pure JVM — no Python worker anywhere
+    plan = sniff_headers(wrapped)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
