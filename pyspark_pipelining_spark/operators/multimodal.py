@@ -185,8 +185,11 @@ def synthesize_png_payload(media_df: DataFrame) -> DataFrame:
     tested against honest bytes, with no codec anywhere.  Construction
     is pure JVM (`unhex`/`format_string`/`concat` on binary).
     """
-    w_hex = F.expr("lpad(hex(meta.width), 8, '0')")
-    h_hex = F.expr("lpad(hex(meta.height), 8, '0')")
+    # greatest(..., 0): a negative dim would hex to 16 chars and lpad
+    # would TRUNCATE to the leftmost 8 — a silently corrupt header.
+    # PNG dims are u32; clamp at the construction boundary.
+    w_hex = F.expr("lpad(hex(greatest(meta.width, 0)), 8, '0')")
+    h_hex = F.expr("lpad(hex(greatest(meta.height, 0)), 8, '0')")
     header = F.concat(
         F.unhex(F.lit(_PNG_MAGIC_HEX)),
         F.unhex(F.lit("0000000D")),  # IHDR length 13

@@ -208,8 +208,9 @@ def test_cli_runs_corpus_stage(spark, tmp_path):
 
 def test_driver_contract_registry_is_complete_and_bijective():
     """__spark_entry__ must expose every registered query exactly once,
-    in the same order for queries() and oracle_sql(), with the
-    snapshot-priority window exactly 50 names, all resolvable."""
+    in the same order for queries() and oracle_sql(), with the COMPUTED
+    rotation putting every never-validated query inside the driver's
+    50-row snapshot window and filling any spare slots oldest-first."""
     import __spark_entry__ as e
     from pyspark_pipelining_spark.queries import ORACLES, QUERIES
 
