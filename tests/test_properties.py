@@ -661,3 +661,57 @@ def test_twap_query_matches_python_model(spark, rows, tmp_path_factory):
             den += dur
         expect[u] = (len(evs) - 1, den, round(num / den, 6))
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click"]),          # event type
+            st.integers(min_value=0, max_value=200_000), # second offset (spans days)
+            st.integers(min_value=0, max_value=99_999),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ohlc_query_matches_python_model(spark, rows, tmp_path_factory):
+    """End-to-end property check of ohlc_daily: min_by/max_by over the
+    (ts, event_id) struct must equal the Python first/last-by-time fold
+    for every (type, day) bar, including same-timestamp tiebreaks."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries import QUERIES
+
+    sf_dir = str(tmp_path_factory.mktemp("ohlc_sf"))
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [EPOCH + dt.timedelta(seconds=s) for (_t, s, _c) in rows],
+            "user_id": 1,
+            "event_type": [t for (t, _s, _c) in rows],
+            "value": [c / 100.0 for (_t, _s, c) in rows],
+            "props": "{}",
+        }
+    ).to_parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        (r["event_type"], str(r["day"])): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"],
+        )
+        for r in QUERIES["ohlc_daily"](spark, sf_dir).collect()
+    }
+
+    bars: dict[tuple, list] = {}
+    for i, (t, s, c) in enumerate(rows):
+        day = str((EPOCH + dt.timedelta(seconds=s)).date())
+        cents = int((c / 100.0) * 100 // 1)
+        bars.setdefault((t, day), []).append((s, i, cents))
+    expect = {}
+    for k, evs in bars.items():
+        evs.sort()
+        cs = [c for (_s, _i, c) in evs]
+        expect[k] = (evs[0][2], max(cs), min(cs), evs[-1][2], len(evs))
+    assert got == expect
