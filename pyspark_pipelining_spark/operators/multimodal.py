@@ -211,17 +211,57 @@ def sniff_headers(media_df: DataFrame, payload_col: str = "payload") -> DataFram
     whole-stage-codegens and never touches a Python worker (the media
     triage scan you run on 100 TB BEFORE committing to decode).
 
-    Output: ``media_id, sniffed_mime, sniffed_width, sniffed_height``
-    (mime ``'image/png'`` with parsed dims on a PNG signature,
-    ``'application/octet-stream'`` with NULL dims otherwise)."""
+    Output: ``media_id, sniffed_mime, sniffed_width, sniffed_height,
+    sniffed_sample_rate`` — ``'image/png'`` with parsed big-endian dims
+    on a PNG signature, ``'audio/wav'`` with the little-endian sample
+    rate on a RIFF/WAVE signature, ``'application/octet-stream'`` with
+    NULLs otherwise."""
     p = F.col(payload_col)
     is_png = F.hex(F.substring(p, 1, 8)) == _PNG_MAGIC_HEX
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (  # 'RIFF'
+        F.hex(F.substring(p, 9, 4)) == "57415645"  # 'WAVE'
+    )
     be_u32 = lambda off: F.conv(F.hex(F.substring(p, off, 4)), 16, 10).cast("long")  # noqa: E731
+
+    def le_u32(off):
+        # little-endian u32: one byte at a time, lowest first
+        b = lambda i: F.conv(F.hex(F.substring(p, off + i, 1)), 16, 10).cast("long")  # noqa: E731
+        return b(0) + b(1) * 256 + b(2) * 65536 + b(3) * 16777216
+
     return media_df.select(
         "media_id",
         F.when(is_png, F.lit("image/png"))
+        .when(is_wav, F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("sniffed_mime"),
         F.when(is_png, be_u32(17)).alias("sniffed_width"),
         F.when(is_png, be_u32(21)).alias("sniffed_height"),
+        F.when(is_wav, le_u32(25)).alias("sniffed_sample_rate"),
+    )
+
+
+def synthesize_wav_payload(media_df: DataFrame, sample_rate_expr: str = "8000 + pmod(media_id, 40000)") -> DataFrame:
+    """RIFF/WAVE counterpart of :func:`synthesize_png_payload`: a real
+    'RIFF....WAVEfmt ' prefix with the per-row sample rate written as a
+    LITTLE-endian u32 at the canonical offset 24 — exercising the
+    byte-order-sensitive half of the sniffer."""
+    rate = F.expr(f"CAST(greatest({sample_rate_expr}, 0) AS BIGINT)")
+    byte_hex = lambda shift: F.expr(  # noqa: E731 — `div`, not `/` (double)
+        f"lpad(hex(CAST(pmod(CAST(greatest({sample_rate_expr}, 0) AS BIGINT)"
+        f" div {1 << shift}, 256) AS INT)), 2, '0')"
+    )
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"),
+        F.unhex(F.lit("00000000")),  # chunk size placeholder
+        F.encode(F.lit("WAVEfmt "), "utf-8"),
+        F.unhex(F.lit("10000000")),  # fmt chunk size 16, LE
+        F.unhex(F.lit("01000100")),  # PCM, mono
+        # sample rate, little-endian u32 at offset 24
+        F.unhex(F.concat(byte_hex(0), byte_hex(8), byte_hex(16), byte_hex(24))),
+    )
+    return media_df.select(
+        "media_id",
+        F.concat(header, F.col("payload")).alias("payload"),
+        "meta",
+        rate.alias("expected_sample_rate"),
     )

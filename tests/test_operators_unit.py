@@ -1180,3 +1180,28 @@ def test_media_header_sniff_round_trip_and_rejects_non_png(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wav_sniff_little_endian_round_trip(spark):
+    """RIFF/WAVE synthesis writes the sample rate little-endian; the
+    sniffer must reassemble it byte-by-byte (and still reject the same
+    bytes when the RIFF magic is absent)."""
+    from pyspark_pipelining_spark.operators.multimodal import (
+        documents_as_media,
+        sniff_headers,
+        synthesize_wav_payload,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    wav = synthesize_wav_payload(documents_as_media(docs))
+    got = sniff_headers(wav).join(
+        wav.select("media_id", "expected_sample_rate"), "media_id"
+    )
+    rows = got.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["sniffed_mime"] == "audio/wav"
+        assert r["sniffed_sample_rate"] == r["expected_sample_rate"]
+        assert r["sniffed_width"] is None
