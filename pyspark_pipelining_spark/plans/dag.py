@@ -20,8 +20,10 @@ stage, which is where the actual work is at 100 TB.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
+import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -70,6 +72,10 @@ class Pipeline:
         self.logger = logger if logger is not None else get_logger()
         self._stages: dict[str, Stage] = {}
         self._results: dict[str, DataFrame] = {}
+        #: lineage/observability record, one entry per stage execution:
+        #: {stage, status (ran|skipped), requires, target, schema,
+        #:  wall_s} — what every orchestrator surfaces in its run UI.
+        self.manifest: list[dict] = []
 
     def stage(self, name: str, requires: tuple[str, ...] = (), materialize: bool = False):
         """Decorator registering a stage function."""
@@ -101,9 +107,20 @@ class Pipeline:
             self.logger.info("stage %s: target exists, skipping (idempotent)", name)
             df = self.spark.read.parquet(self._target(name))
             self._results[name] = df
+            self.manifest.append(
+                {
+                    "stage": name,
+                    "status": "skipped",
+                    "requires": list(st.requires),
+                    "target": self._target(name),
+                    "schema": df.schema.simpleString(),
+                    "wall_s": 0.0,
+                }
+            )
             return df
         upstream = {r: self.run(r, _seen + (name,)) for r in st.requires}
         self.logger.info("stage %s: running", name)
+        t0 = time.monotonic()
         try:
             df = st.fn(self.spark, self.config, upstream)
             if st.materialize:
@@ -114,6 +131,16 @@ class Pipeline:
             raise
         self.logger.info("stage %s: done", name)
         self._results[name] = df
+        self.manifest.append(
+            {
+                "stage": name,
+                "status": "ran",
+                "requires": list(st.requires),
+                "target": self._target(name) if st.materialize else None,
+                "schema": df.schema.simpleString(),
+                "wall_s": round(time.monotonic() - t0, 3),
+            }
+        )
         return df
 
     def run_safe(self, name: str, report_path: str) -> DataFrame | None:
@@ -132,6 +159,23 @@ class Pipeline:
     def run_all(self) -> dict[str, DataFrame]:
         """The fan-in supertask: run every registered stage."""
         return {name: self.run(name) for name in self._stages}
+
+    def write_manifest(self, path: str | None = None) -> str:
+        """Persist the run's lineage manifest as JSON (default:
+        ``<output_path>/<run_id>/manifest.json``) — stage order,
+        ran/skipped status, dependency edges, materialization targets,
+        output schemas, and wall time per stage.  Driver-side metadata
+        only; no Spark job is triggered."""
+        if path is None:
+            path = os.path.join(
+                self.config.output_path, self.config.run_id, "manifest.json"
+            )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump(
+                {"run_id": self.config.run_id, "stages": self.manifest}, fh, indent=1
+            )
+        return path
 
 
 def build_metrics_pipeline(spark: SparkSession, config: PipelineConfig) -> Pipeline:

@@ -230,3 +230,43 @@ def test_driver_contract_registry_is_complete_and_bijective():
         all_rounds = sorted(last[k] for k in QUERIES if k in last)
         # the stale slots are filled oldest-first
         assert stale_in_window == all_rounds[: len(stale_in_window)]
+
+
+def test_pipeline_manifest_records_runs_and_skips(spark, tmp_path):
+    """The run manifest must capture stage order, dependency edges,
+    ran/skipped status, and targets — and a re-run of an idempotent
+    stage must record 'skipped' instead of 'ran'."""
+    import json
+
+    from pyspark_pipelining_spark.plans.dag import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path), run_id="m1")
+    p = Pipeline(spark, cfg)
+
+    @p.stage("base", materialize=True)
+    def base(spark, cfg, up):
+        return spark.range(5).withColumnRenamed("id", "k")
+
+    @p.stage("doubled", requires=("base",))
+    def doubled(spark, cfg, up):
+        from pyspark.sql import functions as F
+
+        return up["base"].select((F.col("k") * 2).alias("k2"))
+
+    p.run("doubled")
+    path = p.write_manifest()
+    m = json.load(open(path))
+    assert m["run_id"] == "m1"
+    by_stage = {s["stage"]: s for s in m["stages"]}
+    assert by_stage["base"]["status"] == "ran"
+    assert by_stage["base"]["target"] is not None
+    assert by_stage["doubled"]["status"] == "ran"
+    assert by_stage["doubled"]["requires"] == ["base"]
+    assert by_stage["doubled"]["target"] is None
+    assert [s["stage"] for s in m["stages"]] == ["base", "doubled"]
+
+    # second pipeline, same output/run_id: base must be skipped
+    p2 = Pipeline(spark, cfg)
+    p2.stage("base", materialize=True)(base)
+    p2.run("base")
+    assert p2.manifest[0]["status"] == "skipped"
