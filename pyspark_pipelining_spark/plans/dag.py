@@ -126,8 +126,18 @@ class Pipeline:
             if st.materialize:
                 df.write.mode("overwrite").parquet(self._target(name))
                 df = self.spark.read.parquet(self._target(name))
-        except Exception:
+        except Exception as exc:
             self.logger.exception("stage %s: failed", name)
+            self.manifest.append(
+                {
+                    "stage": name,
+                    "status": "failed",
+                    "requires": list(st.requires),
+                    "target": self._target(name) if st.materialize else None,
+                    "error": f"{type(exc).__name__}: {exc}",
+                    "wall_s": round(time.monotonic() - t0, 3),
+                }
+            )
             raise
         self.logger.info("stage %s: done", name)
         self._results[name] = df

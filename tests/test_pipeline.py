@@ -270,3 +270,19 @@ def test_pipeline_manifest_records_runs_and_skips(spark, tmp_path):
     p2.stage("base", materialize=True)(base)
     p2.run("base")
     assert p2.manifest[0]["status"] == "skipped"
+
+
+def test_pipeline_manifest_records_failures(spark, tmp_path):
+    from pyspark_pipelining_spark.plans.dag import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path), run_id="mf")
+    p = Pipeline(spark, cfg)
+
+    @p.stage("boom")
+    def boom(spark_, cfg_, up):
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        p.run("boom")
+    assert p.manifest[-1]["status"] == "failed"
+    assert "ValueError: nope" in p.manifest[-1]["error"]
