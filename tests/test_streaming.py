@@ -500,3 +500,41 @@ def test_cdc_apply_stream_rerun_is_noop(spark, tmp_path):
     run()
     got = read_current(spark, str(tmp_path / "state")).collect()
     assert [(r["k"], r["v"]) for r in got] == [(1, 4)]
+
+
+def test_cdc_apply_stream_random_batches_match_dict_fold(spark, tmp_path):
+    """Randomized multi-batch CDC fold: whatever the batch boundaries,
+    the final state table equals one dict fold over all deltas."""
+    import random
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark.streaming.cdc import (
+        apply_changes_stream,
+        read_current,
+    )
+
+    rng = random.Random(7)
+    deltas = [(rng.randint(1, 8), rng.randint(-50, 50)) for _ in range(60)]
+    src = str(tmp_path / "deltas")
+    os.makedirs(src)
+    # split into 4 files -> up to 4 micro-batches with maxFilesPerTrigger=1
+    for i in range(4):
+        chunk = deltas[i * 15 : (i + 1) * 15]
+        pd.DataFrame(chunk, columns=["k", "v"]).to_parquet(f"{src}/f{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("k BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    apply_changes_stream(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"), "k", "v"
+    )
+    got = {
+        r["k"]: r["v"] for r in read_current(spark, str(tmp_path / "state")).collect()
+    }
+    want: dict[int, int] = {}
+    for k, v in deltas:
+        want[k] = want.get(k, 0) + v
+    assert got == want
