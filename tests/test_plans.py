@@ -546,3 +546,33 @@ def test_ohlc_daily_has_no_window(spark):
     must not funnel into a single sorted task."""
     plan = plan_of(spark, "ohlc_daily")
     assert "Window" not in plan
+
+
+def test_product_profit_broadcasts_all_three_dims(spark):
+    """Q9 shape: part/supplier/nation are broadcast; the only
+    sort-merge or shuffle-hash join is lineitem ⋈ orders."""
+    plan = plan_of(spark, "product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_important_parts_keeps_global_total_lazy(spark):
+    """Q11 shape: the group total must be a 1-row broadcast stitched in
+    with a nested-loop join — never a driver collect (no LocalTableScan
+    of a collected scalar) and never a real cartesian."""
+    plan = plan_of(spark, "important_parts")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_is_single_full_outer_join(spark):
+    """MERGE classification compiles to exactly one full-outer join of
+    target and source — no union-of-three-branches triple scan."""
+    plan = plan_of(spark, "merge_upsert")
+    # one physical join (the tree line + its detail block both mention
+    # FullOuter), and each input scanned exactly once — a
+    # union-of-branches MERGE would scan target/source repeatedly
+    tree = plan.split("\n\n")[0]
+    assert tree.count("FullOuter") == 1
+    assert plan.count("customer.parquet") == 1
+    assert plan.count("orders.parquet") == 1
