@@ -572,6 +572,12 @@ LAYOUT_SENSITIVE = [
     "pagerank_docs",
     "cusum_changepoint",
     "twap_user_value",
+    "merge_upsert",
+    "kcore_peel",
+    "ohlc_daily",
+    "cluster_purity",
+    "source_vocab_jaccard",
+    "mrl_prefix_agreement",
 ]
 
 
