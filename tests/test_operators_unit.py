@@ -1205,3 +1205,59 @@ def test_wav_sniff_little_endian_round_trip(spark):
         assert r["sniffed_mime"] == "audio/wav"
         assert r["sniffed_sample_rate"] == r["expected_sample_rate"]
         assert r["sniffed_width"] is None
+
+
+def test_bq_encode_known_bits_and_multiword(spark):
+    from pyspark_pipelining_spark.operators.similarity import bq_encode
+
+    # dim=70 -> two words; bits 0,2 set in word 0; bits 64,69 -> 0,5 in word 1
+    vec = [0.0] * 70
+    vec[0] = 1.0
+    vec[2] = 0.5
+    vec[64] = 3.0
+    vec[69] = 0.1
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    row = bq_encode(df, dim=70).collect()[0]
+    assert row["bq"] == [(1 << 0) | (1 << 2), (1 << 0) | (1 << 5)]
+
+
+def test_bq_hamming_topk_matches_numpy_model(spark):
+    import numpy as np
+
+    from pyspark_pipelining_spark.operators.similarity import bq_hamming_topk
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [
+        (r["query_id"], r["vec_id"], r["hamming"], r["rank"])
+        for r in bq_hamming_topk(emb, qv, k=5).collect()
+    ]
+
+    rows = emb.collect()
+    bits = {r["vec_id"]: np.array([x > 0 for x in r["embedding"]]) for r in rows}
+    want = []
+    for q in range(3):
+        scored = sorted(
+            (int(np.sum(bits[q] ^ b)), vid) for vid, b in bits.items() if vid != q
+        )
+        want += [(q, vid, h, i + 1) for i, (h, vid) in enumerate(scored[:5])]
+    assert got == want
+
+
+def test_bq_hamming_of_duplicate_vector_is_zero(spark):
+    from pyspark_pipelining_spark.operators.similarity import bq_hamming_topk
+
+    v = [1.0, -1.0, 0.5, -0.5] * 16
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, [-x for x in v])], ["vec_id", "embedding"]
+    )
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = {r["vec_id"]: r["hamming"] for r in bq_hamming_topk(df, q, k=2).collect()}
+    assert out[1] == 0          # identical vector: distance 0
+    assert out[2] == 64         # sign-flip changes EVERY bit (on->off and off->on)
