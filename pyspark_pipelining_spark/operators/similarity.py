@@ -940,3 +940,45 @@ def bq_hamming_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def bq_rerank_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production BQ deployment: Hamming over sign bits prunes the
+    corpus to a ``shortlist`` per query, exact cosine re-scores only
+    those survivors — compressed-domain scan cost with full-precision
+    final ranking (same two-stage shape as ``ivfpq_topk(rerank=...)``).
+
+    Scale shape: stage 1 streams the corpus as int64 words; stage 2 is
+    one broadcast hash join of the |q|·shortlist id list against the
+    vectors — full floats are touched for shortlisted rows only.
+
+    Output: ``query_id, vec_id, cosine, rank``.
+    """
+    short = bq_hamming_topk(
+        emb_df, query_df, k=shortlist, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select("query_id", id_col)
+    vecs = spread(emb_df).select(id_col, F.col(vec_col).alias("_v"))
+    qv = query_df.select("query_id", "query_vec")
+    cos = _dot(F.col("_v"), F.col("query_vec")) / (
+        _norm(F.col("_v")) * _norm(F.col("query_vec"))
+    )
+    scored = (
+        F.broadcast(short)
+        .join(vecs, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", id_col, F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1261,3 +1261,33 @@ def test_bq_hamming_of_duplicate_vector_is_zero(spark):
     out = {r["vec_id"]: r["hamming"] for r in bq_hamming_topk(df, q, k=2).collect()}
     assert out[1] == 0          # identical vector: distance 0
     assert out[2] == 64         # sign-flip changes EVERY bit (on->off and off->on)
+
+
+def test_bq_rerank_recall_vs_bruteforce(spark):
+    """Hamming-shortlist + exact-cosine rerank must recover most of the
+    true top-5 (recall floor) and ALL of it when the shortlist is the
+    whole corpus (exactness ceiling)."""
+    from pyspark_pipelining_spark.operators.similarity import (
+        bq_rerank_topk,
+        cosine_topk,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qv, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in bq_rerank_topk(emb, qv, k=5, shortlist=100).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.5  # BQ floor on random vectors
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in bq_rerank_topk(emb, qv, k=5, shortlist=10_000).collect()
+    }
+    assert full == truth  # whole-corpus shortlist == brute force
