@@ -439,3 +439,60 @@ def kmv_overlap(
             6,
         ).alias("est_intersection"),
     )
+
+
+def hll_windowed_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Sliding-window distinct counts from DAILY HLL registers — the
+    pre-aggregation pattern that makes "7-day unique users" tractable
+    at 100 TB: raw events fold once into per-day register tables
+    (≤ m rows/day, layout-independent), and every window estimate is a
+    register-table merge (``max`` per bucket), never a second scan of
+    the raw data.
+
+    Each day's registers replicate to the ``window_days`` windows that
+    contain it (bounded fan-out: m·window_days rows per day), then one
+    (window, bucket) max + the standard estimator.  Late-arriving data
+    only touches its own day's registers; downstream windows re-merge
+    for free.
+
+    Output: ``window_start, window_end, est_distinct`` (windows are
+    ``[window_start, window_start + window_days)``; only windows fully
+    inside the observed day range are emitted, so every returned
+    estimate covers a complete window).
+    """
+    daily = hll_registers(
+        df.select(
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).cast("string").alias(value_col),
+        ),
+        "day",
+        value_col,
+    )
+    bounds = daily.select(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+    spans = daily.select(
+        F.explode(
+            F.expr(f"sequence(date_sub(day, {window_days - 1}), day)")
+        ).alias("window_start"),
+        "bucket",
+        "r",
+    )
+    merged = spans.groupBy("window_start", "bucket").agg(F.max("r").alias("r"))
+    est = hll_estimate(merged, "window_start")
+    return (
+        est.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("window_start") >= F.col("_d0"))
+            & (F.expr(f"date_add(window_start, {window_days - 1})") <= F.col("_d1"))
+        )
+        .select(
+            "window_start",
+            F.expr(f"date_add(window_start, {window_days - 1})").alias("window_end"),
+            "est_distinct",
+        )
+        .orderBy("window_start")
+    )

@@ -1291,3 +1291,32 @@ def test_bq_rerank_recall_vs_bruteforce(spark):
         for r in bq_rerank_topk(emb, qv, k=5, shortlist=10_000).collect()
     }
     assert full == truth  # whole-corpus shortlist == brute force
+
+
+def test_hll_windowed_distinct_tracks_exact_sliding_counts(spark):
+    """7-day register merges must estimate each full window's exact
+    distinct-user count within HLL tolerance, and merging must never
+    be worse than the per-day estimates it folds (register max is
+    lossless)."""
+    from pyspark_pipelining_spark.operators.sketch import hll_windowed_distinct
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select("ts", "user_id")
+    out = hll_windowed_distinct(ev, "ts", "user_id", window_days=7).collect()
+    assert len(out) > 0
+
+    exact_rows = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().collect()
+    by_day: dict = {}
+    for r in exact_rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    import datetime as dt
+
+    for r in out:
+        days = [r["window_start"] + dt.timedelta(days=i) for i in range(7)]
+        exact = len(set().union(*(by_day.get(d, set()) for d in days)))
+        assert exact > 0
+        rel_err = abs(r["est_distinct"] - exact) / exact
+        assert rel_err < 0.15, (r["window_start"], exact, r["est_distinct"])
