@@ -1,0 +1,178 @@
+"""Round-6 staging area: oracle-paired queries that are READY but
+deliberately NOT registered — the r05 snapshot window must keep every
+currently-pending query, and a late registration would evict one
+(CLAUDE.md: registry freeze).
+
+Next round: merge QUERIES_STAGED / ORACLES_STAGED into queries.py's
+dicts and delete this module's staging note.  The local oracle gate
+already exercises everything here (tests/test_queries_oracle.py
+imports the staged dicts explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.sources.registry import load_table
+
+BQ_N_QUERIES = 3
+BQ_TOPK = 5
+
+
+def _bq_query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < BQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_sim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization Hamming top-k
+    (operators/similarity.bq_hamming_topk): sign-bit words, exact
+    Hamming ranking."""
+    from pyspark_pipelining_spark.operators.similarity import bq_hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bq_hamming_topk(emb, _bq_query_vecs(spark, sf_dir), k=BQ_TOPK)
+
+
+def _sql_bq_word(vec_expr: str) -> str:
+    """The identical sign-bit fold in DuckDB (single 64-dim word).
+
+    Bit 63 needs special handling: DuckDB's checked ``1 << 63``
+    overflows signed int64, so the top bit is the min-int64 constant
+    (what Spark's ``shiftleft(1, 63)`` wraps to)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(0, 64),"
+        f" i -> CASE WHEN {vec_expr}[i + 1] <= 0 THEN CAST(0 AS BIGINT)"
+        f" WHEN i = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)"
+        f" ELSE (CAST(1 AS BIGINT) << i) END)),"
+        f" (acc, x) -> xor(acc, x))"
+    )
+
+
+SQL_SIM_BQ_TOPK = f"""
+WITH corpus AS (
+    SELECT vec_id, {_sql_bq_word('embedding')} AS bq FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, {_sql_bq_word('embedding')} AS qbq
+    FROM embeddings WHERE vec_id < {BQ_N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           CAST(bit_count(xor(c.bq, q.qbq)) AS INTEGER) AS hamming
+    FROM corpus c, q WHERE c.vec_id != q.query_id
+)
+SELECT query_id, vec_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, vec_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {BQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def q_hll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding unique users from mergeable daily HLL registers
+    (operators/sketch.hll_windowed_distinct)."""
+    from pyspark_pipelining_spark.operators.sketch import hll_windowed_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_windowed_distinct(ev, "ts", "user_id", window_days=7)
+
+
+def _sql_hll_window(window_days: int = 7) -> str:
+    from pyspark_pipelining_spark.operators.sketch import HLL_M, HLL_NUM, HLL_W
+
+    return f"""
+WITH hashed AS (
+    SELECT CAST(ts AS DATE) AS day,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events
+),
+regs AS (
+    SELECT day, h % {HLL_M} AS bucket,
+           CASE WHEN h // {HLL_M} = 0 THEN {HLL_W + 1}
+                ELSE {HLL_W + 1} - length(bin(h // {HLL_M})) END AS rho
+    FROM hashed
+),
+daily AS (SELECT day, bucket, max(rho) AS r FROM regs GROUP BY day, bucket),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spans AS (
+    SELECT unnest(generate_series(day - {window_days - 1}, day, INTERVAL 1 DAY))::DATE
+               AS window_start,
+           bucket, r
+    FROM daily
+),
+merged AS (SELECT window_start, bucket, max(r) AS r FROM spans GROUP BY 1, 2),
+agg AS (
+    SELECT window_start,
+           sum(CAST(1 AS BIGINT) << CAST({HLL_W + 1} - r AS INTEGER)) AS s_present,
+           count(*) AS n_present
+    FROM merged GROUP BY window_start
+),
+est AS (
+    SELECT window_start,
+           {HLL_M} - n_present AS v,
+           {HLL_NUM} / CAST(s_present + ({HLL_M} - n_present)
+                            * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS DOUBLE) AS raw
+    FROM agg
+)
+SELECT e.window_start,
+       (e.window_start + INTERVAL {window_days - 1} DAY)::DATE AS window_end,
+       round(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                  THEN {float(HLL_M)} * ln({float(HLL_M)} / CAST(v AS DOUBLE))
+                  ELSE raw END, 6) AS est_distinct
+FROM est e, bounds b
+WHERE e.window_start >= b.d0
+  AND e.window_start + INTERVAL {window_days - 1} DAY <= b.d1
+ORDER BY e.window_start
+"""
+
+
+SQL_HLL_WINDOW_USERS = _sql_hll_window()
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of the JVM binary header pipeline: documents →
+    synthesized PNG payloads → sniffed mime + dims
+    (operators/multimodal.sniff_headers)."""
+    from pyspark_pipelining_spark.operators.multimodal import (
+        documents_as_media,
+        sniff_headers,
+        synthesize_png_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = synthesize_png_payload(documents_as_media(docs))
+    return sniff_headers(wrapped).orderBy("media_id")
+
+
+# The payload derives deterministically from documents, so the oracle
+# states the EXPECTED parse results from the same metadata arithmetic
+# (a genuine round-trip check: any header/parse bug diverges).
+SQL_MEDIA_SNIFF = """
+SELECT doc_id AS media_id,
+       'image/png' AS sniffed_mime,
+       CAST(n_chars % 640 AS BIGINT) AS sniffed_width,
+       CAST(n_chars % 480 AS BIGINT) AS sniffed_height,
+       CAST(NULL AS BIGINT) AS sniffed_sample_rate
+FROM documents
+ORDER BY media_id
+"""
+
+
+QUERIES_STAGED = {
+    "sim_bq_topk": q_sim_bq_topk,
+    "hll_window_users": q_hll_window_users,
+    "media_sniff": q_media_sniff,
+}
+
+ORACLES_STAGED = {
+    "sim_bq_topk": SQL_SIM_BQ_TOPK,
+    "hll_window_users": SQL_HLL_WINDOW_USERS,
+    "media_sniff": SQL_MEDIA_SNIFF,
+}
