@@ -75,6 +75,61 @@ ORDER BY query_id, rank
 """
 
 
+BQ_SHORTLIST = 50
+
+
+def q_sim_bq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ two-stage search: Hamming shortlist, exact-cosine rerank
+    (operators/similarity.bq_rerank_topk)."""
+    from pyspark_pipelining_spark.operators.similarity import bq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bq_rerank_topk(
+        emb, _bq_query_vecs(spark, sf_dir), k=BQ_TOPK, shortlist=BQ_SHORTLIST
+    )
+
+
+def _sql_bq_rerank() -> str:
+    dot = "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[]))"
+    ne = "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))"
+    nq = "sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])))"
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, {_sql_bq_word('embedding')} AS bq FROM embeddings
+),
+qb AS (
+    SELECT vec_id AS query_id, {_sql_bq_word('embedding')} AS qbq
+    FROM embeddings WHERE vec_id < {BQ_N_QUERIES}
+),
+short AS (
+    SELECT qb.query_id, c.vec_id
+    FROM corpus c, qb WHERE c.vec_id != qb.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY qb.query_id
+        ORDER BY bit_count(xor(c.bq, qb.qbq)) ASC, c.vec_id ASC) <= {BQ_SHORTLIST}
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec
+    FROM embeddings WHERE vec_id < {BQ_N_QUERIES}
+),
+rer AS (
+    SELECT s.query_id, s.vec_id, round({dot} / ({ne} * {nq}), 6) AS cosine
+    FROM short s
+    JOIN embeddings e ON s.vec_id = e.vec_id
+    JOIN q ON s.query_id = q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+FROM rer
+QUALIFY rank <= {BQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+SQL_SIM_BQ_RERANK = _sql_bq_rerank()
+
+
 def q_hll_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day sliding unique users from mergeable daily HLL registers
     (operators/sketch.hll_windowed_distinct)."""
@@ -167,12 +222,14 @@ ORDER BY media_id
 
 QUERIES_STAGED = {
     "sim_bq_topk": q_sim_bq_topk,
+    "sim_bq_rerank": q_sim_bq_rerank,
     "hll_window_users": q_hll_window_users,
     "media_sniff": q_media_sniff,
 }
 
 ORACLES_STAGED = {
     "sim_bq_topk": SQL_SIM_BQ_TOPK,
+    "sim_bq_rerank": SQL_SIM_BQ_RERANK,
     "hll_window_users": SQL_HLL_WINDOW_USERS,
     "media_sniff": SQL_MEDIA_SNIFF,
 }
