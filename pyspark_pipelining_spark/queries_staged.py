@@ -220,11 +220,38 @@ ORDER BY media_id
 """
 
 
+def q_media_wav_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little-endian half of the sniffing round-trip: documents →
+    synthesized RIFF/WAVE payloads → sniffed sample rate
+    (operators/multimodal.synthesize_wav_payload + sniff_headers)."""
+    from pyspark_pipelining_spark.operators.multimodal import (
+        documents_as_media,
+        sniff_headers,
+        synthesize_wav_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wav = synthesize_wav_payload(documents_as_media(docs))
+    return sniff_headers(wav).orderBy("media_id")
+
+
+SQL_MEDIA_WAV_SNIFF = """
+SELECT doc_id AS media_id,
+       'audio/wav' AS sniffed_mime,
+       CAST(NULL AS BIGINT) AS sniffed_width,
+       CAST(NULL AS BIGINT) AS sniffed_height,
+       CAST(8000 + doc_id % 40000 AS BIGINT) AS sniffed_sample_rate
+FROM documents
+ORDER BY media_id
+"""
+
+
 QUERIES_STAGED = {
     "sim_bq_topk": q_sim_bq_topk,
     "sim_bq_rerank": q_sim_bq_rerank,
     "hll_window_users": q_hll_window_users,
     "media_sniff": q_media_sniff,
+    "media_wav_sniff": q_media_wav_sniff,
 }
 
 ORACLES_STAGED = {
@@ -232,4 +259,5 @@ ORACLES_STAGED = {
     "sim_bq_rerank": SQL_SIM_BQ_RERANK,
     "hll_window_users": SQL_HLL_WINDOW_USERS,
     "media_sniff": SQL_MEDIA_SNIFF,
+    "media_wav_sniff": SQL_MEDIA_WAV_SNIFF,
 }
