@@ -788,6 +788,10 @@ from pyspark_pipelining_spark.queries_coverage import (  # noqa: E402
     ORACLES_COVERAGE,
     QUERIES_COVERAGE,
 )
+from pyspark_pipelining_spark.queries_ann_media import (  # noqa: E402
+    ORACLES_ANN_MEDIA,
+    QUERIES_ANN_MEDIA,
+)
 from pyspark_pipelining_spark.queries_llm import ORACLES_LLM, QUERIES_LLM  # noqa: E402
 from pyspark_pipelining_spark.queries_relational import ORACLES_REL, QUERIES_REL  # noqa: E402
 
@@ -817,6 +821,7 @@ QUERIES: dict[str, QueryFn] = {
     **QUERIES_CORPUS,
     **QUERIES_ANALYTICS,
     **QUERIES_COVERAGE,
+    **QUERIES_ANN_MEDIA,
 }
 
 ORACLES: dict[str, str] = {
@@ -845,4 +850,5 @@ ORACLES: dict[str, str] = {
     **ORACLES_CORPUS,
     **ORACLES_ANALYTICS,
     **ORACLES_COVERAGE,
+    **ORACLES_ANN_MEDIA,
 }

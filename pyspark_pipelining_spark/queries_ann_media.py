@@ -1,13 +1,6 @@
-"""Round-6 staging area: oracle-paired queries that are READY but
-deliberately NOT registered — the r05 snapshot window must keep every
-currently-pending query, and a late registration would evict one
-(CLAUDE.md: registry freeze).
-
-Next round: merge QUERIES_STAGED / ORACLES_STAGED into queries.py's
-dicts and delete this module's staging note.  The local oracle gate
-already exercises everything here (tests/test_queries_oracle.py
-imports the staged dicts explicitly).
-"""
+"""Binary-quantization ANN, mergeable-HLL sliding windows, and binary
+container sniffing — registered round 6 (staged through round 5 to
+honor the driver's 50-slot snapshot freeze; see CLAUDE.md)."""
 
 from __future__ import annotations
 
@@ -42,13 +35,16 @@ def _sql_bq_word(vec_expr: str) -> str:
 
     Bit 63 needs special handling: DuckDB's checked ``1 << 63``
     overflows signed int64, so the top bit is the min-int64 constant
-    (what Spark's ``shiftleft(1, 63)`` wraps to)."""
+    (what Spark's ``shiftleft(1, 63)`` wraps to).  Positive-match on
+    ``> 0`` so a NULL element leaves the bit UNSET, exactly like
+    Spark's ``element_at(v, i+1) > 0`` (NULL predicate → filtered)."""
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
         f" list_transform(range(0, 64),"
-        f" i -> CASE WHEN {vec_expr}[i + 1] <= 0 THEN CAST(0 AS BIGINT)"
-        f" WHEN i = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)"
-        f" ELSE (CAST(1 AS BIGINT) << i) END)),"
+        f" i -> CASE WHEN {vec_expr}[i + 1] > 0 THEN"
+        f" (CASE WHEN i = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)"
+        f" ELSE (CAST(1 AS BIGINT) << i) END)"
+        f" ELSE CAST(0 AS BIGINT) END)),"
         f" (acc, x) -> xor(acc, x))"
     )
 
@@ -246,7 +242,7 @@ ORDER BY media_id
 """
 
 
-QUERIES_STAGED = {
+QUERIES_ANN_MEDIA = {
     "sim_bq_topk": q_sim_bq_topk,
     "sim_bq_rerank": q_sim_bq_rerank,
     "hll_window_users": q_hll_window_users,
@@ -254,7 +250,7 @@ QUERIES_STAGED = {
     "media_wav_sniff": q_media_wav_sniff,
 }
 
-ORACLES_STAGED = {
+ORACLES_ANN_MEDIA = {
     "sim_bq_topk": SQL_SIM_BQ_TOPK,
     "sim_bq_rerank": SQL_SIM_BQ_RERANK,
     "hll_window_users": SQL_HLL_WINDOW_USERS,
