@@ -42,6 +42,12 @@ def test_query_matches_oracle_sf001(spark, name):
 _NULLABLE_FLOAT64_OK = {
     ("asof_attribution", "click_event_id"),
     ("cube_revenue", "o_year"),
+    # sniff schema: fields not applicable to the sniffed container are
+    # all-NULL bigint on BOTH sides (Spark toPandas and DuckDB .df()
+    # each coerce to float64 NaN) — same nullable class as above.
+    ("media_sniff", "sniffed_sample_rate"),
+    ("media_wav_sniff", "sniffed_width"),
+    ("media_wav_sniff", "sniffed_height"),
 }
 
 
