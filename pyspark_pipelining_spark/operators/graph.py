@@ -233,3 +233,46 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("degree"))
         .orderBy("node")
     )
+
+
+def kcore_fixpoint(
+    pairs: DataFrame,
+    k: int = 2,
+    max_rounds: int = 50,
+    a: str = "doc_1",
+    b: str = "doc_2",
+) -> DataFrame:
+    """k-core to FIXPOINT: peel until no directed edge is removed
+    (every surviving node has degree ≥ k — the true k-core), with
+    ``max_rounds`` as a safety bound only.
+
+    Convergence is detected with one driver-side ``count()`` per round
+    over the checkpointed (already materialized) edge set — a scalar
+    loop-control action, not data movement; the per-round dataflow is
+    identical to :func:`kcore_peel` (degree agg + two semi-joins,
+    shuffles keyed on node id, ``localCheckpoint`` truncating lineage
+    each round).  Peeling is monotone so "edge count unchanged" is
+    exactly "no node fell below k" — the fixpoint.
+    """
+    und = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
+        pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    )
+    edges = und.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("s")
+        edges = (
+            edges.join(keep, "s", "leftsemi")
+            .join(keep.select(F.col("s").alias("d")), "d", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        remaining = edges.count()
+        if remaining == n_edges:
+            break
+        n_edges = remaining
+    return (
+        edges.groupBy(F.col("s").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("node")
+    )
