@@ -74,12 +74,15 @@ def cosine_topk(
     )
 
 
-def hyperplane_signature(vec_col, num_planes: int = 8, dim: int = 64):
+def hyperplane_signature(vec_col, num_planes: int = 8, dim: int = 64, offset: int = 0):
     """Deterministic random-hyperplane LSH signature (bit b = sign of
     dot with plane b).  Plane coefficients come from a portable integer
-    formula (no RNG), so any engine reproduces them."""
-    sig = None
-    for p in range(num_planes):
+    formula (no RNG), so any engine reproduces them.  ``offset`` shifts
+    the plane index so multiple independent tables can draw disjoint
+    plane sets (table t passes ``offset=t*num_planes``).  Zero planes
+    yields the constant bucket 0 (one bucket == exact search)."""
+    sig = F.lit(0)
+    for p in range(offset, offset + num_planes):
         # dot with an integer plane whose coefficients are the portable
         # pseudo-random formula ((i*31 + p*17 + 7) % 7) - 3 ∈ {-3..3}
         terms = F.aggregate(
@@ -93,8 +96,8 @@ def hyperplane_signature(vec_col, num_planes: int = 8, dim: int = 64):
         )
         # round before the sign test so engine-level summation noise in
         # the last ulp cannot flip a bucket bit near zero
-        bit = F.when(F.round(terms, 6) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+        bit = F.when(F.round(terms, 6) > 0, F.lit(1 << (p - offset))).otherwise(F.lit(0))
+        sig = sig + bit
     return sig
 
 
@@ -106,26 +109,55 @@ def lsh_cosine_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane
-    bucket; exact cosine re-rank within the bucket.
+    bucket in at least one of ``num_tables`` independent tables; exact
+    cosine re-rank over the deduplicated candidate set.
 
-    Output: query_id, vec_id, cosine, rank (rank within bucket).
-    At scale, the equi-join on ``bucket`` replaces the full cross
-    product — recall is tuned by ``num_planes`` (fewer planes → bigger
-    buckets → higher recall, more compute).
+    Output: query_id, vec_id, cosine, rank (rank within candidates).
+    At scale, the equi-join on ``(table, bucket)`` replaces the full
+    cross product — recall is tuned DOWN by ``num_planes`` (more planes
+    → smaller buckets) and UP by ``num_tables`` (a true neighbor only
+    needs to collide once); candidate volume grows linearly in tables,
+    never all-pairs.  ``num_tables=1`` is the classic single-signature
+    form; the corpus side explodes to ``num_tables`` rows per vector
+    (map-side, no shuffle of vectors beyond the bucket join).
     """
-    corpus = spread(emb_df).withColumn("bucket", hyperplane_signature(F.col(vec_col), num_planes, dim))
-    queries = query_df.withColumn(
-        "bucket", hyperplane_signature(F.col("query_vec"), num_planes, dim)
+    table_sigs = [
+        hyperplane_signature(F.col(vec_col), num_planes, dim, offset=t * num_planes)
+        for t in range(max(1, num_tables))
+    ]
+    corpus = spread(emb_df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*table_sigs)).alias("tbl", "bucket"),
     )
-    joined = corpus.join(F.broadcast(queries), on="bucket").filter(
+    q_sigs = [
+        hyperplane_signature(F.col("query_vec"), num_planes, dim, offset=t * num_planes)
+        for t in range(max(1, num_tables))
+    ]
+    queries = query_df.select(
+        "query_id",
+        "query_vec",
+        F.posexplode(F.array(*q_sigs)).alias("tbl", "bucket"),
+    )
+    joined = corpus.join(F.broadcast(queries), on=["tbl", "bucket"]).filter(
         F.col(id_col) != F.col("query_id")
     )
+    if num_tables <= 1:
+        # single table → no duplicate collisions; skip the dedup shuffle
+        cand = joined
+    else:
+        # a pair colliding in several tables must score once: dedup
+        # before the re-rank (groupBy on ids, any table's vector copy)
+        cand = joined.groupBy("query_id", id_col).agg(
+            F.first(vec_col).alias(vec_col), F.first("query_vec").alias("query_vec")
+        )
     cos = _dot(F.col(vec_col), F.col("query_vec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
     )
-    scored = joined.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    scored = cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

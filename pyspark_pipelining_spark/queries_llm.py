@@ -405,14 +405,14 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
 """
 
 
-def _sql_bucket(vec_expr: str, num_planes: int) -> str:
+def _sql_bucket(vec_expr: str, num_planes: int, offset: int = 0) -> str:
     planes = []
-    for p in range(num_planes):
+    for bit, p in enumerate(range(offset, offset + num_planes)):
         dot = (
             f"round(list_sum(list_transform(range(0, {DIM}), "
             f"i -> CAST({vec_expr}[i + 1] AS DOUBLE) * (((i * 31 + {p} * 17 + 7) % 7) - 3))), 6)"
         )
-        planes.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+        planes.append(f"CASE WHEN {dot} > 0 THEN {1 << bit} ELSE 0 END")
     return " + ".join(planes)
 
 
@@ -440,6 +440,67 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
 """
+
+
+LSH_MT_PLANES = 4
+LSH_MT_TABLES = 4
+
+
+def q_sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH (operators/similarity.lsh_cosine_topk
+    with num_tables>1): a true neighbor only needs to collide in ONE of
+    the independent tables, so recall rises with table count while the
+    candidate join stays (table, bucket)-pruned — the standard
+    recall-at-scale lever single-signature LSH lacks (fixture recall
+    0.0 → 0.4 at p=4, L=4; see test_lsh_recall_floors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(
+        emb,
+        _query_vecs(spark, sf_dir),
+        k=TOPK,
+        num_planes=LSH_MT_PLANES,
+        dim=DIM,
+        num_tables=LSH_MT_TABLES,
+    )
+
+
+def _sql_lsh_multitable() -> str:
+    matches = "\nUNION ALL\n".join(
+        f"    SELECT q.query_id, e.vec_id\n"
+        f"    FROM corpus e JOIN q ON "
+        f"{_sql_bucket('e.embedding', LSH_MT_PLANES, t * LSH_MT_PLANES)}"
+        f" = {_sql_bucket('q.query_vec', LSH_MT_PLANES, t * LSH_MT_PLANES)}"
+        f" AND e.vec_id != q.query_id"
+        for t in range(LSH_MT_TABLES)
+    )
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT DISTINCT query_id, vec_id FROM (
+{matches}
+    )
+),
+pairs AS (
+    SELECT c.query_id, c.vec_id,
+           round({_DOT} / ({_NE} * {_NQ}), 6) AS cosine
+    FROM cand c
+    JOIN embeddings e ON c.vec_id = e.vec_id
+    JOIN (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings
+          WHERE vec_id < {N_QUERIES}) q ON c.query_id = q.query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+SQL_SIM_LSH_MULTITABLE = _sql_lsh_multitable()
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +933,7 @@ QUERIES_LLM = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "sim_bruteforce_topk": q_sim_bruteforce_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_lsh_multitable": q_sim_lsh_multitable,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_near_dup": q_sim_near_dup,
     "media_features": q_media_features,
@@ -896,6 +958,7 @@ ORACLES_LLM = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "sim_bruteforce_topk": SQL_SIM_BRUTEFORCE_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
+    "sim_lsh_multitable": SQL_SIM_LSH_MULTITABLE,
     "sim_ivf_topk": SQL_SIM_IVF_TOPK,
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "media_features": SQL_MEDIA_FEATURES,

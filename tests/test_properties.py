@@ -559,6 +559,108 @@ def test_kcore_peel_matches_python_model(spark, edges, rounds):
     assert got == _python_kcore_peel(edges, 2, rounds)
 
 
+def _planted_cluster_embeddings(spark):
+    """4 well-separated 64-dim clusters (40 points each, deterministic
+    integer-formula noise) — data where a CORRECT approximate index
+    must achieve high recall, unlike the near-random fixture vectors
+    whose neighbor structure caps recall for any bucketing scheme
+    (documented in test_ivfpq_recall_at_5_vs_bruteforce)."""
+
+    def vec(j, p):
+        base = [3.0 if (16 * j) <= i < (16 * j + 16) else 0.0 for i in range(64)]
+        return [
+            round(base[i] + ((((i * 13 + p * 7 + j * 29 + 5) % 11) - 5) * 0.05), 4)
+            for i in range(64)
+        ]
+
+    rows = [(j * 40 + p, vec(j, p)) for j in range(4) for p in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qv = emb.filter(F.col("vec_id").isin([0, 40, 80, 120])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return emb, qv
+
+
+def _recall_vs(df, truth, n_true):
+    got: dict[int, set[int]] = {}
+    for r in df.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / n_true
+
+
+def test_lsh_recall_floors(spark):
+    """Quantified-quality gate for the LSH index (VERDICT r05 #4):
+
+    1. zero planes == one bucket == exact search (recall 1.0) — the
+       index machinery is lossless;
+    2. multi-table recall is monotone in table count on the fixture
+       and clears a measured floor (single-signature recall there is
+       0.0: near-random vectors, bucket-collision math — the tables
+       are the recall lever);
+    3. on separable planted clusters the index must be near-exact."""
+    from pyspark_pipelining_spark.operators import similarity
+    from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    truth: dict[int, set[int]] = {}
+    for r in QUERIES["sim_bruteforce_topk"](spark, SF_SMOKE).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    n = sum(len(t) for t in truth.values())
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def rec(**kw):
+        return _recall_vs(similarity.lsh_cosine_topk(emb, qv, k=5, dim=64, **kw), truth, n)
+
+    assert rec(num_planes=0) == 1.0
+    r2, r4, r8 = (rec(num_planes=4, num_tables=t) for t in (2, 4, 8))
+    assert r2 <= r4 + 1e-9 <= r8 + 2e-9, (r2, r4, r8)
+    assert r8 >= 0.4, r8  # measured 0.467 on the deterministic fixture
+
+    pemb, pqv = _planted_cluster_embeddings(spark)
+    ptruth: dict[int, set[int]] = {}
+    for r in similarity.cosine_topk(pemb, pqv, k=5).collect():
+        ptruth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pn = sum(len(t) for t in ptruth.values())
+    single = _recall_vs(
+        similarity.lsh_cosine_topk(pemb, pqv, k=5, num_planes=4, dim=64), ptruth, pn
+    )
+    multi = _recall_vs(
+        similarity.lsh_cosine_topk(pemb, pqv, k=5, num_planes=4, dim=64, num_tables=4),
+        ptruth,
+        pn,
+    )
+    assert single >= 0.85, single  # measured 0.90
+    assert multi >= 0.95, multi  # measured 1.0
+
+
+def test_pq_recall_floors(spark):
+    """Quantified-quality gate for the PQ/ADC index (VERDICT r05 #4):
+    on separable planted clusters ADC ranking must recover most true
+    neighbors, and a larger per-subspace codebook must not hurt."""
+    from pyspark_pipelining_spark.operators import similarity
+
+    pemb, pqv = _planted_cluster_embeddings(spark)
+    ptruth: dict[int, set[int]] = {}
+    for r in similarity.cosine_topk(pemb, pqv, k=5).collect():
+        ptruth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pn = sum(len(t) for t in ptruth.values())
+
+    def rec(k):
+        return _recall_vs(
+            similarity.pq_adc_topk(pemb, pqv, m=4, k=k, iters=2, dim=64, topk=5),
+            ptruth,
+            pn,
+        )
+
+    r_k4, r_k8 = rec(4), rec(8)
+    assert r_k8 >= 0.6, r_k8  # measured 0.65
+    assert r_k8 >= r_k4 - 1e-9, (r_k4, r_k8)  # measured 0.45 → 0.65
+
+
 def _python_kcore_fixpoint(edges, k):
     prev = None
     deg = _python_kcore_peel(edges, k, 0)
