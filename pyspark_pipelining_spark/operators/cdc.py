@@ -38,6 +38,17 @@ def merge_upsert(
 
     Output: ``<key>, action, merged`` — the post-merge table plus its
     audit trail in one pass.
+
+    Precondition (standard SQL MERGE contract): ``key`` must be UNIQUE
+    and NON-NULL on both sides.  A duplicated key fans out through the
+    full-outer join (each target copy matches each source copy), and a
+    NULL key never equi-matches — a NULL-keyed target row silently
+    becomes ``'keep'`` and a NULL-keyed source row ``'insert'`` with a
+    NULL key.  Callers feeding raw change streams must pre-aggregate
+    per key first (as ``streaming/cdc.make_apply_batch`` does with its
+    per-batch SUM); the uniqueness is deliberately NOT asserted here —
+    a count-based check would force an extra aggregation of both full
+    inputs on every merge, the wrong default at scale.
     """
     if combine is None:
         combine = lambda t, s: s  # noqa: E731 — MERGE's default: source wins

@@ -94,12 +94,41 @@ def decode_stub(payload: bytes) -> dict[str, Any]:
     }
 
 
-def decode_real(payload: bytes, mime: str):  # pragma: no cover - container lacks codecs
-    """The real decode path — requires imaging/audio libraries."""
-    raise NotImplementedError(
-        "media codecs (Pillow/ffmpeg) are not available in this environment; "
-        "decode_stub provides the deterministic test double"
-    )
+def has_image_codec() -> bool:
+    """True when Pillow is importable — the dispatch gate for
+    :func:`decode_real` (this container ships no codec, so tests cover
+    the False branch; environments WITH Pillow take the real path)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def decode_real(payload: bytes, mime: str):
+    """The real decode path: Pillow when available, else a clear error
+    pointing at the deterministic stub.  Returns the same dict shape
+    as :func:`decode_stub` with the decoded width/height in ``feature``
+    so the two paths are schema-interchangeable under
+    :func:`extract_features`."""
+    if not has_image_codec():
+        raise NotImplementedError(
+            "media codecs (Pillow/ffmpeg) are not available in this environment; "
+            "decode_stub provides the deterministic test double"
+        )
+    import io
+
+    from PIL import Image  # pragma: no cover - container lacks Pillow
+
+    with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return {
+            "byte_len": len(payload),
+            "checksum": sum(payload) % 1_000_000_007,
+            "feature": [
+                float(len(payload)),
+                float(im.width),
+                float(im.height),
+                float(len(im.getbands())),
+            ],
+        }
 
 
 def extract_features(media_df: DataFrame, batch_hint: int = 1024) -> DataFrame:

@@ -472,7 +472,8 @@ def hll_windowed_distinct(
         ),
         "day",
         value_col,
-    )
+    ).localCheckpoint(eager=True)  # consumed by both bounds and spans:
+    # without truncation the raw-event scan + register build runs twice
     bounds = daily.select(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
     spans = daily.select(
         F.explode(

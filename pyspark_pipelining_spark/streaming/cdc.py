@@ -49,27 +49,28 @@ def read_current(spark: SparkSession, table_dir: str) -> DataFrame | None:
     return spark.read.parquet(f"{table_dir}/v={vs[-1]}")
 
 
-def apply_changes_stream(
-    stream_df: DataFrame,
+def make_apply_batch(
     table_dir: str,
-    checkpoint_dir: str,
     key: str,
     value_col: str,
     combine: Callable[[Column, Column], Column] | None = None,
-    await_seconds: int = 120,
-) -> None:
-    """Fold a delta stream into a keyed parquet state table.
-
-    ``stream_df`` rows are ``(key, value_col)`` deltas; within each
-    micro-batch they are pre-aggregated with SUM per key, then merged
-    into the current snapshot with ``merge_upsert`` (``combine``
-    defaults to addition — the running-total convention).  Each batch
-    commits snapshot ``v=<batch_id>``; readers use ``read_current``.
-    """
+    retain_versions: int = 3,
+    compact_target_mb: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The per-micro-batch MERGE closure used by
+    :func:`apply_changes_stream` (exposed so replay semantics are
+    testable without fighting the streaming commit log): batch N merges
+    the pre-aggregated deltas into the newest snapshot with version
+    < N and overwrites ``v=N`` — idempotent under replay."""
     if combine is None:
         combine = lambda t, s: t + s  # noqa: E731 — delta accumulation
+    retain = max(2, int(retain_versions))
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        from pyspark_pipelining_spark.sources.sinks import compact_parquet
+
         spark = df.sparkSession
         deltas = df.groupBy(key).agg(F.sum(value_col).alias(value_col))
         prev = [v for v in _versions(table_dir) if v < batch_id]
@@ -81,6 +82,60 @@ def apply_changes_stream(
         else:
             merged = deltas
         merged.write.mode("overwrite").parquet(f"{table_dir}/v={batch_id}")
+        if compact_target_mb is not None:
+            compact_parquet(spark, f"{table_dir}/v={batch_id}", compact_target_mb)
+        # prune AFTER the new version is fully committed: retention
+        # keeps the newest `retain` (>= 2) versions, so the newest
+        # snapshot's predecessor survives until the next checkpoint
+        # commit — the only version a replay can still need
+        for v in _versions(table_dir)[:-retain]:
+            shutil.rmtree(f"{table_dir}/v={v}", ignore_errors=True)
+
+    return apply_batch
+
+
+def apply_changes_stream(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    value_col: str,
+    combine: Callable[[Column, Column], Column] | None = None,
+    await_seconds: int = 120,
+    retain_versions: int = 3,
+    compact_target_mb: int | None = None,
+) -> None:
+    """Fold a delta stream into a keyed parquet state table.
+
+    ``stream_df`` rows are ``(key, value_col)`` deltas; within each
+    micro-batch they are pre-aggregated with SUM per key, then merged
+    into the current snapshot with ``merge_upsert`` (``combine``
+    defaults to addition — the running-total convention).  Each batch
+    commits snapshot ``v=<batch_id>``; readers use ``read_current``.
+
+    Retention: after committing ``v=N``, versions older than the newest
+    ``retain_versions`` are deleted (bounding the unbounded snapshot
+    growth a long-running stream would otherwise accumulate).  The
+    floor is 2 — exactly-once replay of the LAST batch re-reads its
+    predecessor, so the newest snapshot's predecessor must survive
+    until the next checkpoint commit; older ones are provably
+    unreachable (checkpoint commits are sequential).
+
+    Compaction: with ``compact_target_mb`` set, the freshly-committed
+    snapshot is rewritten into ``target_mb``-sized files via
+    :func:`~pyspark_pipelining_spark.sources.sinks.compact_parquet`
+    (rename-aside, crash leaves a complete copy on disk) — per-batch
+    merge output otherwise inherits the shuffle partition count and
+    accretes small files batch over batch.
+    """
+    apply_batch = make_apply_batch(
+        table_dir,
+        key,
+        value_col,
+        combine=combine,
+        retain_versions=retain_versions,
+        compact_target_mb=compact_target_mb,
+    )
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -3,6 +3,9 @@ style (tiny inline frames, one semantic edge per row — SURVEY §5)."""
 
 from __future__ import annotations
 
+import importlib.machinery
+import types
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1142,6 +1145,40 @@ def test_kcore_peel_zero_rounds_is_degree_table(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_1", "doc_2"])
     out = {r["node"]: r["degree"] for r in kcore_peel(pairs, rounds=0).collect()}
     assert out == {1: 1, 2: 2, 3: 1}
+
+
+def test_decode_real_dispatch_both_ways(monkeypatch):
+    """decode_real is gated on Pillow availability: without it the
+    documented NotImplementedError fires (this container's real
+    state); with a codec present (faked here) the real path returns
+    the stub-compatible schema."""
+    import sys
+
+    from pyspark_pipelining_spark.operators import multimodal
+
+    assert not multimodal.has_image_codec()  # container truth
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG", "image/png")
+
+    class _FakeIm:
+        width, height = 12, 8
+
+        def getbands(self):
+            return ("L",)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=lambda buf: _FakeIm())
+    fake_pil.__spec__ = importlib.machinery.ModuleSpec("PIL", loader=None)
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    assert multimodal.has_image_codec()
+    out = multimodal.decode_real(b"abc", "image/png")
+    assert out["byte_len"] == 3 and out["feature"][1:3] == [12.0, 8.0]
 
 
 def test_media_header_sniff_round_trip_and_rejects_non_png(spark):

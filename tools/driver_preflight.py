@@ -30,6 +30,24 @@ def canon(pdf):
     return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True).astype(str)
 
 
+def dtype_mismatches(spdf, dpdf) -> list[str]:
+    """Columns whose pandas dtypes differ in kind or integer width.
+
+    The value compare goes through astype(str), which masks int32 vs
+    int64 (both stringify '1') — but the repo casts year()/month()/
+    ntile() to long specifically for the driver, so a missed cast of
+    that class must be surfaced here, not discovered in a red row.
+    float64-vs-int is also reported (the HUGEINT class) even though the
+    str compare usually catches it via the '1.0' rendering."""
+    out = []
+    for c in set(spdf.columns) & set(dpdf.columns):
+        s, d = spdf[c].dtype, dpdf[c].dtype
+        if s.kind in "iu" or d.kind in "iu":
+            if (s.kind, s.itemsize) != (d.kind, d.itemsize):
+                out.append(f"{c}: spark={s} duckdb={d}")
+    return sorted(out)
+
+
 def main(argv: list[str]) -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -55,16 +73,19 @@ def main(argv: list[str]) -> int:
         try:
             spdf = qs[name](spark, SF_DIR).toPandas()
             dpdf = con.execute(os_[name]).df()
+            widths = dtype_mismatches(spdf, dpdf)
             ok = (
                 sorted(spdf.columns) == sorted(dpdf.columns)
                 and len(spdf) == len(dpdf)
                 and len(spdf) > 0
+                and not widths
                 and canon(spdf).equals(canon(dpdf))
             )
             status = "OK  " if ok else ("TOL " if name in TOLERATED else "FAIL")
             if status == "FAIL":
                 fails.append(name)
-            print(f"{status} {name} rows={len(spdf)}", flush=True)
+            note = f" dtypes[{'; '.join(widths)}]" if widths else ""
+            print(f"{status} {name} rows={len(spdf)}{note}", flush=True)
         except Exception as ex:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:200]}", flush=True)
