@@ -23,7 +23,7 @@ hashing — no global id assignment, no extra shuffle, scale-indifferent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark import cache
@@ -390,3 +390,72 @@ def ngram_jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out  # fact-sized pair output — no global sort (see lsh_pairs)
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """EXACT all-pairs word-set Jaccard ≥ ``threshold`` across the whole
+    corpus — no blocking key, no LSH randomness — via prefix filtering
+    (the AllPairs/PPJoin family): under any global token order, two sets
+    with J ≥ t must share a token within each side's first
+    ``|s| - ⌈t·|s|⌉ + 1`` tokens, so the candidate join runs only on
+    those prefixes and misses nothing.
+
+    Scale shape: tokens order rarest-first (document frequency asc), so
+    prefix tokens are the LOW-frequency ones — candidate buckets stay
+    small even on skewed vocabularies; the only corpus-sized shuffles
+    are the DF count, the per-doc rank window (keyed on doc), and the
+    prefix equi-join; exact verification touches candidate pairs only.
+    Complements :func:`minhash_lsh_pairs`: same join, but deterministic
+    and recall-lossless, at the cost of an exact verify stage.
+
+    Output: ``doc_1, doc_2, jaccard`` (unrounded filter, rounded 6).
+    """
+    t = float(threshold)
+    toks = (
+        word_ngrams(df, n, text_col)
+        .select(F.col(id_col).alias("doc_id"), F.array_distinct("ngrams").alias("gs"))
+        .select("doc_id", F.explode("gs").alias("tok"))
+    )
+    toks = cache.keep(toks)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_freq"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df_freq", "tok")
+    prefix = (
+        toks.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[F.col("a.tok") == F.col("b.tok"), F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(F.col("a.doc_id").alias("doc_1"), F.col("b.doc_id").alias("doc_2"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_1"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_2"), "tok")
+    inter = (
+        cand.join(ta, "doc_1")
+        .join(tb, ["doc_2", "tok"])
+        .groupBy("doc_1", "doc_2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc_1"), F.col("sz").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_2"), F.col("sz").alias("n2"))
+    return (
+        inter.join(s1, "doc_1")
+        .join(s2, "doc_2")
+        .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
+        .filter(F.col("jaccard") >= t)
+        .select("doc_1", "doc_2", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1204,6 +1204,72 @@ ORDER BY cell
 SQL_CLUSTER_PURITY = _sql_cluster_purity()
 
 
+# --- TPC-H Q19 analogue: disjunctive join predicate ----------------------
+
+_Q19_BANDS = [
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#34", 15, 20.0, 30.0),
+]
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three OR'd brand/size/quantity bands — TPC-H Q19's
+    disjunctive join predicate.  Catalyst won't push a cross-side OR
+    into either scan, so the envelope of the disjunction is applied
+    REDUNDANTLY per side (brand IN set + max size on part, quantity
+    span on lineitem): semantics unchanged, but both parquet scans
+    prune before the broadcast join, which is the difference between
+    scanning 3 brands and scanning all 25 at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brands = [b for b, _s, _lo, _hi in _Q19_BANDS]
+    max_size = max(s for _b, s, _lo, _hi in _Q19_BANDS)
+    qty_lo = min(lo for _b, _s, lo, _hi in _Q19_BANDS)
+    qty_hi = max(hi for _b, _s, _lo, hi in _Q19_BANDS)
+    p_pruned = p.filter(
+        F.col("p_brand").isin(brands) & (F.col("p_size") >= 1) & (F.col("p_size") <= max_size)
+    )
+    li_pruned = li.filter((F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi))
+    branch = None
+    for b, s, lo, hi in _Q19_BANDS:
+        c = (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") <= s)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        branch = c if branch is None else (branch | c)
+    return (
+        li_pruned.join(F.broadcast(p_pruned), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _sql_disjunctive_revenue() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+        f" AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in _Q19_BANDS
+    )
+    return f"""
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
+SQL_DISJUNCTIVE_REVENUE = _sql_disjunctive_revenue()
+
+
 QUERIES_COVERAGE = {
     "min_cost_supplier": q_min_cost_supplier,
     "forecast_revenue": q_forecast_revenue,
@@ -1227,6 +1293,7 @@ QUERIES_COVERAGE = {
     "twap_user_value": q_twap_user_value,
     "ohlc_daily": q_ohlc_daily,
     "cluster_purity": q_cluster_purity,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLES_COVERAGE = {
@@ -1252,4 +1319,5 @@ ORACLES_COVERAGE = {
     "twap_user_value": SQL_TWAP_USER_VALUE,
     "ohlc_daily": SQL_OHLC_DAILY,
     "cluster_purity": SQL_CLUSTER_PURITY,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
 }

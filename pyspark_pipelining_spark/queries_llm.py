@@ -364,6 +364,38 @@ WHERE i / (s1.n_grams + s2.n_grams - i) >= 0.2
 """
 
 
+def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide bigram-Jaccard ≥ 0.5 self-join via prefix
+    filtering (operators/dedup.prefix_jaccard_join — AllPairs/PPJoin):
+    deterministic and recall-lossless where MinHash-LSH is
+    probabilistic, with candidates pruned to rare-token prefix
+    collisions instead of a blocking key.  The oracle is the
+    brute-force all-pairs join — the prefix filter must lose NOTHING."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_join(docs, threshold=0.5, n=2).orderBy(
+        "doc_1", "doc_2"
+    )
+
+
+SQL_JACCARD_PREFIX_PAIRS = f"""
+WITH {SQL_BIGRAMS},
+gset AS (SELECT DISTINCT doc_id, unnest(ngrams) AS g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gset GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2, count(*) AS i
+    FROM gset a JOIN gset b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_1, doc_2,
+       round(i / (s1.n_grams + s2.n_grams - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON inter.doc_1 = s1.doc_id
+JOIN sizes s2 ON inter.doc_2 = s2.doc_id
+WHERE i / (s1.n_grams + s2.n_grams - i) >= 0.5
+ORDER BY doc_1, doc_2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -931,6 +963,7 @@ QUERIES_LLM = {
     "corpus_prep": q_corpus_prep,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "jaccard_prefix_pairs": q_jaccard_prefix_pairs,
     "sim_bruteforce_topk": q_sim_bruteforce_topk,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_lsh_multitable": q_sim_lsh_multitable,
@@ -956,6 +989,7 @@ ORACLES_LLM = {
     "corpus_prep": SQL_CORPUS_PREP,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "jaccard_prefix_pairs": SQL_JACCARD_PREFIX_PAIRS,
     "sim_bruteforce_topk": SQL_SIM_BRUTEFORCE_TOPK,
     "sim_lsh_topk": SQL_SIM_LSH_TOPK,
     "sim_lsh_multitable": SQL_SIM_LSH_MULTITABLE,
