@@ -497,3 +497,40 @@ def hll_windowed_distinct(
         )
         .orderBy("window_start")
     )
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """EXACT per-group distinct counts via mergeable 64-bit-word
+    bitmaps — the roaring-bitmap principle expressed as two ordinary
+    aggregations, and the exact counterpart to :func:`hll_estimate`.
+
+    Integer values map injectively to (word ``v div 64``, bit
+    ``v mod 64``); words OR together per (group, word) with map-side
+    partial aggregation, then ``bit_count`` sums per group.  The
+    intermediate is one row per POPULATED word per group (≤ distinct/1
+    and ≤ universe/64) — mergeable across partitions, days, or
+    clusters by the same OR, which is why warehouses materialize these
+    words as incremental distinct-count state.  For non-integer values
+    a ``portable_hash_id`` first makes this an approximation; with
+    native integer ids it is exact at any scale.
+
+    Output: ``<group_col>, n_distinct`` (exact, bigint).
+    """
+    words = df.select(
+        F.col(group_col),
+        F.expr(f"{value_col} div 64").alias("word_idx"),
+        # SQL form: the Python shiftleft wrapper takes only literal shifts
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({value_col}, 64) AS INT))").alias("bit"),
+    )
+    merged = words.groupBy(group_col, "word_idx").agg(
+        F.bit_or("bit").alias("word")
+    )
+    return (
+        merged.groupBy(group_col)
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_distinct"))
+        .orderBy(group_col)
+    )

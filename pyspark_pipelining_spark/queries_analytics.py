@@ -703,6 +703,218 @@ ORDER BY p.doc_1, p.doc_2
 SQL_NODE_JACCARD = _sql_node_jaccard()
 
 
+# --- exact mergeable-bitmap distinct (roaring-lite) ----------------------
+
+
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via mergeable 64-bit-word
+    bitmaps (operators/sketch.bitmap_distinct) — the exact counterpart
+    to the HLL queries: per-(type, word) OR with map-side partials,
+    popcount sum at the end, intermediate state mergeable across
+    partitions/days like warehouse incremental distinct-count state."""
+    from pyspark_pipelining_spark.operators.sketch import bitmap_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return bitmap_distinct(ev, "event_type", "user_id")
+
+
+SQL_BITMAP_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- Markov transition matrix over per-user event sequences --------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts and row-normalized
+    probabilities — the sequence-mining primitive behind session
+    modeling.  One lag window keyed on user (shuffle on user_id,
+    deterministic (ts, event_id) tiebreak), then a 25-cell aggregate;
+    the probability divides per-row, no float summation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn("row_total", F.sum("n_transitions").over(wt))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("row_total"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+FROM trans
+ORDER BY prev_type, next_type
+"""
+
+
+# --- binned two-sample Kolmogorov-Smirnov drift --------------------------
+
+KS_BINS = 256
+KS_TYPE_A = "purchase"
+KS_TYPE_B = "click"
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between the value distributions of two
+    event types over a fixed 256-bin grid: the ECDF gap |F1-F2| is
+    exact for the binned distributions, and binning makes the shape
+    scale-proof — raw events fold map-side into ≤ 256 (bin, type)
+    cells, so the window that builds the cumulative ECDFs runs over a
+    BOUNDED table no matter the input size (the unbinned exact KS
+    would need a global sort of all distinct values).  Bin bounds are
+    a lazy 1-row min/max broadcast — no driver scalar."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([KS_TYPE_A, KS_TYPE_B])
+    )
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.col("event_type"),
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * KS_BINS),
+            F.lit(KS_BINS - 1),
+        ).cast("long").alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("c2"),
+    )
+    totals = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    # the running-sum window is single-partition by construction, but
+    # over the BOUNDED 256-row histogram — fine at any input scale
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = hist.select(
+        "bin",
+        F.sum("c1").over(w).alias("r1"),
+        F.sum("c2").over(w).alias("r2"),
+    ).crossJoin(F.broadcast(totals))
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("r1") / F.col("n1") - F.col("r2") / F.col("n2"))), 6).alias(
+            "ks_d"
+        ),
+        F.max("n1").alias("n_a"),
+        F.max("n2").alias("n_b"),
+    )
+
+
+SQL_KS_DRIFT = f"""
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+rng AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+binned AS (
+    SELECT event_type,
+           least(CAST(floor((value - lo) / (hi - lo) * {KS_BINS}) AS BIGINT),
+                 {KS_BINS - 1}) AS bin
+    FROM ev, rng
+),
+hist AS (
+    SELECT bin,
+           sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS c1,
+           sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS c2
+    FROM binned GROUP BY bin
+),
+totals AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM hist),
+ecdf AS (
+    SELECT sum(c1) OVER (ORDER BY bin) AS r1,
+           sum(c2) OVER (ORDER BY bin) AS r2
+    FROM hist
+)
+SELECT round(max(abs(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)), 6) AS ks_d,
+       CAST(max(n1) AS BIGINT) AS n_a,
+       CAST(max(n2) AS BIGINT) AS n_b
+FROM ecdf, totals
+"""
+
+
+# --- mutual information between two categoricals -------------------------
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between order priority and order
+    status: one pass folds orders to the ≤ 15-cell joint table
+    (map-side partials), marginals come from windows over that bounded
+    table, and each cell's float term is quantized to int64 (×1e9)
+    before summing so the result is independent of float summation
+    order — the repo's PSI convention."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    wx = Window.partitionBy("o_orderpriority")
+    wy = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    cells = joint.select(
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wy).alias("ny"),
+        F.sum("nxy").over(wall).alias("n"),
+    )
+    term = (F.col("nxy") / F.col("n")) * F.log(
+        F.col("nxy").cast("double") * F.col("n") / (F.col("nx") * F.col("ny"))
+    )
+    return cells.select(
+        F.round(term * 1e9).cast("long").alias("tq"), "n"
+    ).agg(
+        (F.sum("tq").cast("double") / 1e9).alias("mi_nats"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH joint AS (
+    SELECT o_orderpriority, o_orderstatus, count(*) AS nxy
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+cells AS (
+    SELECT nxy,
+           sum(nxy) OVER (PARTITION BY o_orderpriority) AS nx,
+           sum(nxy) OVER (PARTITION BY o_orderstatus) AS ny,
+           sum(nxy) OVER () AS n
+    FROM joint
+),
+terms AS (
+    SELECT CAST(round((CAST(nxy AS DOUBLE) / n)
+                      * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))
+                      * 1000000000) AS BIGINT) AS tq,
+           n
+    FROM cells
+)
+SELECT CAST(sum(tq) AS DOUBLE) / 1000000000.0 AS mi_nats,
+       CAST(max(n) AS BIGINT) AS n_orders
+FROM terms
+"""
+
+
 QUERIES_ANALYTICS = {
     "order_priority_counts": q_order_priority_counts,
     "volume_shipping": q_volume_shipping,
@@ -721,6 +933,10 @@ QUERIES_ANALYTICS = {
     "ngram_novelty": q_ngram_novelty,
     "filter_funnel": q_filter_funnel,
     "node_jaccard": q_node_jaccard,
+    "bitmap_distinct_users": q_bitmap_distinct_users,
+    "event_transitions": q_event_transitions,
+    "ks_drift": q_ks_drift,
+    "mutual_information": q_mutual_information,
 }
 
 ORACLES_ANALYTICS = {
@@ -741,4 +957,8 @@ ORACLES_ANALYTICS = {
     "ngram_novelty": SQL_NGRAM_NOVELTY,
     "filter_funnel": SQL_FILTER_FUNNEL,
     "node_jaccard": SQL_NODE_JACCARD,
+    "bitmap_distinct_users": SQL_BITMAP_DISTINCT_USERS,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "ks_drift": SQL_KS_DRIFT,
+    "mutual_information": SQL_MUTUAL_INFORMATION,
 }
