@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_pipelining_spark import cache
 from pyspark_pipelining_spark.sources.registry import spread
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -541,4 +542,86 @@ def ngram_novelty(
             .alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+def hapax_stats(df: DataFrame, group_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-group vocabulary-growth signals: token count, vocabulary
+    size, hapax legomena (tokens occurring exactly once in the group),
+    hapax ratio and type-token ratio — the classic Zipf-tail health
+    check an ingest pipeline runs to spot boilerplate-heavy or
+    truncated sources (low hapax ratio → repetitive text).
+
+    Shape: one (group, token) count with map-side partials, then one
+    per-group fold — two key-bounded shuffles, no windows, no Python.
+
+    Output: ``<group_col>, n_tokens, vocab_size, hapax, hapax_ratio,
+    ttr`` (ratios rounded 6).
+    """
+    toks = with_words(df, text_col).select(
+        F.col(group_col).alias("grp"), F.explode("words").alias("token")
+    ).filter(F.length("token") > 0)
+    per_tok = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_tok.groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum((F.col("cnt") == 1).cast("long")).alias("hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "vocab_size",
+            "hapax",
+            F.round(F.col("hapax") / F.col("vocab_size"), 6).alias("hapax_ratio"),
+            F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias("ttr"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_k: int = 100,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate against the corpus-wide top-k
+    vocabulary (frequency desc, token asc ties): the coverage check
+    run before committing to a tokenizer vocab size.
+
+    Shape: global token counts fold map-side; the top-k is
+    ``orderBy().limit()`` (TakeOrdered — per-partition heaps, never a
+    single-partition window); membership joins back as a BROADCAST
+    left-semi-style null check, so the per-group pass never shuffles
+    the vocabulary.
+
+    Output: ``<group_col>, n_tokens, oov_tokens, oov_rate``.
+    """
+    toks = with_words(df, text_col).select(
+        F.col(group_col).alias("grp"), F.explode("words").alias("token")
+    ).filter(F.length("token") > 0)
+    toks = cache.keep(toks)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_k)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_in_vocab").isNull().cast("long")).alias("oov_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "oov_tokens",
+            F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy(group_col)
     )

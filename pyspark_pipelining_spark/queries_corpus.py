@@ -1032,7 +1032,79 @@ FROM uni
 SQL_KMV_VOCAB_OVERLAP = _sql_kmv_overlap()
 
 
+# --- vocabulary-growth and coverage signals ------------------------------
+
+OOV_VOCAB_K = 100
+
+
+def q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena / type-token ratios
+    (operators/text.hapax_stats): the Zipf-tail health check for
+    boilerplate-heavy or truncated sources."""
+    from pyspark_pipelining_spark.operators.text import hapax_stats
+
+    return hapax_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_HAPAX_STATS = f"""
+WITH {SQL_WORDS},
+toks AS (
+    SELECT source, unnest(w) AS token FROM words
+),
+per_tok AS (
+    SELECT source, token, count(*) AS cnt
+    FROM toks WHERE length(token) > 0
+    GROUP BY source, token
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio,
+       round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr
+FROM per_tok
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus top-100
+    vocabulary (operators/text.oov_rate): tokenizer-coverage check;
+    the vocab is a TakeOrdered top-k broadcast back to the token
+    stream."""
+    from pyspark_pipelining_spark.operators.text import oov_rate
+
+    return oov_rate(load_table(spark, sf_dir, "documents"), vocab_k=OOV_VOCAB_K)
+
+
+SQL_OOV_RATE = f"""
+WITH {SQL_WORDS},
+toks AS (
+    SELECT source, unnest(w) AS token FROM words
+),
+clean AS (SELECT source, token FROM toks WHERE length(token) > 0),
+vocab AS (
+    SELECT token FROM clean
+    GROUP BY token
+    ORDER BY count(*) DESC, token ASC
+    LIMIT {OOV_VOCAB_K}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM clean c LEFT JOIN vocab v ON c.token = v.token
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES_CORPUS = {
+    "hapax_stats": q_hapax_stats,
+    "oov_rate": q_oov_rate,
     "doclen_histogram": q_doclen_histogram,
     "cooccur_pmi": q_cooccur_pmi,
     "inverted_index": q_inverted_index,
@@ -1063,6 +1135,8 @@ QUERIES_CORPUS = {
 }
 
 ORACLES_CORPUS = {
+    "hapax_stats": SQL_HAPAX_STATS,
+    "oov_rate": SQL_OOV_RATE,
     "doclen_histogram": SQL_DOCLEN_HISTOGRAM,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "inverted_index": SQL_INVERTED_INDEX,
