@@ -431,13 +431,21 @@ def prefix_jaccard_join(
         .withColumn("pos", F.row_number().over(w))
         .join(sizes, "doc_id")
         .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
-        .select("doc_id", "tok")
+        .select("doc_id", "tok", "sz")
     )
+    # length filter (lossless): J(A,B) >= t forces t·|A| <= |B| <= |A|/t,
+    # so cross-length candidates drop before the verify stage — with the
+    # prefix filter this is the PPJoin candidate bound
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            on=[F.col("a.tok") == F.col("b.tok"), F.col("a.doc_id") < F.col("b.doc_id")],
+            on=[
+                F.col("a.tok") == F.col("b.tok"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.col("b.sz") >= F.ceil(F.lit(t) * F.col("a.sz")),
+                F.col("a.sz") >= F.ceil(F.lit(t) * F.col("b.sz")),
+            ],
         )
         .select(F.col("a.doc_id").alias("doc_1"), F.col("b.doc_id").alias("doc_2"))
         .distinct()

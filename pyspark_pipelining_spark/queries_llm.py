@@ -365,20 +365,34 @@ WHERE i / (s1.n_grams + s2.n_grams - i) >= 0.2
 
 
 def q_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT corpus-wide bigram-Jaccard ≥ 0.5 self-join via prefix
+    """EXACT corpus-wide 4-gram-Jaccard ≥ 0.8 self-join via prefix
     filtering (operators/dedup.prefix_jaccard_join — AllPairs/PPJoin):
     deterministic and recall-lossless where MinHash-LSH is
-    probabilistic, with candidates pruned to rare-token prefix
-    collisions instead of a blocking key.  The oracle is the
-    brute-force all-pairs join — the prefix filter must lose NOTHING."""
+    probabilistic, with candidates pruned to rare-shingle prefix
+    collisions instead of a blocking key.  4-gram shingles because
+    prefix filtering needs a discriminative vocabulary: this corpus
+    has only ~900 distinct bigrams, so every bigram is frequent and
+    prefixes prune nothing (measured 36 s at sf0.1), while the ~200k
+    4-grams restore rare-first selectivity (5 s, identical pair set).
+    The oracle is the brute-force all-pairs join — the prefix filter
+    must lose NOTHING."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.prefix_jaccard_join(docs, threshold=0.5, n=2).orderBy(
+    return dedup.prefix_jaccard_join(docs, threshold=0.8, n=4).orderBy(
         "doc_1", "doc_2"
     )
 
 
+SQL_FOURGRAMS = f"""{SQL_WORDS},
+grams AS (
+    SELECT doc_id, source,
+           list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]) AS ngrams
+    FROM words
+)"""
+
+
 SQL_JACCARD_PREFIX_PAIRS = f"""
-WITH {SQL_BIGRAMS},
+WITH {SQL_FOURGRAMS},
 gset AS (SELECT DISTINCT doc_id, unnest(ngrams) AS g FROM grams),
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM gset GROUP BY doc_id),
 inter AS (
@@ -391,7 +405,7 @@ SELECT doc_1, doc_2,
 FROM inter
 JOIN sizes s1 ON inter.doc_1 = s1.doc_id
 JOIN sizes s2 ON inter.doc_2 = s2.doc_id
-WHERE i / (s1.n_grams + s2.n_grams - i) >= 0.5
+WHERE i / (s1.n_grams + s2.n_grams - i) >= 0.8
 ORDER BY doc_1, doc_2
 """
 

@@ -661,6 +661,40 @@ def test_pq_recall_floors(spark):
     assert r_k8 >= r_k4 - 1e-9, (r_k4, r_k8)  # measured 0.45 → 0.65
 
 
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_jaccard_join_is_lossless(spark, docs, threshold):
+    """The prefix+length filters must lose NOTHING: output ≡ brute-force
+    all-pairs Jaccard ≥ t for any corpus and threshold (the
+    AllPairs/PPJoin correctness lemma)."""
+    from pyspark_pipelining_spark.operators.dedup import prefix_jaccard_join
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_1"], r["doc_2"]): r["jaccard"]
+        for r in prefix_jaccard_join(df, threshold=threshold, n=1).collect()
+    }
+    want = {}
+    sets = {i: set(words) for i, words in enumerate(docs)}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union
+                if jac >= threshold:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want
+
+
 def _python_kcore_fixpoint(edges, k):
     prev = None
     deg = _python_kcore_peel(edges, k, 0)
