@@ -807,15 +807,25 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("c2"),
     )
-    totals = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    # the running-sum window is single-partition by construction, but
-    # over the BOUNDED 256-row histogram — fine at any input scale
+    # the running-sum windows are single-partition by construction, but
+    # over the BOUNDED 256-row histogram — fine at any input scale.
+    # Totals are the final running sums (full-frame max), so hist has
+    # exactly ONE consumer and the raw events scan runs twice total
+    # (bounds + binning), not once per branch.
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ecdf = hist.select(
         "bin",
         F.sum("c1").over(w).alias("r1"),
         F.sum("c2").over(w).alias("r2"),
-    ).crossJoin(F.broadcast(totals))
+    ).select(
+        "r1",
+        "r2",
+        F.max("r1").over(full).alias("n1"),
+        F.max("r2").over(full).alias("n2"),
+    )
     return ecdf.agg(
         F.round(F.max(F.abs(F.col("r1") / F.col("n1") - F.col("r2") / F.col("n2"))), 6).alias(
             "ks_d"

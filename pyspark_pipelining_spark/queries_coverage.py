@@ -1270,6 +1270,57 @@ WHERE {ors}
 SQL_DISJUNCTIVE_REVENUE = _sql_disjunctive_revenue()
 
 
+# --- TPC-H Q5 analogue: local-supplier volume ----------------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per ASIA nation in 1996 where the supplying and ordering
+    nation coincide — TPC-H Q5's join cycle: the customer→nation and
+    supplier→nation hops close a cycle (c_nationkey = s_nationkey),
+    which no join-tree handles implicitly, so the equality is applied
+    as a cross-side filter after both broadcast hops.  Only
+    lineitem ⋈ orders shuffles; nation/region prune to one region
+    BEFORE broadcasting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_n = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    cust = c.join(F.broadcast(asia_n), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("c_nationkey").alias("cust_nk"), F.col("n_name").alias("n_name")
+    )
+    supp = s.select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nk") == F.col("supp_nk"))
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(DISC)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, CAST(sum({DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND year(o_orderdate) = 1996
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
 QUERIES_COVERAGE = {
     "min_cost_supplier": q_min_cost_supplier,
     "forecast_revenue": q_forecast_revenue,
@@ -1294,6 +1345,7 @@ QUERIES_COVERAGE = {
     "ohlc_daily": q_ohlc_daily,
     "cluster_purity": q_cluster_purity,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 ORACLES_COVERAGE = {
@@ -1320,4 +1372,5 @@ ORACLES_COVERAGE = {
     "ohlc_daily": SQL_OHLC_DAILY,
     "cluster_purity": SQL_CLUSTER_PURITY,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
 }

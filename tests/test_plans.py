@@ -576,3 +576,65 @@ def test_merge_upsert_is_single_full_outer_join(spark):
     assert tree.count("FullOuter") == 1
     assert plan.count("customer.parquet") == 1
     assert plan.count("orders.parquet") == 1
+
+
+def test_disjunctive_revenue_pushes_envelope_to_both_scans(spark):
+    """Q19 shape: Catalyst cannot push the cross-side OR, so the query
+    applies its envelope redundantly per side — brand IN + size range
+    must reach the part scan, the quantity span the lineitem scan, and
+    the join must be broadcast."""
+    plan = plan_of(spark, "disjunctive_revenue")
+    assert "In(p_brand, [Brand#12,Brand#23,Brand#34])" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "SortMergeJoin" not in tree
+
+
+def test_bitmap_distinct_is_two_level_aggregate_no_expand(spark):
+    """Exact bitmap distinct must be two ordinary hash aggregations
+    (word OR, then popcount sum) — no Expand (the countDistinct plan),
+    no window, partial aggregation on both levels."""
+    plan = plan_of(spark, "bitmap_distinct_users")
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in tree and "Window" not in tree
+    assert tree.count("HashAggregate") >= 4  # partial+final × two levels
+
+
+def test_local_supplier_volume_broadcasts_the_join_cycle(spark):
+    """Q5 shape: the nation cycle closes with broadcast hops on both
+    sides and the one-region filter reaches the region scan."""
+    plan = plan_of(spark, "local_supplier_volume")
+    assert "EqualTo(r_name,ASIA)" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in tree
+
+
+def test_event_transitions_is_one_user_shuffle_then_cells(spark):
+    """The lag window shuffles once on user_id; the probability window
+    runs over the bounded transition-cell table only."""
+    plan = plan_of(spark, "event_transitions")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2
+    # the big input (events) is scanned exactly once
+    assert plan.count("events.parquet") == 1
+
+
+def test_oov_rate_vocab_is_take_ordered_and_broadcast(spark):
+    """The top-k vocabulary must come from TakeOrdered (per-partition
+    heaps) and join back as a broadcast — the token stream never
+    shuffles for vocabulary membership."""
+    plan = plan_of(spark, "oov_rate")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_ks_drift_scans_events_at_most_twice(spark):
+    """Binned KS: one scan for bounds, one for binning — the histogram
+    branch must not multiply raw-event scans (the window work runs on
+    the bounded 256-row table)."""
+    plan = plan_of(spark, "ks_drift")
+    assert plan.count("events.parquet") <= 2
