@@ -520,17 +520,24 @@ def bitmap_distinct(
 
     Output: ``<group_col>, n_distinct`` (exact, bigint).
     """
+    return (
+        bitmap_words(df, group_col, value_col)
+        .groupBy(group_col)
+        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_distinct"))
+        .orderBy(group_col)
+    )
+
+
+def bitmap_words(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """The mergeable state of :func:`bitmap_distinct`: one row per
+    populated (group, word) with the OR of its 64 bits.  Partial word
+    tables from any split of the input (partitions, days, streaming
+    micro-batches) merge to the exact global table by the same
+    ``bit_or`` — property-tested in tests/test_operators_unit.py."""
     words = df.select(
         F.col(group_col),
         F.expr(f"{value_col} div 64").alias("word_idx"),
         # SQL form: the Python shiftleft wrapper takes only literal shifts
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({value_col}, 64) AS INT))").alias("bit"),
     )
-    merged = words.groupBy(group_col, "word_idx").agg(
-        F.bit_or("bit").alias("word")
-    )
-    return (
-        merged.groupBy(group_col)
-        .agg(F.sum(F.bit_count("word")).cast("long").alias("n_distinct"))
-        .orderBy(group_col)
-    )
+    return words.groupBy(group_col, "word_idx").agg(F.bit_or("bit").alias("word"))

@@ -1357,3 +1357,40 @@ def test_hll_windowed_distinct_tracks_exact_sliding_counts(spark):
         assert exact > 0
         rel_err = abs(r["est_distinct"] - exact) / exact
         assert rel_err < 0.15, (r["window_start"], exact, r["est_distinct"])
+
+
+def test_bitmap_words_merge_across_splits_exactly(spark):
+    """bitmap_distinct's (group, word) state is mergeable: partial word
+    tables from ANY split of the input (here 3 disjoint chunks, like
+    streaming micro-batches or daily partitions) bit_or-merge to the
+    identical global table — and the popcount totals equal the exact
+    distinct counts."""
+    from pyspark_pipelining_spark.operators.sketch import (
+        bitmap_distinct,
+        bitmap_words,
+    )
+
+    rows = [(f"g{v % 3}", v * 7 % 500) for v in range(400)]
+    df = spark.createDataFrame(rows, "grp string, val bigint")
+    whole = {
+        (r["grp"], r["word_idx"]): r["word"]
+        for r in bitmap_words(df, "grp", "val").collect()
+    }
+    parts = [df.filter(F.pmod("val", F.lit(3)) == i) for i in range(3)]
+    partials = [bitmap_words(p, "grp", "val") for p in parts]
+    merged_df = partials[0].unionByName(partials[1]).unionByName(partials[2])
+    merged = {
+        (r["grp"], r["word_idx"]): r["word"]
+        for r in merged_df.groupBy("grp", "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    assert merged == whole
+    exact = {
+        r["grp"]: r["cnt"]
+        for r in df.groupBy("grp").agg(F.countDistinct("val").alias("cnt")).collect()
+    }
+    got = {
+        r["grp"]: r["n_distinct"] for r in bitmap_distinct(df, "grp", "val").collect()
+    }
+    assert got == exact
