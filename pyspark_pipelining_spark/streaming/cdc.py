@@ -56,15 +56,24 @@ def make_apply_batch(
     combine: Callable[[Column, Column], Column] | None = None,
     retain_versions: int = 3,
     compact_target_mb: int | None = None,
+    pre_agg: str = "sum",
 ) -> Callable[[DataFrame, int], None]:
     """The per-micro-batch MERGE closure used by
     :func:`apply_changes_stream` (exposed so replay semantics are
     testable without fighting the streaming commit log): batch N merges
     the pre-aggregated deltas into the newest snapshot with version
-    < N and overwrites ``v=N`` — idempotent under replay."""
+    < N and overwrites ``v=N`` — idempotent under replay.
+
+    ``pre_agg`` folds the batch per key before the merge: ``"sum"``
+    (running totals, the default — pair with the additive ``combine``)
+    or ``"max"`` (idempotent register state, e.g. streaming HLL
+    register maintenance — pair with ``combine=F.greatest``)."""
+    if pre_agg not in ("sum", "max"):
+        raise ValueError(f"pre_agg must be 'sum' or 'max', got {pre_agg!r}")
     if combine is None:
         combine = lambda t, s: t + s  # noqa: E731 — delta accumulation
     retain = max(2, int(retain_versions))
+    agg_fn = F.max if pre_agg == "max" else F.sum
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         import shutil
@@ -72,7 +81,7 @@ def make_apply_batch(
         from pyspark_pipelining_spark.sources.sinks import compact_parquet
 
         spark = df.sparkSession
-        deltas = df.groupBy(key).agg(F.sum(value_col).alias(value_col))
+        deltas = df.groupBy(key).agg(agg_fn(value_col).alias(value_col))
         prev = [v for v in _versions(table_dir) if v < batch_id]
         if prev:
             target = spark.read.parquet(f"{table_dir}/v={prev[-1]}")
@@ -104,6 +113,7 @@ def apply_changes_stream(
     await_seconds: int = 120,
     retain_versions: int = 3,
     compact_target_mb: int | None = None,
+    pre_agg: str = "sum",
 ) -> None:
     """Fold a delta stream into a keyed parquet state table.
 
@@ -135,6 +145,7 @@ def apply_changes_stream(
         combine=combine,
         retain_versions=retain_versions,
         compact_target_mb=compact_target_mb,
+        pre_agg=pre_agg,
     )
 
     q = (

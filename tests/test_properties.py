@@ -772,6 +772,14 @@ LAYOUT_SENSITIVE = [
     "cluster_purity",
     "source_vocab_jaccard",
     "mrl_prefix_agreement",
+    # round-6 additions: float binning/ratios, lag sequencing, prefix
+    # candidate generation, quantized-term sums
+    "ks_drift",
+    "mutual_information",
+    "event_transitions",
+    "jaccard_prefix_pairs",
+    "sim_lsh_multitable",
+    "hll_window_users",
 ]
 
 

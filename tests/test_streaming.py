@@ -603,3 +603,63 @@ def test_cdc_retention_survives_replay_of_last_batch(spark, tmp_path):
     apply(delta([(1, 3)]), 2)
     after = {r["k"]: r["v"] for r in read_current(spark, table).collect()}
     assert after == before == {1: 6}
+
+
+def test_streaming_hll_register_maintenance_matches_batch(spark, tmp_path):
+    """The 100 TB shape for streaming distinct counts: each micro-batch
+    folds its events into (day|bucket) → max-rho register deltas, and
+    the CDC apply merges them into the register state with
+    combine=greatest (idempotent, so replays and overlaps are safe).
+    The folded state must be IDENTICAL to the batch register table
+    over all events — hence every downstream estimate (windowed or
+    not) agrees with batch exactly."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.sketch import hll_registers
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from pyspark_pipelining_spark.streaming.cdc import (
+        apply_changes_stream,
+        read_current,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("uid")
+    )
+    # three deterministic chunks -> three micro-batches
+    src = str(tmp_path / "deltas")
+    os.makedirs(src)
+    for i in range(3):
+        regs = hll_registers(
+            ev.filter(F.pmod(F.crc32("uid"), F.lit(3)) == i), "day", "uid"
+        ).select(
+            F.concat_ws("|", F.col("day").cast("string"), F.col("bucket")).alias("k"),
+            F.col("r"),
+        )
+        regs.toPandas().to_parquet(f"{src}/chunk{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("k string, r int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "registers")
+    apply_changes_stream(
+        stream,
+        table,
+        str(tmp_path / "ckpt"),
+        key="k",
+        value_col="r",
+        combine=F.greatest,
+        pre_agg="max",
+    )
+    streamed = {
+        (r["k"]): r["r"] for r in read_current(spark, table).collect()
+    }
+    batch = {
+        f"{r['day']}|{r['bucket']}": r["r"]
+        for r in hll_registers(ev, "day", "uid").collect()
+    }
+    assert streamed == batch and len(batch) > 0
