@@ -294,3 +294,76 @@ def synthesize_wav_payload(media_df: DataFrame, sample_rate_expr: str = "8000 + 
         "meta",
         rate.alias("expected_sample_rate"),
     )
+
+
+def resize_plan(media_df: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize *plan*: target dimensions for fitting
+    each image inside ``target``×``target``, from metadata only — the
+    map-side pre-pass that sizes (and lets the scheduler pack) the
+    real pixel-resize job.  Pure integer arithmetic
+    (``dim·target div max(w, h)``), so any engine reproduces it
+    bit-for-bit; degenerate dims (0) yield NULL targets and
+    ``needs_resize = 0``.
+
+    Output: ``media_id, width, height, out_width, out_height,
+    needs_resize`` (only images larger than ``target`` on their long
+    side scale down; smaller ones pass through 1:1 — the standard
+    no-upscale convention).
+    """
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    long_side = F.greatest(w, h)
+    ok = (w > 0) & (h > 0)
+    shrink = ok & (long_side > target)
+    # integer floor-div via expr keeps both engines exact
+    out_w = F.when(shrink, F.expr(
+        f"(CAST(meta.width AS BIGINT) * {target}) div greatest(CAST(meta.width AS BIGINT), CAST(meta.height AS BIGINT))"
+    )).when(ok, w)
+    out_h = F.when(shrink, F.expr(
+        f"(CAST(meta.height AS BIGINT) * {target}) div greatest(CAST(meta.width AS BIGINT), CAST(meta.height AS BIGINT))"
+    )).when(ok, h)
+    return media_df.select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+        shrink.cast("int").alias("needs_resize"),
+    )
+
+
+def resize_stub(media_df: DataFrame, target: int = 224) -> DataFrame:
+    """The Arrow-batched resize itself, with the pixel work stubbed
+    (no codec in this container — a real deployment swaps the inner
+    function for Pillow's ``Image.resize``): payload becomes a
+    deterministic ``out_width × out_height``-sized fake whose length
+    and checksum the tests pin.  The mapInPandas plumbing — schema,
+    batch shape, metadata join — is the real production path.
+    """
+    import pandas as pd
+
+    plan = resize_plan(media_df, target)
+    joined = media_df.select("media_id", "payload").join(plan, "media_id")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            outs = []
+            for p, ow, oh in zip(pdf["payload"], pdf["out_width"], pdf["out_height"]):
+                if pd.isna(ow) or pd.isna(oh):
+                    outs.append(None)
+                else:
+                    n = int(ow) * int(oh) // 64 + 1
+                    outs.append(bytes(p)[:n].ljust(n, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "out_width": pdf["out_width"].values,
+                    "out_height": pdf["out_height"].values,
+                    "payload": outs,
+                }
+            )
+
+    return joined.mapInPandas(
+        run,
+        schema="media_id long, out_width long, out_height long, payload binary",
+    )

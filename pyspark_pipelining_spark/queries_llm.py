@@ -888,6 +888,40 @@ FROM proj
 SQL_RP_SKETCH = _sql_rp()
 
 
+RESIZE_TARGET = 224
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (operators/multimodal.resize_plan):
+    fit-within-224 target dims from metadata only — pure integer
+    arithmetic, the sizing pre-pass for the Arrow-batched pixel resize
+    (resize_stub carries the stubbed mapInPandas path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.resize_plan(media, target=RESIZE_TARGET).orderBy("media_id")
+
+
+SQL_MEDIA_RESIZE_PLAN = f"""
+WITH dims AS (
+    SELECT doc_id AS media_id,
+           CAST(n_chars % 640 AS BIGINT) AS width,
+           CAST(n_chars % 480 AS BIGINT) AS height
+    FROM documents
+)
+SELECT media_id, width, height,
+       CASE WHEN width > 0 AND height > 0 AND greatest(width, height) > {RESIZE_TARGET}
+            THEN (width * {RESIZE_TARGET}) // greatest(width, height)
+            WHEN width > 0 AND height > 0 THEN width END AS out_width,
+       CASE WHEN width > 0 AND height > 0 AND greatest(width, height) > {RESIZE_TARGET}
+            THEN (height * {RESIZE_TARGET}) // greatest(width, height)
+            WHEN width > 0 AND height > 0 THEN height END AS out_height,
+       CAST(CASE WHEN width > 0 AND height > 0 AND greatest(width, height) > {RESIZE_TARGET}
+                 THEN 1 ELSE 0 END AS INTEGER) AS needs_resize
+FROM dims
+ORDER BY media_id
+"""
+
+
 def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio analysis-window plan (operators/multimodal
     .audio_window_plan): deterministic per-clip durations synthesized
@@ -986,6 +1020,7 @@ QUERIES_LLM = {
     "media_features": q_media_features,
     "media_frame_plan": q_media_frame_plan,
     "media_audio_windows": q_media_audio_windows,
+    "media_resize_plan": q_media_resize_plan,
     "rp_sketch": q_rp_sketch,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_ivfpq_rerank": q_sim_ivfpq_rerank,
@@ -1012,6 +1047,7 @@ ORACLES_LLM = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_frame_plan": SQL_MEDIA_FRAME_PLAN,
     "media_audio_windows": SQL_MEDIA_AUDIO_WINDOWS,
+    "media_resize_plan": SQL_MEDIA_RESIZE_PLAN,
     "rp_sketch": SQL_RP_SKETCH,
     "sim_ivfpq_topk": SQL_SIM_IVFPQ_TOPK,
     "sim_ivfpq_rerank": SQL_SIM_IVFPQ_RERANK,

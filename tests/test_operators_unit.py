@@ -1394,3 +1394,34 @@ def test_bitmap_words_merge_across_splits_exactly(spark):
         r["grp"]: r["n_distinct"] for r in bitmap_distinct(df, "grp", "val").collect()
     }
     assert got == exact
+
+
+def test_resize_stub_payload_sizes_follow_plan(spark):
+    """The Arrow-batched resize plumbing: every resized payload's fake
+    byte length is the deterministic function of the plan's target dims
+    (out_w*out_h//64+1), degenerate dims yield NULL payloads, and the
+    plan columns ride through the mapInPandas schema unchanged."""
+    from pyspark_pipelining_spark.operators.multimodal import (
+        documents_as_media,
+        resize_plan,
+        resize_stub,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(80)
+    media = documents_as_media(docs)
+    plan = {r["media_id"]: r for r in resize_plan(media).collect()}
+    out = resize_stub(media).collect()
+    assert len(out) == len(plan) > 0
+    for r in out:
+        p = plan[r["media_id"]]
+        assert (r["out_width"], r["out_height"]) == (p["out_width"], p["out_height"])
+        if p["out_width"] is None:
+            assert r["payload"] is None
+        else:
+            assert len(r["payload"]) == p["out_width"] * p["out_height"] // 64 + 1
+            # no-upscale convention: long side never exceeds the target
+            assert max(p["out_width"], p["out_height"]) <= max(224, p["width"], p["height"])
+            if p["needs_resize"]:
+                assert max(p["out_width"], p["out_height"]) <= 224
