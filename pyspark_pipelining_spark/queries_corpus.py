@@ -678,7 +678,7 @@ _STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
 SQL_CHUNK_OVERLAP = f"""
 SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
        substring(text, CAST(g.i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
-       length(substring(text, CAST(g.i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_len
+       CAST(length(substring(text, CAST(g.i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE})) AS INTEGER) AS chunk_len
 FROM documents, generate_series(0, 255) AS g(i)
 WHERE g.i * {_STRIDE} < length(text)
 ORDER BY doc_id, chunk_id
