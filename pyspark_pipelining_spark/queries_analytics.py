@@ -925,6 +925,115 @@ FROM terms
 """
 
 
+# --- market-basket pair lift ---------------------------------------------
+
+BASKET_TOPK = 50
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by co-purchase lift: the market-basket primitive.
+    The self-join keys on the ORDER (baskets are small — TPC-H orders
+    hold ≤ 7 items — so per-order pair expansion is bounded), pair
+    support aggregates with map-side partials, and the lift ratio uses
+    integer cross-multiplication with ONE double division at the end.
+    Top-k via orderBy().limit() = TakeOrdered, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = items.localCheckpoint(eager=True)  # both join sides + part counts
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.alias("a")
+    b = items.select("l_orderkey", F.col("l_partkey").alias("p2")).alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                      F.col("a.l_partkey") < F.col("p2")])
+        .groupBy(F.col("a.l_partkey").alias("part_1"), F.col("p2").alias("part_2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    n1 = part_n.select(F.col("l_partkey").alias("part_1"), F.col("n").alias("n1"))
+    n2 = part_n.select(F.col("l_partkey").alias("part_2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(n1, "part_1")
+        .join(n2, "part_2")
+        .crossJoin(F.broadcast(tot))  # lazy 1-row global scalar, no collect
+        .select(
+            "part_1",
+            "part_2",
+            "support",
+            F.round(
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.desc("lift"), F.asc("part_1"), F.asc("part_2"))
+        .limit(BASKET_TOPK)
+    )
+
+
+SQL_BASKET_PAIRS = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+part_n AS (SELECT l_partkey, count(*) AS n FROM items GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_1, b.l_partkey AS part_2, count(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT part_1, part_2, CAST(support AS BIGINT) AS support,
+       round(CAST(support * n_orders AS DOUBLE) / (n1.n * n2.n), 6) AS lift
+FROM pairs
+JOIN part_n n1 ON part_1 = n1.l_partkey
+JOIN part_n n2 ON part_2 = n2.l_partkey
+CROSS JOIN tot
+ORDER BY support DESC, lift DESC, part_1 ASC, part_2 ASC
+LIMIT {BASKET_TOPK}
+"""
+
+
+# --- cumulative distinct users (first-seen-day trick) --------------------
+
+
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running unique-user counts by day — EXACTLY, without any
+    distinct-over-expanding-window state: cumulative distinct at day D
+    is the number of users whose FIRST day ≤ D, so one user-keyed
+    min-day aggregate plus a cumulative sum over the bounded day table
+    replaces the quadratic rescan (the standard warehouse rewrite).
+    Only days that appear in the data are emitted."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.select(F.to_date("ts").alias("day"), "user_id").groupBy(
+        "user_id"
+    ).agg(F.min("day").alias("d0"))
+    new_by_day = firsts.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(new_by_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
+SQL_CUMULATIVE_DISTINCT_USERS = """
+WITH firsts AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+new_by_day AS (SELECT d0 AS day, count(*) AS new_users FROM firsts GROUP BY d0),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM days d LEFT JOIN new_by_day n ON d.day = n.day
+ORDER BY d.day
+"""
+
+
 QUERIES_ANALYTICS = {
     "order_priority_counts": q_order_priority_counts,
     "volume_shipping": q_volume_shipping,
@@ -947,6 +1056,8 @@ QUERIES_ANALYTICS = {
     "event_transitions": q_event_transitions,
     "ks_drift": q_ks_drift,
     "mutual_information": q_mutual_information,
+    "basket_pairs": q_basket_pairs,
+    "cumulative_distinct_users": q_cumulative_distinct_users,
 }
 
 ORACLES_ANALYTICS = {
@@ -971,4 +1082,6 @@ ORACLES_ANALYTICS = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "ks_drift": SQL_KS_DRIFT,
     "mutual_information": SQL_MUTUAL_INFORMATION,
+    "basket_pairs": SQL_BASKET_PAIRS,
+    "cumulative_distinct_users": SQL_CUMULATIVE_DISTINCT_USERS,
 }
