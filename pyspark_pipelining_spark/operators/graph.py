@@ -29,7 +29,7 @@ per-round re-join to the node set (every node has in-edges).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -276,3 +276,47 @@ def kcore_fixpoint(
         .agg(F.count(F.lit(1)).alias("degree"))
         .orderBy("node")
     )
+
+
+def lpa_communities(
+    pairs: DataFrame,
+    rounds: int = 2,
+    a: str = "doc_1",
+    b: str = "doc_2",
+) -> DataFrame:
+    """Synchronous label propagation communities over a candidate-pair
+    graph, made DETERMINISTIC: each round every node adopts the most
+    frequent label among its neighbors, ties broken by smallest label
+    (classic LPA is order-dependent; the (count desc, label asc)
+    argmax makes any engine and any layout agree, and a bounded round
+    count keeps the oracle expressible — the same bounded-unroll
+    contract as :func:`kcore_peel`).
+
+    Scale shape per round: one edge ⋈ labels shuffle keyed on node id,
+    one (node, label) count with map-side partials, one per-node
+    argmax window — all keyed on node; labels ``localCheckpoint`` each
+    round so round N never re-executes rounds 1..N-1.
+
+    Output: ``node, community`` (community = converged-or-bounded
+    label), one row per node appearing in ``pairs``.
+    """
+    und = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
+        pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    )
+    edges = und.localCheckpoint(eager=True)
+    labels = edges.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(rounds):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("d"), "lbl"), "d"
+        ).select(F.col("s").alias("node"), "lbl")
+        counts = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community")).orderBy("node")

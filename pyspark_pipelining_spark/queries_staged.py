@@ -1,0 +1,359 @@
+"""Round-7 staging area: oracle-paired queries that are READY but
+deliberately NOT registered — the r06 snapshot window already carries
+18 never-validated queries, and late registrations would evict pending
+slots (CLAUDE.md: registry freeze).
+
+Next round: merge QUERIES_STAGED / ORACLES_STAGED into queries.py's
+dicts, rename this module's contents into their family files, and
+regenerate VALIDATION.md.  The local oracle gate exercises everything
+here every run (tests/test_queries_oracle.py imports the staged dicts
+explicitly), so these are pytest-green now and driver-validated next
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# 1. Deterministic label-propagation communities (bounded rounds)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA over the near-dup candidate graph
+    (operators/graph.lpa_communities): most-frequent neighbor label,
+    (count desc, label asc) ties — deterministic where classic LPA is
+    order-dependent; bounded rounds keep the oracle expressible."""
+    from pyspark_pipelining_spark.operators import dedup, graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return graph.lpa_communities(pairs, rounds=LPA_ROUNDS)
+
+
+def _sql_lpa(rounds: int = LPA_ROUNDS, threshold: float = 0.5) -> str:
+    from pyspark_pipelining_spark.queries_llm import _minhash_fragments
+
+    ctes, band_match, agree = _minhash_fragments(16, 8)
+    prev = "l0"
+    round_ctes = []
+    for r in range(1, rounds + 1):
+        round_ctes.append(
+            f"""l{r} AS (
+    SELECT node, lbl FROM (
+        SELECT e.s AS node, l.lbl, count(*) AS cnt,
+               row_number() OVER (PARTITION BY e.s
+                                  ORDER BY count(*) DESC, l.lbl ASC) AS _rn
+        FROM edges e JOIN {prev} l ON e.d = l.node
+        GROUP BY e.s, l.lbl
+    ) WHERE _rn = 1
+)"""
+        )
+        prev = f"l{r}"
+    return f"""
+WITH {ctes},
+cand AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / 16.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1 AS s, doc_2 AS d FROM cand
+    UNION ALL
+    SELECT doc_2, doc_1 FROM cand
+),
+l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges),
+{','.join(round_ctes)}
+SELECT node, lbl AS community FROM {prev} ORDER BY node
+"""
+
+
+SQL_LPA_COMMUNITIES = _sql_lpa()
+
+
+# ---------------------------------------------------------------------------
+# 2. Conditional entropy H(status | priority)
+# ---------------------------------------------------------------------------
+
+
+def q_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(order status | order priority) in nats — the feature-utility
+    complement to mutual_information: same bounded-cell shape, same
+    int64-quantized terms (sum order independent)."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    wx = Window.partitionBy("o_orderpriority")
+    wall = Window.partitionBy()
+    cells = joint.select(
+        "nxy",
+        F.sum("nxy").over(wx).alias("nx"),
+        F.sum("nxy").over(wall).alias("n"),
+    )
+    term = -(F.col("nxy") / F.col("n")) * F.log(
+        F.col("nxy").cast("double") / F.col("nx")
+    )
+    return cells.select(F.round(term * 1e9).cast("long").alias("tq"), "n").agg(
+        (F.sum("tq").cast("double") / 1e9).alias("h_cond_nats"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+
+
+SQL_CONDITIONAL_ENTROPY = """
+WITH joint AS (
+    SELECT o_orderpriority, o_orderstatus, count(*) AS nxy
+    FROM orders GROUP BY 1, 2
+),
+cells AS (
+    SELECT nxy,
+           sum(nxy) OVER (PARTITION BY o_orderpriority) AS nx,
+           sum(nxy) OVER () AS n
+    FROM joint
+),
+terms AS (
+    SELECT CAST(round(-(CAST(nxy AS DOUBLE) / n)
+                      * ln(CAST(nxy AS DOUBLE) / nx)
+                      * 1000000000) AS BIGINT) AS tq,
+           n
+    FROM cells
+)
+SELECT CAST(sum(tq) AS DOUBLE) / 1000000000.0 AS h_cond_nats,
+       CAST(max(n) AS BIGINT) AS n_orders
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Cohort LTV curve (cumulative revenue per user by cohort age)
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve: customers cohort by first-order
+    month; each (cohort, age-in-months) cell accumulates exact order
+    cents, divided once per row by the cohort's user count.  The
+    cumulative window runs per cohort over the bounded (cohort, age)
+    table — months, not orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cohorts = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sized = cohorts.groupBy("m0").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        o.join(cohorts, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age"))
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sized), "m0")
+        .select(
+            F.col("m0").cast("long").alias("cohort_month"),
+            F.col("age").cast("long").alias("age"),
+            "cohort_users",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / (F.col("cohort_users") * 100.0),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_month", "age")
+    )
+
+
+SQL_COHORT_LTV = """
+WITH o AS (
+    SELECT o_custkey,
+           year(o_orderdate) * 12 + month(o_orderdate) AS m,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+cohorts AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey),
+sized AS (SELECT m0, count(*) AS cohort_users FROM cohorts GROUP BY m0),
+cells AS (
+    SELECT c.m0, o.m - c.m0 AS age, CAST(sum(o.cents) AS BIGINT) AS rev_cents
+    FROM o JOIN cohorts c ON o.o_custkey = c.o_custkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT m0, age, rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY m0 ORDER BY age
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM cells
+)
+SELECT CAST(m0 AS BIGINT) AS cohort_month, CAST(age AS BIGINT) AS age,
+       CAST(cohort_users AS BIGINT) AS cohort_users,
+       round(CAST(cum_cents AS DOUBLE) / (cohort_users * 100.0), 6)
+           AS ltv_per_user
+FROM cum JOIN sized USING (m0)
+ORDER BY cohort_month, age
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SymSpell deletion-neighborhood edit-distance-1 join
+# ---------------------------------------------------------------------------
+
+
+def q_edit_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL part-name pairs at Levenshtein distance exactly 1, found
+    WITHOUT blocking keys or an O(n²) distance matrix (contrast
+    fuzzy_parts): SymSpell's deletion neighborhood — two strings are
+    within distance 1 iff one appears in the other's {self} ∪
+    {single-char deletions} set, so candidates come from one equi-join
+    on deletion variants and the exact levenshtein verifies only
+    candidates.  Variant generation is a map-side sequence/transform;
+    the join is keyed on the variant string."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    variants = _variants(names)
+    a = variants.select(F.col("p_name").alias("name_1"), "v")
+    b = variants.select(F.col("p_name").alias("name_2"), "v")
+    cand = (
+        a.join(b, ["v"])
+        .filter(F.col("name_1") < F.col("name_2"))
+        .select("name_1", "name_2")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("name_1", "name_2") == 1)
+        .select("name_1", "name_2")
+        .orderBy("name_1", "name_2")
+    )
+
+
+def _variants(names: DataFrame) -> DataFrame:
+    """name → {name} ∪ {name with char i deleted} as exploded rows,
+    via JVM substring arithmetic (no UDF)."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("p_name")),
+        lambda i: F.concat(
+            F.expr("p_name").substr(F.lit(1), i - 1),
+            F.expr("p_name").substr(
+                i + 1, F.length("p_name")
+            ),
+        ),
+    )
+    return names.select(
+        "p_name",
+        F.explode(F.array_union(F.array(F.col("p_name")), dels)).alias("v"),
+    )
+
+
+SQL_EDIT_NEIGHBORS = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_1, b.p_name AS name_2
+FROM names a JOIN names b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+ORDER BY name_1, name_2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Exact Gini coefficient per event type (integer rank arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def q_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of event value per event type, EXACTLY:
+    values fold to (type, cents, count) cells, the rank-sum term for a
+    run of n_i equal values is the closed form
+    ``cents·(n_i·c_prev + n_i(n_i+1)/2)`` — all integer (decimal(38,0)
+    sufficient statistics, the stats.py convention), so the windows
+    run over distinct values per type and both engines produce the
+    identical double in one final division."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("ni"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "c_prev", F.coalesce(F.sum("ni").over(w), F.lit(0))
+    )
+    srx = F.expr(
+        "CAST(cents AS DECIMAL(38,0)) * (ni * c_prev + ni * (ni + 1) div 2)"
+    )
+    sx = F.expr("CAST(cents AS DECIMAL(38,0)) * ni")
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(srx).alias("srx"),
+        F.sum(sx).alias("sx"),
+        F.sum("ni").alias("n"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("srx").cast("double")
+        / (F.col("n").cast("double") * F.col("sx").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("event_type")
+
+
+SQL_GINI_BY_TYPE = """
+WITH cells AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           count(*) AS ni
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, cents, ni,
+           coalesce(sum(ni) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev
+    FROM cells
+),
+agg AS (
+    SELECT event_type,
+           sum(CAST(cents AS HUGEINT) * (ni * c_prev + ni * (ni + 1) // 2)) AS srx,
+           sum(CAST(cents AS HUGEINT) * ni) AS sx,
+           CAST(sum(ni) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type
+)
+SELECT event_type, n,
+       round(2.0 * CAST(srx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES_STAGED = {
+    "lpa_communities": q_lpa_communities,
+    "conditional_entropy": q_conditional_entropy,
+    "cohort_ltv": q_cohort_ltv,
+    "edit_neighbors": q_edit_neighbors,
+    "gini_by_type": q_gini_by_type,
+}
+
+ORACLES_STAGED = {
+    "lpa_communities": SQL_LPA_COMMUNITIES,
+    "conditional_entropy": SQL_CONDITIONAL_ENTROPY,
+    "cohort_ltv": SQL_COHORT_LTV,
+    "edit_neighbors": SQL_EDIT_NEIGHBORS,
+    "gini_by_type": SQL_GINI_BY_TYPE,
+}

@@ -80,3 +80,22 @@ def test_oracle_pandas_dtypes_match_spark_integrals(spark):
     assert not offenders, f"un-CAST integer aggregates in oracle SQL: {offenders}"
 
 
+
+# --- staged (round-7) queries: oracle-checked now, registered later ----
+
+from pyspark_pipelining_spark.queries_staged import (  # noqa: E402
+    ORACLES_STAGED,
+    QUERIES_STAGED,
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES_STAGED))
+def test_staged_query_matches_oracle(spark, name):
+    compare(spark, SF_SMOKE, QUERIES_STAGED[name], ORACLES_STAGED[name])
+    assert QUERIES_STAGED[name](spark, SF_SMOKE).count() > 0
+
+
+def test_staged_names_do_not_collide_with_registry(spark):
+    from pyspark_pipelining_spark.queries import QUERIES
+
+    assert not set(QUERIES_STAGED) & set(QUERIES)
