@@ -357,3 +357,319 @@ ORACLES_STAGED = {
     "edit_neighbors": SQL_EDIT_NEIGHBORS,
     "gini_by_type": SQL_GINI_BY_TYPE,
 }
+
+
+# ---------------------------------------------------------------------------
+# 6. Wald–Wolfowitz runs test (sequence randomness per event type)
+# ---------------------------------------------------------------------------
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-test z-score of above/below-mean signs over each event
+    type's time-ordered value sequence — the order-dependence screen a
+    monitoring pipeline runs beside the (order-free) drift monitors.
+    The sign is an INTEGER cross-multiplication (``cents·n >
+    sum_cents``), never a float-vs-float-mean comparison, so both
+    engines agree at the boundary; runs count via one lag window keyed
+    on type ordered by the deterministic (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    signed = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.col("cents") * F.sum(F.lit(1)).over(wt)
+            > F.sum("cents").over(wt)
+        ).cast("int").alias("sign"),
+    )
+    wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flips = signed.withColumn(
+        "flip",
+        (F.col("sign") != F.lag("sign").over(wseq)).cast("int"),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sign").alias("n_above"),
+        (F.coalesce(F.sum("flip"), F.lit(0)) + 1).alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n2 = (F.col("n") - F.col("n_above")).cast("double")
+    exp_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+        / (n * n * (n - 1.0))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_above").cast("long").alias("n_above"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round((F.col("runs") - exp_r) / F.sqrt(var_r), 6).alias("z"),
+    ).orderBy("event_type")
+
+
+SQL_RUNS_TEST = """
+WITH ev AS (
+    SELECT event_type, ts, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+signed AS (
+    SELECT event_type, ts, event_id,
+           CASE WHEN cents * (count(*) OVER (PARTITION BY event_type))
+                     > (sum(cents) OVER (PARTITION BY event_type))
+                THEN 1 ELSE 0 END AS sign
+    FROM ev
+),
+flips AS (
+    SELECT event_type, sign,
+           CASE WHEN sign != lag(sign) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id)
+                THEN 1 ELSE 0 END AS flip
+    FROM signed
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(sign) AS BIGINT) AS n_above,
+           CAST(coalesce(sum(flip), 0) + 1 AS BIGINT) AS runs
+    FROM flips GROUP BY event_type
+)
+SELECT event_type, n, n_above, runs,
+       round((runs - (2.0 * n_above * (n - n_above) / n + 1.0))
+             / sqrt(2.0 * n_above * (n - n_above)
+                    * (2.0 * n_above * (n - n_above) - n)
+                    / (CAST(n AS DOUBLE) * n * (n - 1.0))), 6) AS z
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Bounded-radius harmonic centrality (2-hop)
+# ---------------------------------------------------------------------------
+
+
+def q_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality truncated at radius 2 over the near-dup
+    graph: ``n1 + n2/2`` with n1 = direct neighbors, n2 = nodes at
+    distance exactly 2 (two-hop wedge join, direct edges and self
+    anti-joined away).  Bounded-radius centrality is the scale form —
+    full BFS centralities are O(nm); two hops is two node-keyed
+    joins."""
+    from pyspark_pipelining_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    und = pairs.select(
+        F.col("doc_1").alias("s"), F.col("doc_2").alias("d")
+    ).unionByName(pairs.select(F.col("doc_2").alias("s"), F.col("doc_1").alias("d")))
+    edges = und.localCheckpoint(eager=True)
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("n1"))
+    two = (
+        edges.alias("e1")
+        .join(edges.select(F.col("s").alias("d"), F.col("d").alias("d2")).alias("e2"), "d")
+        .select(F.col("s"), F.col("d2"))
+        .filter(F.col("s") != F.col("d2"))
+        .distinct()
+        .join(edges.select("s", F.col("d").alias("d2")), ["s", "d2"], "left_anti")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    return (
+        deg.join(two, "s", "left")
+        .select(
+            F.col("s").alias("node"),
+            "n1",
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+            F.round(
+                F.col("n1") + F.coalesce("n2", F.lit(0)) / F.lit(2.0), 6
+            ).alias("harmonic_2"),
+        )
+        .orderBy("node")
+    )
+
+
+def _sql_harmonic(threshold: float = 0.5) -> str:
+    from pyspark_pipelining_spark.queries_llm import _minhash_fragments
+
+    ctes, band_match, agree = _minhash_fragments(16, 8)
+    return f"""
+WITH {ctes},
+cand AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / 16.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1 AS s, doc_2 AS d FROM cand
+    UNION ALL
+    SELECT doc_2, doc_1 FROM cand
+),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS n1 FROM edges GROUP BY s),
+two AS (
+    SELECT t.s, CAST(count(*) AS BIGINT) AS n2 FROM (
+        SELECT DISTINCT e1.s, e2.d AS d2
+        FROM edges e1 JOIN edges e2 ON e1.d = e2.s
+        WHERE e1.s != e2.d
+    ) t
+    LEFT JOIN edges x ON t.s = x.s AND t.d2 = x.d
+    WHERE x.s IS NULL
+    GROUP BY t.s
+)
+SELECT deg.s AS node, n1, coalesce(n2, 0) AS n2,
+       round(n1 + coalesce(n2, 0) / 2.0, 6) AS harmonic_2
+FROM deg LEFT JOIN two ON deg.s = two.s
+ORDER BY node
+"""
+
+
+SQL_HARMONIC_2HOP = _sql_harmonic()
+
+
+# ---------------------------------------------------------------------------
+# 8. Exact interpolated median per event type (integer selection)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median of event value — the even-count case
+    averages the two middle values, selected by INTEGER rank
+    arithmetic over the (type, cents, count) cell table: the windows
+    run over distinct values, the two order statistics come from
+    conditional mins over cumulative counts, and the only float op is
+    the final /200.  Complements doclen_quantiles (bucket-approx) and
+    rolling_median_value (windowed)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("ni"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = cells.select(
+        "event_type",
+        "cents",
+        F.sum("ni").over(w).alias("cum"),
+        F.sum("ni").over(wt).alias("n"),
+    )
+    k1 = F.expr("(n + 1) div 2")
+    k2 = F.expr("(n + 2) div 2")
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= k1, F.col("cents"))).alias("c1"),
+        F.min(F.when(F.col("cum") >= k2, F.col("cents"))).alias("c2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("c1") + F.col("c2")) / F.lit(200.0), 6).alias("median_value"),
+    ).orderBy("event_type")
+
+
+SQL_EXACT_MEDIAN_VALUE = """
+WITH cells AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           count(*) AS ni
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, cents,
+           CAST(sum(ni) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(ni) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM cells
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round((min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+              + min(CASE WHEN cum >= (n + 2) // 2 THEN cents END)) / 200.0, 6)
+           AS median_value
+FROM ranked
+GROUP BY event_type, n
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Burstiness (Fano factor) of per-minute event counts
+# ---------------------------------------------------------------------------
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean) of per-minute event counts per type
+    over OBSERVED minutes (documented choice: silent minutes carry no
+    row, so this measures concentration among active minutes) —
+    point-process burst detection.  Integer sufficient statistics
+    ``(m·SS − S²)/(m·S)``: one double division."""
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("ss"),
+    )
+    fano = (
+        (F.col("m").cast("double") * F.col("ss").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (F.col("m").cast("double") * F.col("s").cast("double"))
+    )
+    return agg.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_minutes"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(fano, 6).alias("fano"),
+    ).orderBy("event_type")
+
+
+SQL_BURSTINESS = """
+WITH per_min AS (
+    SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS m,
+           CAST(sum(c) AS BIGINT) AS s,
+           sum(CAST(c AS HUGEINT) * c) AS ss
+    FROM per_min GROUP BY event_type
+)
+SELECT event_type, m AS n_minutes, s AS n_events,
+       round((CAST(m AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS fano
+FROM agg
+ORDER BY event_type
+"""
+
+
+QUERIES_STAGED.update(
+    {
+        "runs_test": q_runs_test,
+        "harmonic_2hop": q_harmonic_2hop,
+        "exact_median_value": q_exact_median_value,
+        "burstiness": q_burstiness,
+    }
+)
+
+ORACLES_STAGED.update(
+    {
+        "runs_test": SQL_RUNS_TEST,
+        "harmonic_2hop": SQL_HARMONIC_2HOP,
+        "exact_median_value": SQL_EXACT_MEDIAN_VALUE,
+        "burstiness": SQL_BURSTINESS,
+    }
+)
