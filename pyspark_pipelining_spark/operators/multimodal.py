@@ -315,12 +315,16 @@ def resize_plan(media_df: DataFrame, target: int = 224) -> DataFrame:
     long_side = F.greatest(w, h)
     ok = (w > 0) & (h > 0)
     shrink = ok & (long_side > target)
-    # integer floor-div via expr keeps both engines exact
+    # integer floor-div via expr keeps both engines exact; clamp to >= 1
+    # (an extreme aspect ratio can floor the short side to zero — real
+    # resizers never emit a 0-pixel dimension)
     out_w = F.when(shrink, F.expr(
-        f"(CAST(meta.width AS BIGINT) * {target}) div greatest(CAST(meta.width AS BIGINT), CAST(meta.height AS BIGINT))"
+        f"greatest(CAST(1 AS BIGINT), (CAST(meta.width AS BIGINT) * {target})"
+        f" div greatest(CAST(meta.width AS BIGINT), CAST(meta.height AS BIGINT)))"
     )).when(ok, w)
     out_h = F.when(shrink, F.expr(
-        f"(CAST(meta.height AS BIGINT) * {target}) div greatest(CAST(meta.width AS BIGINT), CAST(meta.height AS BIGINT))"
+        f"greatest(CAST(1 AS BIGINT), (CAST(meta.height AS BIGINT) * {target})"
+        f" div greatest(CAST(meta.width AS BIGINT), CAST(meta.height AS BIGINT)))"
     )).when(ok, h)
     return media_df.select(
         "media_id",

@@ -910,10 +910,10 @@ WITH dims AS (
 )
 SELECT media_id, width, height,
        CASE WHEN width > 0 AND height > 0 AND greatest(width, height) > {RESIZE_TARGET}
-            THEN (width * {RESIZE_TARGET}) // greatest(width, height)
+            THEN greatest(1, (width * {RESIZE_TARGET}) // greatest(width, height))
             WHEN width > 0 AND height > 0 THEN width END AS out_width,
        CASE WHEN width > 0 AND height > 0 AND greatest(width, height) > {RESIZE_TARGET}
-            THEN (height * {RESIZE_TARGET}) // greatest(width, height)
+            THEN greatest(1, (height * {RESIZE_TARGET}) // greatest(width, height))
             WHEN width > 0 AND height > 0 THEN height END AS out_height,
        CAST(CASE WHEN width > 0 AND height > 0 AND greatest(width, height) > {RESIZE_TARGET}
                  THEN 1 ELSE 0 END AS INTEGER) AS needs_resize
