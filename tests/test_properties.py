@@ -753,6 +753,48 @@ def test_kcore_registered_rounds_reach_fixpoint_sf001(spark):
     assert all(d >= 2 for _n, d in fix)
 
 
+def _python_lpa(edges, rounds):
+    """Deterministic synchronous LPA model: most-frequent neighbor
+    label, ties to the smallest label."""
+    und: dict[int, list[int]] = {}
+    for a, b in edges:
+        und.setdefault(a, []).append(b)
+        und.setdefault(b, []).append(a)
+    labels = {n: n for n in und}
+    for _ in range(rounds):
+        new = {}
+        for n, nbrs in und.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(
+                counts, key=lambda lbl: (-counts[lbl], lbl)
+            )
+        labels = new
+    return labels
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(lambda e: e[0] < e[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lpa_communities_matches_python_model(spark, edges, rounds):
+    from pyspark_pipelining_spark.operators.graph import lpa_communities
+
+    pairs = spark.createDataFrame(edges, ["doc_1", "doc_2"])
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(pairs, rounds=rounds).collect()
+    }
+    assert got == _python_lpa(edges, rounds)
+
+
 LAYOUT_SENSITIVE = [
     # float/window/iterative shapes where shuffle order or scan split
     # boundaries would surface any hidden order-dependence
