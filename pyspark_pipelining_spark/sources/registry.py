@@ -410,3 +410,43 @@ def load_json(
         reader = reader.option(k, v)
     df = reader.json(path)
     return require_columns(df, [f.name for f in schema.fields], path)
+
+
+def load_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with ``path, modificationTime, length, content``
+    (binary) — the real on-ramp for the multimodal operators
+    (``operators/multimodal.sniff_headers`` etc. consume the
+    ``content`` column directly).
+
+    Scale notes: ``pathGlobFilter`` prunes at LISTING time (files never
+    open), and a ``length <=`` predicate pushes into the format (the
+    reader skips oversized payloads without reading them) — both are
+    the difference between touching metadata and touching bytes on a
+    100 TB media lake.  One file = one row = one task unit; tiny-file
+    lakes should be compacted upstream (``sinks.compact_parquet``
+    reasoning applies to media files doubly).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def load_text_lines(
+    spark: SparkSession, path: str, wholetext: bool = False
+) -> DataFrame:
+    """Line-oriented text source (``spark.read.text``): one row per
+    line (``value`` string), or one row per FILE with
+    ``wholetext=True`` — the raw-corpus on-ramp for the text/dedup
+    operators (pair with ``F.input_file_name()`` upstream when the
+    file is the document id).  No schema ambiguity: text is text."""
+    return spark.read.text(path, wholetext=wholetext)

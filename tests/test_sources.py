@@ -239,3 +239,59 @@ def test_write_table_rejects_unknown_format(spark, tmp_path):
     df = spark.createDataFrame([(1,)], ["id"])
     with _pytest.raises(ValueError, match="unsupported table format"):
         write_table(df, str(tmp_path / "x"), format="avro")
+
+
+def test_binary_file_source_feeds_sniffer(spark, tmp_path):
+    """binaryFile ingestion: real PNG-signature files on disk read as
+    binary rows, glob-pruned at listing time, size-filtered at the
+    format, and the content column flows straight into the JVM header
+    sniffer."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.multimodal import sniff_headers
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    for i, (w, h) in enumerate([(320, 200), (64, 48)]):
+        png = (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+            + struct.pack(">II", w, h) + b"\x00" * 5
+        )
+        (d / f"img{i}.png").write_bytes(png)
+    (d / "ignore.txt").write_bytes(b"not media")
+    (d / "huge.png").write_bytes(b"\x89PNG" + b"\x00" * 10_000)
+
+    df = load_binary_files(spark, str(d), glob="*.png", max_bytes=1000)
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2  # txt glob-pruned, huge size-filtered
+    media = df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    sniffed = {
+        (r["sniffed_width"], r["sniffed_height"])
+        for r in sniff_headers(media).collect()
+    }
+    assert sniffed == {(320, 200), (64, 48)}
+
+
+def test_text_lines_source_feeds_line_dedup(spark, tmp_path):
+    """text source: one row per line; wholetext=True gives one row per
+    file — both shapes verified against the files on disk."""
+    from pyspark_pipelining_spark.sources.registry import load_text_lines
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\nalpha\n")
+    (d / "b.txt").write_text("beta\ngamma\n")
+
+    lines = load_text_lines(spark, str(d))
+    vals = sorted(r["value"] for r in lines.collect())
+    assert vals == ["alpha", "alpha", "beta", "beta", "gamma"]
+
+    whole = load_text_lines(spark, str(d), wholetext=True)
+    assert whole.count() == 2
+    assert {r["value"].count("\n") for r in whole.collect()} == {2, 3}
