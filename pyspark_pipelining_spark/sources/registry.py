@@ -450,3 +450,44 @@ def load_text_lines(
     operators (pair with ``F.input_file_name()`` upstream when the
     file is the document id).  No schema ambiguity: text is text."""
     return spark.read.text(path, wholetext=wholetext)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every parquet file
+    under ``path`` (``mergeSchema``) so files written before a column
+    existed surface it as NULL.  Merging costs a footer read per file
+    at planning time — that is why it is NOT the default read path
+    (``load_table`` declares its schema); use this for lakes that
+    evolved in place, then compact to the current schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def load_json_with_errors(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with an ERROR CHANNEL instead of FAILFAST:
+    returns ``(good, bad)`` where malformed records land in ``bad``
+    with their raw text (PERMISSIVE mode + ``_corrupt_record``) — the
+    quarantine pattern for feeds too dirty for :func:`load_json` but
+    too valuable to drop.  ``bad`` pairs with
+    ``sinks.write_csv_report`` for the reference's error-report flow.
+
+    Spark caveat handled here: a ``_corrupt_record`` column cannot be
+    filtered from the same lazy scan that defines it (the parser only
+    fills it for rows it actually fails on during THAT action), so the
+    parsed frame is cached before splitting — documented Spark
+    behavior, not a workaround of ours.
+    """
+    full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad

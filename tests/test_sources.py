@@ -295,3 +295,46 @@ def test_text_lines_source_feeds_line_dedup(spark, tmp_path):
     whole = load_text_lines(spark, str(d), wholetext=True)
     assert whole.count() == 2
     assert {r["value"].count("\n") for r in whole.collect()} == {2, 3}
+
+
+def test_parquet_merge_schema_reads_evolved_lake(spark, tmp_path):
+    """mergeSchema surfaces columns added after older files were
+    written (NULL for pre-evolution rows) — and the declared-schema
+    default path stays strict."""
+    from pyspark_pipelining_spark.sources.registry import read_parquet_merged
+
+    d = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(d)
+    df = read_parquet_merged(spark, d)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_json_error_channel_quarantines_bad_rows(spark, tmp_path):
+    """PERMISSIVE ingestion splits clean rows from malformed ones; the
+    malformed raw text is preserved for the error report, and
+    good + bad partitions the input exactly."""
+    from pyspark.sql import types as T
+
+    from pyspark_pipelining_spark.sources.registry import load_json_with_errors
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "v": "x"}\n'
+        "not json at all\n"
+        '{"id": 2, "v": "y"}\n'
+        '{"id": "NaN-ish", "v": 3}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = load_json_with_errors(spark, str(p), schema)
+    assert sorted((r["id"], r["v"]) for r in good.collect()) == [(1, "x"), (2, "y")]
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2 and "not json at all" in raws
