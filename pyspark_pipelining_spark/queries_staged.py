@@ -673,3 +673,214 @@ ORACLES_STAGED.update(
         "burstiness": SQL_BURSTINESS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# 10. Session path mining (top event-type trigrams within sessions)
+# ---------------------------------------------------------------------------
+
+PATH_GAP_MIN = 30
+PATH_TOPK = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step event-type paths WITHIN 30-minute sessions
+    — sequence mining one level above event_transitions.  Order inside
+    a session is pinned by sort_array over (ts, event_id, type)
+    structs (collect_list alone is layout-dependent), trigram
+    expansion is a JVM sequence/transform, and the global top-k is
+    TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wseq)
+                > PATH_GAP_MIN * 60,
+                1,
+            )
+            .otherwise(0)
+            .cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_s").over(wseq))
+    )
+    seqs = sess.groupBy("user_id", "session_no").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    tri = F.when(F.size(types) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(types) - 2),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at(types, i.cast("int")),
+                F.element_at(types, (i + 1).cast("int")),
+                F.element_at(types, (i + 2).cast("int")),
+            ),
+        )
+    )
+    return (
+        seqs.select(F.explode(tri).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(PATH_TOPK)
+    )
+
+
+SQL_SESSION_PATHS = f"""
+WITH lagd AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(CASE WHEN prev IS NULL
+                         OR epoch(ts) - epoch(prev) > {PATH_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM lagd
+),
+seqs AS (
+    SELECT user_id, session_no,
+           array_agg(event_type ORDER BY ts, event_id) AS types
+    FROM sess GROUP BY user_id, session_no
+),
+tris AS (
+    SELECT unnest(list_transform(range(1, greatest(len(types) - 2, 0) + 1),
+                  i -> types[i] || '>' || types[i + 1] || '>' || types[i + 2]))
+               AS path
+    FROM seqs
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM tris GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT {PATH_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. Sketch calibration report (exact vs bitmap vs HLL, with error)
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user counts from three machineries side by
+    side — exact countDistinct, the exact mergeable bitmap, and the
+    HLL estimate with its relative error — the calibration dashboard
+    that justifies sketch parameters before a 100 TB rollout (and a
+    standing proof that bitmap == exact)."""
+    from pyspark_pipelining_spark.operators.sketch import (
+        bitmap_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    bmp = bitmap_distinct(ev, "event_type", "user_id").withColumnRenamed(
+        "n_distinct", "n_bitmap"
+    )
+    hll = hll_estimate(
+        hll_registers(
+            ev.select("event_type", F.col("user_id").cast("string").alias("uid")),
+            "event_type",
+            "uid",
+        ),
+        "event_type",
+    ).withColumnRenamed("est_distinct", "hll_est")
+    return (
+        exact.join(bmp, "event_type")
+        .join(hll, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_bitmap",
+            "hll_est",
+            F.round(
+                (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("hll_rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_sketch_calibration() -> str:
+    from pyspark_pipelining_spark.operators.sketch import HLL_M, HLL_NUM, HLL_W
+
+    return f"""
+WITH exact AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY event_type
+),
+words AS (
+    SELECT event_type, user_id // 64 AS word_idx,
+           bit_or(1::BIGINT << CAST(user_id % 64 AS INTEGER)) AS word
+    FROM events GROUP BY 1, 2
+),
+bmp AS (
+    SELECT event_type, CAST(sum(bit_count(word)) AS BIGINT) AS n_bitmap
+    FROM words GROUP BY event_type
+),
+hashed AS (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM events
+),
+regs AS (
+    SELECT event_type, h % {HLL_M} AS bucket,
+           max(CASE WHEN h // {HLL_M} = 0 THEN {HLL_W + 1}
+                    ELSE {HLL_W + 1} - length(bin(h // {HLL_M})) END) AS r
+    FROM hashed GROUP BY 1, 2
+),
+agg AS (
+    SELECT event_type,
+           sum(CAST(1 AS BIGINT) << CAST({HLL_W + 1} - r AS INTEGER)) AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY event_type
+),
+est AS (
+    SELECT event_type,
+           {HLL_M} - n_present AS v,
+           {HLL_NUM} / CAST(s_present + ({HLL_M} - n_present)
+                            * (CAST(1 AS BIGINT) << {HLL_W + 1}) AS DOUBLE) AS raw
+    FROM agg
+),
+hll AS (
+    SELECT event_type,
+           round(CASE WHEN raw <= 2.5 * {HLL_M} AND v > 0
+                      THEN {float(HLL_M)} * ln({float(HLL_M)} / CAST(v AS DOUBLE))
+                      ELSE raw END, 6) AS hll_est
+    FROM est
+)
+SELECT event_type, n_exact, n_bitmap, hll_est,
+       round((hll_est - n_exact) / n_exact, 6) AS hll_rel_err
+FROM exact JOIN bmp USING (event_type) JOIN hll USING (event_type)
+ORDER BY event_type
+"""
+
+
+SQL_SKETCH_CALIBRATION = _sql_sketch_calibration()
+
+
+QUERIES_STAGED.update(
+    {
+        "session_paths": q_session_paths,
+        "sketch_calibration": q_sketch_calibration,
+    }
+)
+
+ORACLES_STAGED.update(
+    {
+        "session_paths": SQL_SESSION_PATHS,
+        "sketch_calibration": SQL_SKETCH_CALIBRATION,
+    }
+)
