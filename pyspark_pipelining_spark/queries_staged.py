@@ -822,8 +822,12 @@ WITH exact AS (
     FROM events GROUP BY event_type
 ),
 words AS (
+    -- bit 63 is the min-int64 constant: DuckDB's checked 1 << 63
+    -- overflows, while Spark's shiftleft wraps to exactly this value
     SELECT event_type, user_id // 64 AS word_idx,
-           bit_or(1::BIGINT << CAST(user_id % 64 AS INTEGER)) AS word
+           bit_or(CASE WHEN user_id % 64 = 63
+                       THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                       ELSE 1::BIGINT << CAST(user_id % 64 AS INTEGER) END) AS word
     FROM events GROUP BY 1, 2
 ),
 bmp AS (
