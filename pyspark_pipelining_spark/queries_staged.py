@@ -888,3 +888,162 @@ ORACLES_STAGED.update(
         "sketch_calibration": SQL_SKETCH_CALIBRATION,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# 12. Exact 10-90 trimmed mean per event type
+# ---------------------------------------------------------------------------
+
+
+def q_trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type mean with the bottom/top decile trimmed, EXACT:
+    each (cents, count) cell contributes ``overlap([cum-ni+1, cum],
+    [lo+1, hi])`` kept elements — pure integer interval arithmetic
+    over distinct-value cells (the exact_median_value machinery
+    generalized to arbitrary rank ranges), one double division."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("ni"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = cells.select(
+        "event_type",
+        "cents",
+        "ni",
+        F.sum("ni").over(w).alias("cum"),
+        F.sum("ni").over(wt).alias("n"),
+    )
+    lo = F.expr("n div 10")  # drop lowest floor(n/10)
+    hi = F.expr("n - n div 10")  # keep through rank n - floor(n/10)
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), hi) - F.greatest(F.col("cum") - F.col("ni") + 1, lo + 1) + 1,
+    )
+    agg = ranked.select(
+        "event_type",
+        "n",
+        kept.alias("k"),
+        (kept * F.expr("CAST(cents AS DECIMAL(38,0))")).alias("kc"),
+    ).groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("k").alias("n_kept"),
+        F.sum("kc").alias("sum_cents"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round(
+            F.col("sum_cents").cast("double") / (F.col("n_kept") * 100.0), 6
+        ).alias("trimmed_mean"),
+    ).orderBy("event_type")
+
+
+SQL_TRIMMED_MEAN_VALUE = """
+WITH cells AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           count(*) AS ni
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, cents, ni,
+           sum(ni) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(ni) OVER (PARTITION BY event_type) AS n
+    FROM cells
+),
+kept AS (
+    SELECT event_type, n,
+           greatest(0, least(cum, n - n // 10)
+                       - greatest(cum - ni + 1, n // 10 + 1) + 1) AS k,
+           CAST(cents AS HUGEINT)
+             * greatest(0, least(cum, n - n // 10)
+                           - greatest(cum - ni + 1, n // 10 + 1) + 1) AS kc
+    FROM ranked
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS n_kept,
+       round(CAST(sum(kc) AS DOUBLE) / (sum(k) * 100.0), 6) AS trimmed_mean
+FROM kept
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. Pareto front (skyline) of parts: smallest size at lowest price
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (size min, price min) —
+    q dominates p iff q is ≤ on both and strictly better on one.  The
+    scale form avoids the O(n²) NOT-EXISTS: fold parts to per-size min
+    prices (bounded cells), take the strict-prefix running min over
+    sizes, and keep a part iff it matches its size's min price AND
+    beats every smaller size's min — one bounded window + a broadcast
+    join back, no self-join.  Prices compare as exact cents."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        "p_retailprice",
+    )
+    per_size = p.groupBy("p_size").agg(F.min("cents").alias("min_c"))
+    w = (
+        Window.orderBy("p_size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fronts = per_size.select(
+        "p_size",
+        "min_c",
+        F.min("min_c").over(w).alias("prefix_min"),
+    ).filter(F.col("prefix_min").isNull() | (F.col("min_c") < F.col("prefix_min")))
+    return (
+        p.join(F.broadcast(fronts), ["p_size"])
+        .filter(F.col("cents") == F.col("min_c"))
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_partkey")
+    )
+
+
+SQL_PARETO_PARTS = """
+WITH pc AS (
+    SELECT p_partkey, p_size, p_retailprice,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM part
+)
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM pc p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pc q
+    WHERE q.p_size <= p.p_size AND q.cents <= p.cents
+      AND (q.p_size < p.p_size OR q.cents < p.cents)
+)
+ORDER BY p.p_partkey
+"""
+
+
+QUERIES_STAGED.update(
+    {
+        "trimmed_mean_value": q_trimmed_mean_value,
+        "pareto_parts": q_pareto_parts,
+    }
+)
+
+ORACLES_STAGED.update(
+    {
+        "trimmed_mean_value": SQL_TRIMMED_MEAN_VALUE,
+        "pareto_parts": SQL_PARETO_PARTS,
+    }
+)
