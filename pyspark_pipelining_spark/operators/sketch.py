@@ -541,3 +541,27 @@ def bitmap_words(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({value_col}, 64) AS INT))").alias("bit"),
     )
     return words.groupBy(group_col, "word_idx").agg(F.bit_or("bit").alias("word"))
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Equi-join cardinality estimation from two :func:`cms_sketch`
+    counter tables — the textbook CMS inner product: for each of the
+    ``depth`` rows, dot the two bucket vectors; the MIN over rows is an
+    UPPER BOUND on ``Σ_k n_a(k)·n_b(k)`` (the exact join size), tight
+    when hash collisions are rare.  This is the optimizer-style
+    pre-join size probe: both sketches are bounded (depth × width
+    rows, broadcastable), so estimating a 100 TB ⋈ 100 TB join costs
+    two sketch scans and never touches the fact tables.
+
+    Output: one row, ``est_join_size`` (long).
+    """
+    a = sketch_a.select("d", "bucket", F.col("c").alias("ca"))
+    b = sketch_b.select("d", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")).alias("dot"))
+    )
+    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))

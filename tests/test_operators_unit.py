@@ -1425,3 +1425,31 @@ def test_resize_stub_payload_sizes_follow_plan(spark):
             assert max(p["out_width"], p["out_height"]) <= max(224, p["width"], p["height"])
             if p["needs_resize"]:
                 assert max(p["out_width"], p["out_height"]) <= 224
+
+
+def test_cms_inner_product_bounds_join_size(spark):
+    """CMS inner product: always an upper bound on the exact equi-join
+    cardinality, exact when the key set is far below the bucket count,
+    and still a usable estimate under deliberate collisions."""
+    from pyspark_pipelining_spark.operators.sketch import cms_inner_product, cms_sketch
+
+    rows_a = [(f"k{v % 17}",) for v in range(300)]
+    rows_b = [(f"k{v % 23}",) for v in range(200)]
+    a = spark.createDataFrame(rows_a, ["k"])
+    b = spark.createDataFrame(rows_b, ["k"])
+    exact = (
+        a.groupBy("k").count().withColumnRenamed("count", "na")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "nb"), "k")
+        .selectExpr("CAST(sum(na * nb) AS BIGINT) AS s")
+        .collect()[0]["s"]
+    )
+    # wide sketch: 17/23 keys over 1024 buckets -> collision-free -> exact
+    est = cms_inner_product(
+        cms_sketch(a, "k"), cms_sketch(b, "k")
+    ).collect()[0]["est_join_size"]
+    assert est == exact
+    # narrow sketch: forced collisions -> still an upper bound
+    est_narrow = cms_inner_product(
+        cms_sketch(a, "k", width=8), cms_sketch(b, "k", width=8)
+    ).collect()[0]["est_join_size"]
+    assert est_narrow >= exact
