@@ -508,8 +508,9 @@ def bitmap_distinct(
     bitmaps — the roaring-bitmap principle expressed as two ordinary
     aggregations, and the exact counterpart to :func:`hll_estimate`.
 
-    Integer values map injectively to (word ``v div 64``, bit
-    ``v mod 64``); words OR together per (group, word) with map-side
+    Integer values map injectively to (word ``v >> 6`` arithmetic
+    shift = floor(v/64), bit ``pmod(v, 64)``); words OR together per
+    (group, word) with map-side
     partial aggregation, then ``bit_count`` sums per group.  The
     intermediate is one row per POPULATED word per group (≤ distinct/1
     and ≤ universe/64) — mergeable across partitions, days, or
@@ -533,10 +534,16 @@ def bitmap_words(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     populated (group, word) with the OR of its 64 bits.  Partial word
     tables from any split of the input (partitions, days, streaming
     micro-batches) merge to the exact global table by the same
-    ``bit_or`` — property-tested in tests/test_operators_unit.py."""
+    ``bit_or`` — property-tested in tests/test_operators_unit.py.
+
+    The word index uses ARITHMETIC shiftright (floor division), not
+    ``div`` (truncation): with trunc, -1 div 64 = 0 while
+    pmod(-1, 64) = 63 collides with value 63.  (floor(v/64),
+    pmod(v, 64)) is injective over the full int64 range, and matches
+    DuckDB's floor-division ``//`` in oracles."""
     words = df.select(
         F.col(group_col),
-        F.expr(f"{value_col} div 64").alias("word_idx"),
+        F.expr(f"shiftright(CAST({value_col} AS BIGINT), 6)").alias("word_idx"),
         # SQL form: the Python shiftleft wrapper takes only literal shifts
         F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({value_col}, 64) AS INT))").alias("bit"),
     )
@@ -559,9 +566,20 @@ def cms_inner_product(
     """
     a = sketch_a.select("d", "bucket", F.col("c").alias("ca"))
     b = sketch_b.select("d", "bucket", F.col("c").alias("cb"))
-    per_row = (
+    dots = (
         a.join(b, ["d", "bucket"])
         .groupBy("d")
         .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")).alias("dot"))
     )
-    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
+    # A depth row whose populated buckets are fully disjoint has a true
+    # dot of 0 and would vanish from the inner join, silently loosening
+    # the MIN; left-join the dots back onto the sketch's own depth rows
+    # so absent overlap contributes an explicit 0 (and two disjoint key
+    # sets estimate 0, not NULL).
+    depths = sketch_a.select("d").union(sketch_b.select("d")).distinct()
+    per_row = depths.join(dots, "d", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0).cast("decimal(38,0)")).alias("dot")
+    )
+    return per_row.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("est_join_size")
+    )

@@ -406,12 +406,20 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
         / (n * n * (n - 1.0))
     )
+    # Degenerate guard (both engines must agree, not NaN-vs-NULL): z is
+    # undefined when var_r ≤ 0 — all values on one side of the mean
+    # (n_above ∈ {0, n}), the 2·n1·n2 = n edge (e.g. n1 = n2 = 1), or
+    # n = 1 (var_r's denominator 0).
+    z = F.when(
+        (F.col("n") > 1) & (2.0 * n1 * n2 > n),
+        F.round((F.col("runs") - exp_r) / F.sqrt(var_r), 6),
+    )
     return agg.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.col("n_above").cast("long").alias("n_above"),
         F.col("runs").cast("long").alias("runs"),
-        F.round((F.col("runs") - exp_r) / F.sqrt(var_r), 6).alias("z"),
+        z.alias("z"),
     ).orderBy("event_type")
 
 
@@ -443,10 +451,12 @@ agg AS (
     FROM flips GROUP BY event_type
 )
 SELECT event_type, n, n_above, runs,
-       round((runs - (2.0 * n_above * (n - n_above) / n + 1.0))
-             / sqrt(2.0 * n_above * (n - n_above)
-                    * (2.0 * n_above * (n - n_above) - n)
-                    / (CAST(n AS DOUBLE) * n * (n - 1.0))), 6) AS z
+       CASE WHEN n > 1 AND 2.0 * n_above * (n - n_above) > n
+            THEN round((runs - (2.0 * n_above * (n - n_above) / n + 1.0))
+                       / sqrt(2.0 * n_above * (n - n_above)
+                              * (2.0 * n_above * (n - n_above) - n)
+                              / (CAST(n AS DOUBLE) * n * (n - 1.0))), 6)
+            END AS z
 FROM agg
 ORDER BY event_type
 """
@@ -1047,3 +1057,90 @@ ORACLES_STAGED.update(
         "pareto_parts": SQL_PARETO_PARTS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# 14. CMS inner-product join-cardinality estimate vs the exact join size
+# ---------------------------------------------------------------------------
+
+CMS_JOIN_DEPTH, CMS_JOIN_WIDTH = 4, 1024
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style pre-join size probe: estimate
+    ``|events ⋈ orders ON user_id = o_custkey|`` from two bounded CMS
+    counter tables (operators/sketch.cms_inner_product — MIN over depth
+    rows of the bucket-vector dot, an upper bound on Σ_k n_a(k)·n_b(k))
+    beside the EXACT join count.  At 100 TB the estimate costs two
+    depth×width sketch scans and never touches the fact tables; here
+    the exact count pins the bound and the relative inflation."""
+    from pyspark_pipelining_spark.operators.sketch import (
+        cms_inner_product,
+        cms_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    est = cms_inner_product(
+        cms_sketch(ev, "k", depth=CMS_JOIN_DEPTH, width=CMS_JOIN_WIDTH),
+        cms_sketch(orders, "k", depth=CMS_JOIN_DEPTH, width=CMS_JOIN_WIDTH),
+    )
+    exact = ev.join(orders, "k").agg(F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        F.when(
+            F.col("exact_join_size") > 0,
+            F.round(
+                (F.col("est_join_size") - F.col("exact_join_size"))
+                / F.col("exact_join_size"),
+                6,
+            ),
+        ).alias("cms_rel_err"),
+    )
+
+
+SQL_CMS_JOIN_SIZE = f"""
+WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+b AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+ca AS (
+    SELECT t.d,
+           ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+               % {CMS_JOIN_WIDTH} AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM a, range({CMS_JOIN_DEPTH}) t(d)
+    GROUP BY 1, 2
+),
+cb AS (
+    SELECT t.d,
+           ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || k), 1, 15))::BIGINT
+               % {CMS_JOIN_WIDTH} AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM b, range({CMS_JOIN_DEPTH}) t(d)
+    GROUP BY 1, 2
+),
+dots AS (
+    SELECT ca.d, sum(CAST(ca.c AS HUGEINT) * cb.c) AS dot
+    FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+    GROUP BY ca.d
+),
+perd AS (
+    SELECT t.d, coalesce(dot, 0) AS dot
+    FROM range({CMS_JOIN_DEPTH}) t(d) LEFT JOIN dots ON t.d = dots.d
+),
+est AS (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS est_join_size FROM perd),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size FROM a JOIN b USING (k))
+SELECT est_join_size, exact_join_size,
+       CASE WHEN exact_join_size > 0
+            THEN round((est_join_size - exact_join_size) / exact_join_size, 6)
+            END AS cms_rel_err
+FROM est, ex
+"""
+
+
+QUERIES_STAGED["cms_join_size"] = q_cms_join_size
+ORACLES_STAGED["cms_join_size"] = SQL_CMS_JOIN_SIZE

@@ -477,6 +477,12 @@ def load_json_with_errors(
     fills it for rows it actually fails on during THAT action), so the
     parsed frame is cached before splitting — documented Spark
     behavior, not a workaround of ours.
+
+    The cache pins the parsed feed in executor storage for the
+    session; once both splits are materialized, release it with
+    ``unpersist_json_with_errors(good)`` (the cached parent is
+    reachable from either child).  Callers that sink ``good``/``bad``
+    once and move on should do so to keep long sessions bounded.
     """
     full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
     parsed = (
@@ -490,4 +496,15 @@ def load_json_with_errors(
     bad = parsed.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw")
     )
+    good._json_errors_parent = parsed  # handle for unpersist_json_with_errors
+    bad._json_errors_parent = parsed
     return good, bad
+
+
+def unpersist_json_with_errors(df: DataFrame) -> None:
+    """Release the cached parse behind a :func:`load_json_with_errors`
+    split (pass either the ``good`` or ``bad`` child).  No-op on
+    frames that did not come from that loader."""
+    parent = getattr(df, "_json_errors_parent", None)
+    if parent is not None:
+        parent.unpersist()

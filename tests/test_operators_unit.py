@@ -1453,3 +1453,28 @@ def test_cms_inner_product_bounds_join_size(spark):
         cms_sketch(a, "k", width=8), cms_sketch(b, "k", width=8)
     ).collect()[0]["est_join_size"]
     assert est_narrow >= exact
+
+
+def test_cms_inner_product_disjoint_keys_is_zero(spark):
+    """ADVICE r06: fully disjoint key sets must estimate 0 (one row),
+    not an empty frame / NULL — a depth row with no shared populated
+    bucket contributes an explicit 0 to the MIN."""
+    from pyspark_pipelining_spark.operators.sketch import cms_inner_product, cms_sketch
+
+    a = spark.createDataFrame([(f"a{v}",) for v in range(20)], ["k"])
+    b = spark.createDataFrame([(f"b{v}",) for v in range(20)], ["k"])
+    out = cms_inner_product(cms_sketch(a, "k"), cms_sketch(b, "k")).collect()
+    assert len(out) == 1 and out[0]["est_join_size"] == 0
+
+
+def test_bitmap_distinct_exact_for_negative_values(spark):
+    """ADVICE r06: the (word, bit) mapping must be injective over the
+    FULL int64 range — with trunc division -1 collided with 63; the
+    arithmetic-shift word index (floor semantics) keeps negatives
+    distinct and the popcount exact."""
+    from pyspark_pipelining_spark.operators.sketch import bitmap_distinct
+
+    vals = [-130, -129, -128, -65, -64, -63, -2, -1, 0, 1, 62, 63, 64, 127]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, val bigint")
+    got = bitmap_distinct(df, "grp", "val").collect()
+    assert got[0]["n_distinct"] == len(set(vals))
