@@ -5,21 +5,26 @@ Each query is forced to full execution with a count-style noop action
 (``df.write.format("noop")``) so timings measure the whole plan without
 driver materialization cost.
 
-Noise hygiene: each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default
-2) and reports the per-query MIN — host noise on this shared box inflates
-single runs by 20-40% unpredictably, and min-of-n is the standard
-estimator for "what the plan actually costs".  Spark's cache and the
-operator-library persist() handles are dropped between repeats so a
-repeat can never reuse a prior run's materialized blocks (the
-plan-matching cache would otherwise make repeat timings lie).  First-run
-codegen cost is naturally excluded by the min — which is what we want:
-one-time JIT/codegen is not a property of the plan.
+Noise hygiene (r06 verdict: same-code runs differed up to 37% per
+query, making per-query regression tables noise): each query now runs
+one UNTIMED warm-up execution (absorbs codegen/JIT and page-cache
+warming, which are not properties of the plan) followed by
+``$SPARK_GRAFT_BENCH_REPS`` timed repeats (default 3), and reports the
+per-query MEDIAN — robust to a single noisy repeat in either
+direction, unlike min (which hides real regressions behind one lucky
+run) or mean (one stall poisons it).  The per-query max-min spread is
+recorded next to the median in BENCH_FULL.json (``spread``), plus the
+suite-level ``median_rel_spread``, so a future delta can be judged
+against the measured same-run variance instead of guessed.  Spark's
+cache and the operator-library persist() handles are dropped between
+repeats so no repeat reuses a prior run's materialized blocks.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,41 +35,54 @@ from pyspark_pipelining_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    warmups = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        best = -1.0
-        for _ in range(reps):
-            start = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                elapsed = round(time.perf_counter() - start, 3)
-                best = elapsed if best < 0 else min(best, elapsed)
-            except Exception as exc:  # keep the bench line parseable on failure
-                print(f"bench: query {name} failed: {exc}", file=sys.stderr)
-                best = -1.0
-                break
-            finally:
-                # drop intra-operator persist() handles AND the session
-                # cache so no repeat (or later query) reuses materialized
-                # blocks from a previous execution
-                cache.release_all()
-                spark.catalog.clearCache()
-        timings[name] = best
+        times: list[float] = []
+        try:
+            for rep in range(warmups + reps):
+                start = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    if rep >= warmups:
+                        times.append(round(time.perf_counter() - start, 3))
+                finally:
+                    # drop intra-operator persist() handles AND the session
+                    # cache so no repeat (or later query) reuses materialized
+                    # blocks from a previous execution
+                    cache.release_all()
+                    spark.catalog.clearCache()
+        except Exception as exc:  # keep the bench line parseable on failure
+            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+            times = []
+        timings[name] = round(statistics.median(times), 3) if times else -1.0
+        spreads[name] = round(max(times) - min(times), 3) if times else -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    rel_spreads = [
+        spreads[n] / timings[n] for n in timings if timings[n] > 0
+    ]
+    median_rel_spread = (
+        round(statistics.median(rel_spreads), 4) if rel_spreads else -1.0
+    )
     payload = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
+        "warmups": warmups,
+        "spread": spreads,
+        "median_rel_spread": median_rel_spread,
     }
     # The driver keeps only the last ~2.2 KB of stdout, so the full
-    # 157-query line truncates (BENCH_r03-r05 `parsed: null`).  Print
+    # per-query line truncates (BENCH_r03-r05 `parsed: null`).  Print
     # the full line first (humans / local tooling), persist it to
     # BENCH_FULL.json, then END stdout with a SHORT summary line that
     # always fits the tail window — same schema, `queries` limited to
@@ -86,6 +104,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf,
         "n_queries": len(timings),
+        "median_rel_spread": median_rel_spread,
         "detail": "BENCH_FULL.json has all per-query timings",
     }
     print(json.dumps(summary, separators=(",", ":")))

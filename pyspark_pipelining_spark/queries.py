@@ -793,6 +793,10 @@ from pyspark_pipelining_spark.queries_ann_media import (  # noqa: E402
     QUERIES_ANN_MEDIA,
 )
 from pyspark_pipelining_spark.queries_llm import ORACLES_LLM, QUERIES_LLM  # noqa: E402
+from pyspark_pipelining_spark.queries_mining import (  # noqa: E402
+    ORACLES_MINING,
+    QUERIES_MINING,
+)
 from pyspark_pipelining_spark.queries_relational import ORACLES_REL, QUERIES_REL  # noqa: E402
 
 QUERIES: dict[str, QueryFn] = {
@@ -822,6 +826,7 @@ QUERIES: dict[str, QueryFn] = {
     **QUERIES_ANALYTICS,
     **QUERIES_COVERAGE,
     **QUERIES_ANN_MEDIA,
+    **QUERIES_MINING,
 }
 
 ORACLES: dict[str, str] = {
@@ -851,4 +856,5 @@ ORACLES: dict[str, str] = {
     **ORACLES_ANALYTICS,
     **ORACLES_COVERAGE,
     **ORACLES_ANN_MEDIA,
+    **ORACLES_MINING,
 }

@@ -1,14 +1,11 @@
-"""Round-7 staging area: oracle-paired queries that are READY but
-deliberately NOT registered — the r06 snapshot window already carries
-18 never-validated queries, and late registrations would evict pending
-slots (CLAUDE.md: registry freeze).
+"""Mining-family queries: sequence/path mining, graph centrality and
+communities, exact order statistics via integer rank arithmetic, and
+sketch-calibration reports.
 
-Next round: merge QUERIES_STAGED / ORACLES_STAGED into queries.py's
-dicts, rename this module's contents into their family files, and
-regenerate VALIDATION.md.  The local oracle gate exercises everything
-here every run (tests/test_queries_oracle.py imports the staged dicts
-explicitly), so these are pytest-green now and driver-validated next
-round.
+Formerly the round-7 staging area (queries_staged.py): every query here
+was oracle-paired and pytest-green for a full round before
+registration, per the snapshot-freeze discipline, and registered as a
+family module at round-7 start.
 """
 
 from __future__ import annotations
@@ -342,7 +339,7 @@ ORDER BY event_type
 """
 
 
-QUERIES_STAGED = {
+QUERIES_MINING = {
     "lpa_communities": q_lpa_communities,
     "conditional_entropy": q_conditional_entropy,
     "cohort_ltv": q_cohort_ltv,
@@ -350,7 +347,7 @@ QUERIES_STAGED = {
     "gini_by_type": q_gini_by_type,
 }
 
-ORACLES_STAGED = {
+ORACLES_MINING = {
     "lpa_communities": SQL_LPA_COMMUNITIES,
     "conditional_entropy": SQL_CONDITIONAL_ENTROPY,
     "cohort_ltv": SQL_COHORT_LTV,
@@ -467,17 +464,18 @@ ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 
-def q_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harmonic centrality truncated at radius 2 over the near-dup
-    graph: ``n1 + n2/2`` with n1 = direct neighbors, n2 = nodes at
-    distance exactly 2 (two-hop wedge join, direct edges and self
-    anti-joined away).  Bounded-radius centrality is the scale form —
-    full BFS centralities are O(nm); two hops is two node-keyed
-    joins."""
-    from pyspark_pipelining_spark.operators import dedup
+def harmonic_2hop_from_edges(pairs: DataFrame) -> DataFrame:
+    """Radius-2 harmonic centrality over an undirected pair frame
+    ``(doc_1, doc_2)``: ``n1 + n2/2`` with n1 = direct neighbors,
+    n2 = nodes at distance exactly 2 (wedge equi-join keyed on the
+    middle node, then direct edges and self anti-joined away).
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    Scale bound (pinned by tests/test_properties.py): the radius cap
+    is STRUCTURAL — one wedge join can only reach distance ≤ 2, so
+    unlike iterative BFS there is no frontier growth to cap; the only
+    expansion is the wedge join, whose row count is exactly
+    Σ_mid deg(mid)² (degree-bounded, the triangle-counting shape), and
+    it collapses through distinct before the anti-join."""
     und = pairs.select(
         F.col("doc_1").alias("s"), F.col("doc_2").alias("d")
     ).unionByName(pairs.select(F.col("doc_2").alias("s"), F.col("doc_1").alias("d")))
@@ -505,6 +503,18 @@ def q_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+def q_harmonic_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality truncated at radius 2 over the near-dup
+    graph (:func:`harmonic_2hop_from_edges`).  Bounded-radius
+    centrality is the scale form — full BFS centralities are O(nm);
+    two hops is two node-keyed joins."""
+    from pyspark_pipelining_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return harmonic_2hop_from_edges(pairs)
 
 
 def _sql_harmonic(threshold: float = 0.5) -> str:
@@ -666,7 +676,7 @@ ORDER BY event_type
 """
 
 
-QUERIES_STAGED.update(
+QUERIES_MINING.update(
     {
         "runs_test": q_runs_test,
         "harmonic_2hop": q_harmonic_2hop,
@@ -675,7 +685,7 @@ QUERIES_STAGED.update(
     }
 )
 
-ORACLES_STAGED.update(
+ORACLES_MINING.update(
     {
         "runs_test": SQL_RUNS_TEST,
         "harmonic_2hop": SQL_HARMONIC_2HOP,
@@ -693,14 +703,18 @@ PATH_GAP_MIN = 30
 PATH_TOPK = 20
 
 
-def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most frequent 3-step event-type paths WITHIN 30-minute sessions
-    — sequence mining one level above event_transitions.  Order inside
-    a session is pinned by sort_array over (ts, event_id, type)
-    structs (collect_list alone is layout-dependent), trigram
-    expansion is a JVM sequence/transform, and the global top-k is
-    TakeOrdered."""
-    ev = load_table(spark, sf_dir, "events")
+def session_trigram_paths(
+    ev: DataFrame, gap_min: int = PATH_GAP_MIN, topk: int = PATH_TOPK
+) -> DataFrame:
+    """Top-k 3-step event-type paths within ``gap_min``-minute sessions
+    of an events frame (user_id, ts, event_id, event_type).
+
+    Scale bound (pinned by tests/test_properties.py): path length is
+    capped at exactly 3 by construction (the trigram transform), and a
+    session of n events expands to exactly max(0, n-2) trigram rows —
+    the explode NEVER exceeds the input row count, unlike subsequence
+    or all-window enumeration which is combinatorial.  The global
+    top-k is TakeOrdered (per-partition heaps), not a full sort."""
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -708,7 +722,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_s",
             F.when(
                 F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wseq)
-                > PATH_GAP_MIN * 60,
+                > gap_min * 60,
                 1,
             )
             .otherwise(0)
@@ -738,8 +752,17 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))
-        .limit(PATH_TOPK)
+        .limit(topk)
     )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step event-type paths WITHIN 30-minute sessions
+    (:func:`session_trigram_paths`) — sequence mining one level above
+    event_transitions.  Order inside a session is pinned by sort_array
+    over (ts, event_id, type) structs (collect_list alone is
+    layout-dependent); trigram expansion is a JVM sequence/transform."""
+    return session_trigram_paths(load_table(spark, sf_dir, "events"))
 
 
 SQL_SESSION_PATHS = f"""
@@ -885,14 +908,14 @@ ORDER BY event_type
 SQL_SKETCH_CALIBRATION = _sql_sketch_calibration()
 
 
-QUERIES_STAGED.update(
+QUERIES_MINING.update(
     {
         "session_paths": q_session_paths,
         "sketch_calibration": q_sketch_calibration,
     }
 )
 
-ORACLES_STAGED.update(
+ORACLES_MINING.update(
     {
         "session_paths": SQL_SESSION_PATHS,
         "sketch_calibration": SQL_SKETCH_CALIBRATION,
@@ -1044,14 +1067,14 @@ ORDER BY p.p_partkey
 """
 
 
-QUERIES_STAGED.update(
+QUERIES_MINING.update(
     {
         "trimmed_mean_value": q_trimmed_mean_value,
         "pareto_parts": q_pareto_parts,
     }
 )
 
-ORACLES_STAGED.update(
+ORACLES_MINING.update(
     {
         "trimmed_mean_value": SQL_TRIMMED_MEAN_VALUE,
         "pareto_parts": SQL_PARETO_PARTS,
@@ -1142,5 +1165,50 @@ FROM est, ex
 """
 
 
-QUERIES_STAGED["cms_join_size"] = q_cms_join_size
-ORACLES_STAGED["cms_join_size"] = SQL_CMS_JOIN_SIZE
+QUERIES_MINING["cms_join_size"] = q_cms_join_size
+ORACLES_MINING["cms_join_size"] = SQL_CMS_JOIN_SIZE
+
+
+# ---------------------------------------------------------------------------
+# 15. Schema-evolution (mergeSchema) read under the hard signal
+# ---------------------------------------------------------------------------
+
+
+def q_merged_schema_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document profile read through the SCHEMA-EVOLUTION
+    parquet path (sources/registry.read_parquet_merged — r6 ingestion
+    addition): ``mergeSchema`` unions every file's footer schema, so a
+    lake written across schema versions surfaces pre-existing columns
+    as NULL.  Registering the read here pins that the merged scan
+    yields row/value-identical results to the plain-schema scan the
+    oracle view uses (on the evolved-lake fixture the merge semantics
+    themselves are pytest-covered in tests/test_sources.py)."""
+    from pyspark_pipelining_spark.sources.registry import read_parquet_merged
+
+    docs = read_parquet_merged(spark, f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_MERGED_SCHEMA_SOURCES = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES_MINING["merged_schema_sources"] = q_merged_schema_sources
+ORACLES_MINING["merged_schema_sources"] = SQL_MERGED_SCHEMA_SOURCES

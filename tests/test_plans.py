@@ -640,25 +640,65 @@ def test_ks_drift_scans_events_at_most_twice(spark):
     assert plan.count("events.parquet") <= 2
 
 
-def test_no_staged_query_has_cartesian_or_python_row_udf(spark):
-    """The same repo-wide plan invariants, applied to the round-7
-    staging area BEFORE registration — a staged query must already
-    satisfy the contract the registry test enforces."""
-    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
-    from tests.conftest import SF_SMOKE
+# (The staged-query plan-invariant test retired at round-7 start: the
+# staging module registered as queries_mining.py, so the repo-wide
+# registered-query invariant above now covers those plans.)
 
-    offenders = {}
-    for name, fn in QUERIES_STAGED.items():
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
-        bad = [
-            marker
-            for marker in ("CartesianProduct", "BatchEvalPython")
-            if marker in plan
-        ]
-        if bad:
-            offenders[name] = bad
-    assert not offenders, f"staged plan invariant violations: {offenders}"
+
+def test_session_paths_topk_is_take_ordered(spark):
+    """The global top-k over trigram counts must compile to
+    TakeOrderedAndProject (per-partition heaps), never a full sort of
+    the path-count table."""
+    plan = plan_of(spark, "session_paths")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_convergence_probes_are_bounded_actions_on_checkpointed_state(
+    spark, monkeypatch
+):
+    """r06 watch-list: the per-round driver scalars in
+    cluster_assignments / kcore_fixpoint are loop control over
+    checkpointed, already-materialized frames.  Pin (1) the action
+    count stays bounded by rounds+1 (convergence detection fires) and
+    (2) every probed plan is a scan/agg of materialized state
+    (LogicalRDD), never a join/recompute pipeline — so a refactor
+    cannot silently turn loop control into a data-path collect."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # API in Spark 4; sessions hand out classic.dataframe.DataFrame,
+    # whose own first/count would shadow a base-class patch
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: one concrete class
+        from pyspark.sql import DataFrame
+
+    from pyspark_pipelining_spark.operators import dedup, graph
+
+    probed: list[str] = []
+    orig_first, orig_count = DataFrame.first, DataFrame.count
+
+    def spy_first(self):
+        probed.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig_first(self)
+
+    def spy_count(self):
+        probed.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "first", spy_first)
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+
+    # triangle (its own 2-core) + a pendant edge that peels away
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "doc_1 bigint, doc_2 bigint"
+    )
+    dedup.cluster_assignments(pairs, max_iter=12).collect()
+    cc_probes, probed[:] = list(probed), []
+    # initial sum + one per executed block; converges after one block here
+    assert 2 <= len(cc_probes) <= (12 + 1) // 2 + 1
+    graph.kcore_fixpoint(pairs, k=2).collect()
+    kc_probes = list(probed)
+    # initial count + peel round + fixpoint-confirm round — NOT max_rounds
+    assert 2 <= len(kc_probes) <= 4
+    for plan in cc_probes + kc_probes:
+        assert "LogicalRDD" in plan and "Join" not in plan, plan

@@ -965,3 +965,82 @@ def test_ohlc_query_matches_python_model(spark, rows, tmp_path_factory):
         cs = [c for (_s, _i, c) in evs]
         expect[k] = (evs[0][2], max(cs), min(cs), evs[-1][2], len(evs))
     assert got == expect
+
+
+# --- round-7 scale-bound proofs: harmonic_2hop and session_paths ---------
+
+
+def test_harmonic_2hop_matches_bfs_model_and_wedge_bound(spark):
+    """The radius cap is structural (one wedge join reaches distance
+    ≤ 2, never 3), and the only expansion is the wedge join whose row
+    count is EXACTLY Σ_mid deg(mid)² — both pinned against a Python
+    BFS model on a graph that has distance-3+ node pairs."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.queries_mining import harmonic_2hop_from_edges
+
+    # path 1-2-3-4-5 (distance(1,4)=3, distance(1,5)=4) + a branch with
+    # a cycle (1-6-7-2) so some 2-hop targets are reachable twice
+    pairs_list = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6), (6, 7), (2, 7)]
+    pairs = spark.createDataFrame(pairs_list, "doc_1 bigint, doc_2 bigint")
+    got = {
+        r["node"]: (r["n1"], r["n2"], r["harmonic_2"])
+        for r in harmonic_2hop_from_edges(pairs).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in pairs_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    for v in adj:
+        n1 = adj[v]
+        n2 = set().union(*(adj[u] for u in n1)) - n1 - {v}
+        assert got[v] == (len(n1), len(n2), round(len(n1) + len(n2) / 2.0, 6)), v
+    # the wedge expansion (before distinct) is exactly sum of squared
+    # degrees — degree-bounded, not |V|² -- the claim in the docstring
+    und = pairs.select(
+        F.col("doc_1").alias("s"), F.col("doc_2").alias("d")
+    ).unionByName(
+        pairs.select(F.col("doc_2").alias("s"), F.col("doc_1").alias("d"))
+    )
+    wedges = (
+        und.alias("e1")
+        .join(und.select(F.col("s").alias("d"), F.col("d").alias("d2")).alias("e2"), "d")
+        .count()
+    )
+    assert wedges == sum(len(adj[v]) ** 2 for v in adj)
+
+
+def test_session_trigram_paths_expansion_bounded(spark):
+    """A session of n events expands to exactly max(0, n-2) trigram
+    rows (path length capped at 3 by construction), so the explode can
+    never exceed the input row count — the claim in the docstring."""
+    import datetime as dt
+
+    from pyspark_pipelining_spark.queries_mining import session_trigram_paths
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a 5-event session, a 31-minute gap, then a 2-event session
+    for i in range(5):
+        eid += 1
+        rows.append((1, base + dt.timedelta(minutes=i), eid, f"t{i % 3}"))
+    for i in range(2):
+        eid += 1
+        rows.append((1, base + dt.timedelta(minutes=36 + i), eid, "a"))
+    # user 2: a single event; user 3: exactly 3 events (one trigram)
+    eid += 1
+    rows.append((2, base, eid, "x"))
+    for i in range(3):
+        eid += 1
+        rows.append((3, base + dt.timedelta(minutes=i), eid, "y"))
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    out = session_trigram_paths(ev, gap_min=30, topk=1000).collect()
+    # sessions of length 5, 2, 1, 3 -> 3 + 0 + 0 + 1 trigrams
+    assert sum(r["n"] for r in out) == 4 <= len(rows)
+    assert all(r["path"].count(">") == 2 for r in out)
+    assert {r["path"] for r in out} == {"t0>t1>t2", "t1>t2>t0", "t2>t0>t1", "y>y>y"}

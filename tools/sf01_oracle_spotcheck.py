@@ -1,0 +1,83 @@
+"""One-shot sf0.1 oracle verification for the numerically-sensitive
+queries (r06 verdict item 6).
+
+The regular oracle gates run at sf0.001 (every pytest) and sf0.01
+(slow marker + the driver).  Sums at sf0.1 are ~100x larger, so the
+overflow / precision envelopes of the integer-sufficient-statistic
+queries deserve one documented pass at that scale:
+
+    python tools/sf01_oracle_spotcheck.py
+
+Prints one OK/FAIL line per query and exits non-zero on any mismatch.
+The passing run is recorded in README.md (scale notes).  Not part of
+the default pytest run (costs ~2 min); re-run after touching any of
+the listed queries' arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# the precision-envelope set: decimal(38,0) sufficient statistics,
+# int64-quantized log terms, rank/interval integer arithmetic, binned
+# ECDF gaps — everywhere a 100x bigger sum could overflow or round
+# differently between engines
+SENSITIVE = [
+    "global_stats",
+    "value_outliers",
+    "value_moments",
+    "value_drift_psi",
+    "ks_drift",
+    "mutual_information",
+    "conditional_entropy",
+    "gini_by_type",
+    "exact_median_value",
+    "trimmed_mean_value",
+    "burstiness",
+    "runs_test",
+    "corr_price_qty",
+    "benford_digits",
+    "cms_join_size",
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from pyspark_pipelining_spark.queries import ORACLES, QUERIES
+    from tests.oracle_utils import compare
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .appName("sf01-spotcheck")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+    for name in SENSITIVE:
+        if name not in QUERIES:
+            print(f"SKIP {name}: not registered")
+            continue
+        try:
+            compare(spark, SF_DIR, QUERIES[name], ORACLES[name])
+            n = QUERIES[name](spark, SF_DIR).count()
+            print(f"OK   {name} rows={n}")
+        except AssertionError as exc:
+            failures.append(name)
+            print(f"FAIL {name}: {str(exc)[:300]}")
+    if failures:
+        print(f"failures: {failures}")
+        return 1
+    print(f"checked {len(SENSITIVE)} numerically-sensitive queries at {SF_DIR}: all match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
