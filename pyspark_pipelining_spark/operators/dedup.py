@@ -467,3 +467,75 @@ def prefix_jaccard_join(
         .filter(F.col("jaccard") >= t)
         .select("doc_1", "doc_2", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def prefix_containment_join(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """EXACT all-ORDERED-pairs shingle-set CONTAINMENT
+    ``C(A→B) = |A ∩ B| / |A| ≥ threshold`` — the asymmetric complement
+    of :func:`prefix_jaccard_join`: Jaccard misses a short document
+    quoted verbatim inside a much longer one (the union term drowns the
+    overlap), which is exactly the subset-duplication an LLM corpus
+    pipeline must catch (boilerplate inclusion, quote expansion,
+    wrapper pages).
+
+    Prefix rule (asymmetric): under a global rarest-first token order,
+    C(A→B) ≥ t forces A and B to share a token within A's first
+    ``|A| - ⌈t·|A|⌉ + 1`` tokens — only the CONTAINED side prunes to a
+    prefix; the candidate join runs A-prefix ⋈ B-full-postings.  That
+    stays selective for the same reason PPJoin does: prefix tokens are
+    the rare ones, so the full posting lists they meet are short.  The
+    lossless length filter is one-sided (``|B| ≥ ⌈t·|A|⌉``; containment
+    has no upper bound on |B|).  Exact verification touches candidate
+    pairs only.
+
+    Output: ``doc_inner, doc_outer, containment`` — ordered pairs
+    (inner's shingle set is ≥ t-contained in outer's), rounded 6.
+    """
+    t = float(threshold)
+    toks = (
+        word_ngrams(df, n, text_col)
+        .select(F.col(id_col).alias("doc_id"), F.array_distinct("ngrams").alias("gs"))
+        .select("doc_id", F.explode("gs").alias("tok"))
+    )
+    toks = cache.keep(toks)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_freq"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("doc_id").orderBy("df_freq", "tok")
+    prefix = (
+        toks.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select(F.col("doc_id").alias("doc_inner"), "tok", F.col("sz").alias("sz_a"))
+    )
+    postings = toks.select(F.col("doc_id").alias("doc_outer"), "tok")
+    cand = (
+        prefix.join(sizes.select(F.col("doc_id").alias("doc_outer"), F.col("sz").alias("sz_b")).join(postings, "doc_outer"), "tok")
+        .filter(
+            (F.col("doc_inner") != F.col("doc_outer"))
+            & (F.col("sz_b") >= F.ceil(F.lit(t) * F.col("sz_a")))
+        )
+        .select("doc_inner", "doc_outer")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_inner"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_outer"), "tok")
+    inter = (
+        cand.join(ta, "doc_inner")
+        .join(tb, ["doc_outer", "tok"])
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_inner"), F.col("sz").alias("n_a"))
+    return (
+        inter.join(sa, "doc_inner")
+        .withColumn("containment", F.col("inter") / F.col("n_a"))
+        .filter(F.col("containment") >= t)
+        .select("doc_inner", "doc_outer", F.round("containment", 6).alias("containment"))
+    )

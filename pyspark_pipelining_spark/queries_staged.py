@@ -1,0 +1,222 @@
+"""Round-8 staging area: oracle-paired queries that are READY but
+deliberately NOT registered — the r07 snapshot window already carries
+15 never-validated queries (the mining family), and late registrations
+would evict pending slots (CLAUDE.md: registry freeze).
+
+Next round: merge QUERIES_STAGED / ORACLES_STAGED into their family
+modules (funnel/retention → queries_analytics, containment →
+queries_llm, or a module of their own), delete this file, and
+regenerate VALIDATION.md.  The local gates exercise everything here
+every pytest run (oracle compare at sf0.001, the pandas-dtype gate,
+and the plan-invariant gate), so these are pytest-green now and
+driver-validated next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.sources.registry import load_table
+
+# ---------------------------------------------------------------------------
+# 1. Ordered funnel conversion (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users whose first view precedes a click
+    that precedes a purchase.  Each step is one filtered scan (type
+    predicate pushed to parquet) folded to a per-user min timestamp,
+    then a user-keyed join with a strict ``ts >`` range predicate —
+    the chain never materializes event sequences, so step cost is
+    O(step events), not O(user history), at any scale.  Step
+    comparisons are pure timestamp predicates (no tiebreak needed:
+    both engines evaluate the identical strict inequality)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    nfull = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nfull))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.when(
+                F.col("n_view") > 0,
+                F.round(F.col("n_view_click") / F.col("n_view"), 6),
+            ).alias("click_rate"),
+            F.when(
+                F.col("n_view_click") > 0,
+                F.round(F.col("n_full_funnel") / F.col("n_view_click"), 6),
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH v AS (
+    SELECT user_id, min(ts) AS vt FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS ct
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS pt
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+agg AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+)
+SELECT n_view, n_view_click, n_full_funnel,
+       CASE WHEN n_view > 0
+            THEN round(n_view_click / n_view, 6) END AS click_rate,
+       CASE WHEN n_view_click > 0
+            THEN round(n_full_funnel / n_view_click, 6) END AS purchase_rate
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Cohort retention matrix (day-0..7 return rate)
+# ---------------------------------------------------------------------------
+
+
+def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic day-N retention: users cohort by first active DAY; each
+    (cohort, offset 0..7) cell counts users active that day.  The
+    input folds immediately to the distinct (user, day) grid — all
+    later joins and counts run on that bounded activity table, and
+    since the grid is distinct, a plain count IS the distinct-user
+    count (no countDistinct state).  Cohort sizes broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("day0"))
+    sized = first.groupBy("day0").agg(F.count(F.lit(1)).alias("cohort_users"))
+    cells = (
+        days.join(first, "user_id")
+        .select("day0", F.datediff("day", F.col("day0")).alias("day_offset"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("day0", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sized), "day0")
+        .select(
+            F.col("day0").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "cohort_users",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_users"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_RETENTION_MATRIX = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+firstd AS (SELECT user_id, min(day) AS day0 FROM days GROUP BY user_id),
+sized AS (
+    SELECT day0, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM firstd GROUP BY day0
+),
+cells AS (
+    SELECT f.day0, date_diff('day', f.day0, d.day) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM days d JOIN firstd f ON d.user_id = f.user_id
+    WHERE date_diff('day', f.day0, d.day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+)
+SELECT day0 AS cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       cohort_users, n_active,
+       round(n_active / cohort_users, 6) AS retention
+FROM cells JOIN sized USING (day0)
+ORDER BY cohort_day, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Exact shingle-set containment join (subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ordered doc pairs with 4-gram-set containment
+    ``|A ∩ B| / |A| ≥ 0.8`` (operators/dedup.prefix_containment_join)
+    — the subset-duplication screen Jaccard misses when a short doc is
+    quoted inside a much longer one.  Asymmetric prefix filter: only
+    the contained side prunes to its rarest-first prefix; candidates
+    come from prefix ⋈ postings on rare shingles, verification is
+    exact and candidate-only.  The oracle is the brute-force
+    all-ordered-pairs intersection — the filter must lose NOTHING."""
+    from pyspark_pipelining_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_containment_join(docs, threshold=0.8, n=4).orderBy(
+        "doc_inner", "doc_outer"
+    )
+
+
+def _sql_containment() -> str:
+    from pyspark_pipelining_spark.queries_llm import SQL_FOURGRAMS
+
+    return f"""
+WITH {SQL_FOURGRAMS},
+gset AS (SELECT DISTINCT doc_id, unnest(ngrams) AS g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gset GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, count(*) AS i
+    FROM gset a JOIN gset b ON a.g = b.g AND a.doc_id != b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_inner, doc_outer, round(i / s.n_grams, 6) AS containment
+FROM inter JOIN sizes s ON inter.doc_inner = s.doc_id
+WHERE i / s.n_grams >= 0.8
+ORDER BY doc_inner, doc_outer
+"""
+
+
+SQL_CONTAINMENT_PAIRS = _sql_containment()
+
+
+QUERIES_STAGED = {
+    "funnel_conversion": q_funnel_conversion,
+    "retention_matrix": q_retention_matrix,
+    "containment_pairs": q_containment_pairs,
+}
+
+ORACLES_STAGED = {
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "retention_matrix": SQL_RETENTION_MATRIX,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+}
