@@ -209,14 +209,105 @@ ORDER BY doc_inner, doc_outer
 SQL_CONTAINMENT_PAIRS = _sql_containment()
 
 
+# ---------------------------------------------------------------------------
+# 4. Time-to-convert distribution (exact median / p90 lag, integer rank)
+# ---------------------------------------------------------------------------
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds from first view to the first LATER purchase, per
+    converting user, summarized as exact median and p90 via the
+    integer order-statistic machinery (exact_median_value generalized
+    to arbitrary ranks): lags quantize to whole seconds, fold to
+    (lag_s, count) cells, and the quantile windows run over that
+    bounded cell table — never a global sort of users.  Timestamps
+    compare as unix micros (lossless: the feed is µs-exact)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("vt"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("pt"))
+        .join(v, "user_id")
+        .filter(F.col("pt") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("pt"), F.max("vt").alias("vt"))
+    )
+    cells = (
+        conv.select(F.expr("(pt - vt) div 1000000").alias("lag_s"))
+        .groupBy("lag_s")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    w = Window.orderBy("lag_s").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    ranked = cells.select(
+        "lag_s",
+        F.sum("ni").over(w).alias("cum"),
+        F.sum("ni").over(wt).alias("n"),
+    )
+    agg = ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("lag_s"))).alias("c1"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 2"), F.col("lag_s"))).alias("c2"),
+        F.min(F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("lag_s"))).alias("c90"),
+    )
+    return agg.select(
+        "n_converted",
+        F.round((F.col("c1") + F.col("c2")) / F.lit(2.0), 6).alias("median_lag_s"),
+        F.col("c90").cast("double").alias("p90_lag_s"),
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS pt, max(v.vt) AS vt
+    FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.vt
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+),
+cells AS (
+    SELECT (pt - vt) // 1000000 AS lag_s, count(*) AS ni
+    FROM conv GROUP BY 1
+),
+ranked AS (
+    SELECT lag_s,
+           sum(ni) OVER (ORDER BY lag_s ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(ni) OVER () AS n
+    FROM cells
+),
+agg AS (
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           min(CASE WHEN cum >= (n + 1) // 2 THEN lag_s END) AS c1,
+           min(CASE WHEN cum >= (n + 2) // 2 THEN lag_s END) AS c2,
+           min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lag_s END) AS c90
+    FROM ranked
+)
+SELECT n_converted,
+       round((c1 + c2) / 2.0, 6) AS median_lag_s,
+       CAST(c90 AS DOUBLE) AS p90_lag_s
+FROM agg
+"""
+
+
 QUERIES_STAGED = {
     "funnel_conversion": q_funnel_conversion,
     "retention_matrix": q_retention_matrix,
     "containment_pairs": q_containment_pairs,
+    "conversion_lag": q_conversion_lag,
 }
 
 ORACLES_STAGED = {
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "retention_matrix": SQL_RETENTION_MATRIX,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "conversion_lag": SQL_CONVERSION_LAG,
 }

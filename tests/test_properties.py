@@ -1044,3 +1044,33 @@ def test_session_trigram_paths_expansion_bounded(spark):
     assert sum(r["n"] for r in out) == 4 <= len(rows)
     assert all(r["path"].count(">") == 2 for r in out)
     assert {r["path"] for r in out} == {"t0>t1>t2", "t1>t2>t0", "t2>t0>t1", "y>y>y"}
+
+
+def test_minhash_lsh_recall_vs_exact_ppjoin_ground_truth(spark):
+    """r06 watch-list (c): the registered MinHash-LSH oracles reproduce
+    the same bucketing in SQL, proving determinism rather than
+    independent semantics.  This pins the SEMANTICS: against the EXACT
+    prefix-filtered Jaccard join (recall-lossless ground truth, same
+    4-gram shingle space, threshold 0.8), the banded MinHash candidate
+    join must recover ≥ 90% of true pairs — the quantified recall
+    floor the 100 TB dedup story rests on (expected miss rate per true
+    pair at J = 0.8 with 8 bands × 2 rows is (1 − 0.8²)⁸ ≈ 3e-4)."""
+    from pyspark_pipelining_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_jaccard_join,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    truth = {
+        (r["doc_1"], r["doc_2"])
+        for r in prefix_jaccard_join(docs, threshold=0.8, n=4).collect()
+    }
+    assert truth, "fixture must contain true near-duplicate pairs"
+    cand = {
+        (r["doc_1"], r["doc_2"])
+        for r in minhash_lsh_pairs(docs, ngram=4).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} over {len(truth)} true pairs"
