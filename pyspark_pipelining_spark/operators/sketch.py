@@ -564,6 +564,14 @@ def cms_inner_product(
 
     Output: one row, ``est_join_size`` (long).
     """
+    from pyspark_pipelining_spark import cache
+
+    # both sketches feed TWO branches (the dot join and the depth-row
+    # completion below) — persist so the fact-table scan behind each
+    # sketch runs once, not once per branch (the sketches themselves
+    # are ≤ depth × width rows)
+    sketch_a = cache.keep(sketch_a)
+    sketch_b = cache.keep(sketch_b)
     a = sketch_a.select("d", "bucket", F.col("c").alias("ca"))
     b = sketch_b.select("d", "bucket", F.col("c").alias("cb"))
     dots = (

@@ -290,8 +290,13 @@ def q_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cells.withColumn(
         "c_prev", F.coalesce(F.sum("ni").over(w), F.lit(0))
     )
+    # the ni·c_prev product is the O(n²) term — widen it BEFORE the
+    # multiply so a 100 TB group cannot wrap int64 (the remaining pure-
+    # long term ni·(ni+1) div 2 needs ~4e9 identical values of one
+    # exact cent amount in one type before it could overflow)
     srx = F.expr(
-        "CAST(cents AS DECIMAL(38,0)) * (ni * c_prev + ni * (ni + 1) div 2)"
+        "CAST(cents AS DECIMAL(38,0))"
+        " * (CAST(ni AS DECIMAL(38,0)) * c_prev + ni * (ni + 1) div 2)"
     )
     sx = F.expr("CAST(cents AS DECIMAL(38,0)) * ni")
     agg = ranked.groupBy("event_type").agg(
@@ -326,7 +331,8 @@ ranked AS (
 ),
 agg AS (
     SELECT event_type,
-           sum(CAST(cents AS HUGEINT) * (ni * c_prev + ni * (ni + 1) // 2)) AS srx,
+           sum(CAST(cents AS HUGEINT)
+               * (CAST(ni AS HUGEINT) * c_prev + ni * (ni + 1) // 2)) AS srx,
            sum(CAST(cents AS HUGEINT) * ni) AS sx,
            CAST(sum(ni) AS BIGINT) AS n
     FROM ranked GROUP BY event_type
@@ -716,13 +722,16 @@ def session_trigram_paths(
     or all-window enumeration which is combinatorial.  The global
     top-k is TakeOrdered (per-partition heaps), not a full sort."""
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # gap compares unix MICROS, not whole seconds: a truncated-second
+    # diff disagrees with the oracle's epoch_us for sub-second gap
+    # straddles (the sessionize_batch convention; feed is µs-exact)
     sess = (
         ev.select("user_id", "ts", "event_id", "event_type")
         .withColumn(
             "new_s",
             F.when(
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wseq)
-                > gap_min * 60,
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wseq)
+                > gap_min * 60 * 1_000_000,
                 1,
             )
             .otherwise(0)
@@ -774,7 +783,8 @@ WITH lagd AS (
 sess AS (
     SELECT user_id, ts, event_id, event_type,
            sum(CASE WHEN prev IS NULL
-                         OR epoch(ts) - epoch(prev) > {PATH_GAP_MIN * 60}
+                         OR epoch_us(ts) - epoch_us(prev)
+                            > {PATH_GAP_MIN * 60 * 1000000}
                     THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS session_no

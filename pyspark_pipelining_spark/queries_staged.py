@@ -33,13 +33,19 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(step events), not O(user history), at any scale.  Step
     comparisons are pure timestamp predicates (no tiebreak needed:
     both engines evaluate the identical strict inequality)."""
+    from pyspark_pipelining_spark import cache
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    v = (
+    # v feeds both the count branch and the next step's join (and c
+    # likewise): persist each step's per-user min table so every
+    # filtered events scan runs ONCE (CLAUDE.md: multi-branch inputs
+    # checkpoint once); the persisted tables are one row per user
+    v = cache.keep(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("vt"))
     )
-    c = (
+    c = cache.keep(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("vt"))
@@ -116,9 +122,15 @@ def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     later joins and counts run on that bounded activity table, and
     since the grid is distinct, a plain count IS the distinct-user
     count (no countDistinct state).  Cohort sizes broadcast back."""
+    from pyspark_pipelining_spark import cache
+
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    first = days.groupBy("user_id").agg(F.min("day").alias("day0"))
+    # the grid feeds cells AND (via first) the cohort sizing — persist
+    # so the events scan + distinct fold runs once, not per branch
+    days = cache.keep(
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    first = cache.keep(days.groupBy("user_id").agg(F.min("day").alias("day0")))
     sized = first.groupBy("day0").agg(F.count(F.lit(1)).alias("cohort_users"))
     cells = (
         days.join(first, "user_id")

@@ -67,11 +67,10 @@ def main() -> int:
             continue
         try:
             compare(spark, SF_DIR, QUERIES[name], ORACLES[name])
-            n = QUERIES[name](spark, SF_DIR).count()
-            print(f"OK   {name} rows={n}")
-        except AssertionError as exc:
+            print(f"OK   {name}")
+        except Exception as exc:  # record mismatches AND runtime errors
             failures.append(name)
-            print(f"FAIL {name}: {str(exc)[:300]}")
+            print(f"FAIL {name}: {type(exc).__name__}: {str(exc)[:300]}")
     if failures:
         print(f"failures: {failures}")
         return 1
