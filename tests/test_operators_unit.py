@@ -1478,3 +1478,39 @@ def test_bitmap_distinct_exact_for_negative_values(spark):
     df = spark.createDataFrame([("g", v) for v in vals], "grp string, val bigint")
     got = bitmap_distinct(df, "grp", "val").collect()
     assert got[0]["n_distinct"] == len(set(vals))
+
+
+def test_containment_join_catches_planted_subset_duplicate(spark):
+    """The semantic story behind prefix_containment_join: a short doc
+    quoted verbatim inside a much longer one has containment 1.0 even
+    when Jaccard is far below any dedup threshold — the subset-dup
+    class the asymmetric join exists for."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.dedup import (
+        prefix_containment_join,
+        prefix_jaccard_join,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i} z{i}" for i in range(30))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler.upper().lower()),
+        (3, "totally unrelated words " + " ".join(f"q{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in prefix_containment_join(docs, threshold=0.8, n=4).collect()
+    }
+    # every 4-gram of doc 1 appears in doc 2 -> containment exactly 1.0
+    assert got.get((1, 2)) == 1.0
+    # the reverse direction is NOT contained, nor is the unrelated doc
+    assert (2, 1) not in got and (3, 2) not in got and (1, 3) not in got
+    # and symmetric Jaccard misses the pair entirely at the same bar
+    jac = {
+        (r["doc_1"], r["doc_2"])
+        for r in prefix_jaccard_join(docs, threshold=0.8, n=4).collect()
+    }
+    assert (1, 2) not in jac

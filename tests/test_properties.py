@@ -1074,3 +1074,66 @@ def test_minhash_lsh_recall_vs_exact_ppjoin_ground_truth(spark):
     }
     recall = len(truth & cand) / len(truth)
     assert recall >= 0.9, f"LSH recall {recall:.3f} over {len(truth)} true pairs"
+
+
+funnel_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),           # user
+        st.integers(min_value=0, max_value=500),         # minute
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+def _python_funnel(rows):
+    by_u: dict[int, list] = {}
+    for u, m, t in rows:
+        by_u.setdefault(u, []).append((m, t))
+    nv = nc = nf = 0
+    for evs in by_u.values():
+        views = [m for m, t in evs if t == "view"]
+        if not views:
+            continue
+        nv += 1
+        vt = min(views)
+        clicks = [m for m, t in evs if t == "click" and m > vt]
+        if not clicks:
+            continue
+        nc += 1
+        ct = min(clicks)
+        if any(m > ct for m, t in evs if t == "purchase"):
+            nf += 1
+    return nv, nc, nf
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=funnel_events_strategy)
+def test_funnel_conversion_matches_python_model(spark, rows, tmp_path_factory):
+    """Strict-order semantics under ties and interleavings: a click AT
+    the first view's timestamp does not count (strict >), later views
+    never reopen the funnel, and users without views are excluded —
+    pinned against a plain-Python model on synthetic parquet."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark import cache
+    from pyspark_pipelining_spark.queries_staged import q_funnel_conversion
+
+    sf_dir = str(tmp_path_factory.mktemp("funnel_sf"))
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [EPOCH + dt.timedelta(minutes=m) for (_u, m, _t) in rows],
+            "user_id": [u for (u, _m, _t) in rows],
+            "event_type": [t for (_u, _m, t) in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(f"{sf_dir}/events.parquet")
+    try:
+        row = q_funnel_conversion(spark, sf_dir).collect()[0]
+    finally:
+        cache.release_all()
+    assert (row["n_view"], row["n_view_click"], row["n_full_funnel"]) == _python_funnel(rows)
