@@ -145,7 +145,11 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
-    cohorts = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    from pyspark_pipelining_spark import cache
+
+    # cohorts feeds both the sizing agg and the cells join: persist the
+    # per-customer table so the orders scan behind it runs once
+    cohorts = cache.keep(o.groupBy("o_custkey").agg(F.min("m").alias("m0")))
     sized = cohorts.groupBy("m0").agg(
         F.count(F.lit(1)).alias("cohort_users")
     )
@@ -219,8 +223,15 @@ def q_edit_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     on deletion variants and the exact levenshtein verifies only
     candidates.  Variant generation is a map-side sequence/transform;
     the join is keyed on the variant string."""
+    from pyspark_pipelining_spark import cache
+
     p = load_table(spark, sf_dir, "part")
-    names = p.select("p_name").distinct()
+    # cache the SMALL distinct-name table (one row per name), not the
+    # ~|name|-times-inflated variant expansion: the scan + distinct
+    # shuffle then runs once, while the expansion — pure map-side
+    # substring work — recomputes cheaply per join side (caching the
+    # inflated frame would materialize a table ~50x the dim size)
+    names = cache.keep(p.select("p_name").distinct())
     variants = _variants(names)
     a = variants.select(F.col("p_name").alias("name_1"), "v")
     b = variants.select(F.col("p_name").alias("name_2"), "v")
