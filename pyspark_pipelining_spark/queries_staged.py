@@ -310,11 +310,107 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. Zipf slope of the token frequency distribution
+# ---------------------------------------------------------------------------
+
+ZIPF_TOPN = 200
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of log-frequency vs log-rank over the top
+    ZIPF_TOPN tokens — the Zipf exponent a corpus-health dashboard
+    tracks (natural text ≈ −1; template/boilerplate-heavy corpora
+    deviate).  Scale shape: the token count folds map-side, the top-N
+    comes from TakeOrdered (freq desc, token asc — deterministic), and
+    the regression runs over the bounded N-row table with every log
+    term int64-QUANTIZED (×1e9) before summing, so both engines
+    produce the identical double regardless of summation order; the
+    quantized cross-products widen to decimal (they exceed int64)."""
+    from pyspark.sql import Window
+
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        with_words(docs)
+        .select(F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(ZIPF_TOPN)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    q = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e9)
+        .cast("long")
+        .alias("xq"),
+        F.round(F.log(F.col("n").cast("double")) * 1e9).cast("long").alias("yq"),
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * yq")).alias("sxy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * xq")).alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.col("k") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    return agg.select(
+        F.col("k").cast("long").alias("n_tokens"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )
+
+
+def _sql_zipf() -> str:
+    from pyspark_pipelining_spark.queries_llm import SQL_WORDS
+
+    return f"""
+WITH {SQL_WORDS},
+tok AS (SELECT unnest(w) AS token FROM words),
+freq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tok WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT {ZIPF_TOPN}
+),
+q AS (
+    SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                              AS DOUBLE)) * 1000000000) AS BIGINT) AS xq,
+           CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT) AS yq
+    FROM freq
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(xq) AS BIGINT) AS sx,
+           CAST(sum(yq) AS BIGINT) AS sy,
+           sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+           sum(CAST(xq AS HUGEINT) * xq) AS sxx
+    FROM q
+)
+SELECT k AS n_tokens,
+       round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+           AS zipf_slope
+FROM agg
+"""
+
+
+SQL_ZIPF_SLOPE = _sql_zipf()
+
+
 QUERIES_STAGED = {
     "funnel_conversion": q_funnel_conversion,
     "retention_matrix": q_retention_matrix,
     "containment_pairs": q_containment_pairs,
     "conversion_lag": q_conversion_lag,
+    "zipf_slope": q_zipf_slope,
 }
 
 ORACLES_STAGED = {
@@ -322,4 +418,5 @@ ORACLES_STAGED = {
     "retention_matrix": SQL_RETENTION_MATRIX,
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "conversion_lag": SQL_CONVERSION_LAG,
+    "zipf_slope": SQL_ZIPF_SLOPE,
 }
