@@ -36,8 +36,13 @@ def universe_ratios_by_etype(expo_df: DataFrame, proj_df: DataFrame, univ_df: Da
     ``etype, exposures`` (per-universe totals).  Output: ``etype, ratio``
     with an ``'all'`` row (reference ``main``, ``hh_project_univ.py:22-28``).
     """
-    with_all = expo_df.select("household_id", "etype").unionByName(
-        expo_df.select("household_id", F.lit("all").alias("etype"))
+    # the 'all' rollup row duplicates each input row under a second
+    # group label: explode a 2-element array instead of unioning the
+    # frame with itself — same rows, ONE scan of the (fan-out union)
+    # exposure pipeline instead of two (scan-audit round 7)
+    with_all = expo_df.select(
+        "household_id",
+        F.explode(F.array(F.col("etype"), F.lit("all"))).alias("etype"),
     )
     proj = (
         # household-cardinality side: no broadcast hint (the optimizer
@@ -46,8 +51,9 @@ def universe_ratios_by_etype(expo_df: DataFrame, proj_df: DataFrame, univ_df: Da
         .groupBy("etype")
         .agg(F.sum("projfact").alias("proj_sum"))
     )
-    univ_all = univ_df.select("etype", "exposures").unionByName(
-        univ_df.select(F.lit("all").alias("etype"), "exposures")
+    univ_all = univ_df.select(
+        F.explode(F.array(F.col("etype"), F.lit("all"))).alias("etype"),
+        "exposures",
     )
     univ = univ_all.groupBy("etype").agg(F.sum("exposures").alias("univ_sum"))
     return (
