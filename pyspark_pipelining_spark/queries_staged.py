@@ -263,7 +263,9 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ni").over(wt).alias("n"),
     )
     agg = ranked.agg(
-        F.max("n").cast("long").alias("n_converted"),
+        # empty conversion set: 0 converted (not NULL); the quantiles
+        # stay NULL (undefined), identically in the oracle
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n_converted"),
         F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("lag_s"))).alias("c1"),
         F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 2"), F.col("lag_s"))).alias("c2"),
         F.min(F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("lag_s"))).alias("c90"),
@@ -297,7 +299,7 @@ ranked AS (
     FROM cells
 ),
 agg AS (
-    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+    SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS n_converted,
            min(CASE WHEN cum >= (n + 1) // 2 THEN lag_s END) AS c1,
            min(CASE WHEN cum >= (n + 2) // 2 THEN lag_s END) AS c2,
            min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lag_s END) AS c90

@@ -1137,3 +1137,123 @@ def test_funnel_conversion_matches_python_model(spark, rows, tmp_path_factory):
     finally:
         cache.release_all()
     assert (row["n_view"], row["n_view_click"], row["n_full_funnel"]) == _python_funnel(rows)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),       # user
+            st.integers(min_value=0, max_value=20),      # day offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_retention_matrix_matches_python_model(spark, rows, tmp_path_factory):
+    """Cohort anchoring and the 0..7 offset window against a plain
+    Python model: first active day defines the cohort, repeat activity
+    on one day counts once, offsets past 7 are excluded."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark import cache
+    from pyspark_pipelining_spark.queries_staged import q_retention_matrix
+
+    sf_dir = str(tmp_path_factory.mktemp("retention_sf"))
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [EPOCH + dt.timedelta(days=d, hours=3) for (_u, d) in rows],
+            "user_id": [u for (u, _d) in rows],
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(f"{sf_dir}/events.parquet")
+    try:
+        got = {
+            (str(r["cohort_day"]), r["day_offset"]): (r["cohort_users"], r["n_active"])
+            for r in q_retention_matrix(spark, sf_dir).collect()
+        }
+    finally:
+        cache.release_all()
+    days: dict[int, set] = {}
+    for u, d in rows:
+        days.setdefault(u, set()).add(d)
+    first = {u: min(ds) for u, ds in days.items()}
+    sizes: dict[int, int] = {}
+    for u in days:
+        sizes[first[u]] = sizes.get(first[u], 0) + 1
+    want: dict[tuple, list] = {}
+    for u, ds in days.items():
+        for d in ds:
+            off = d - first[u]
+            if 0 <= off <= 7:
+                key = (str((EPOCH + dt.timedelta(days=first[u])).date()), off)
+                want.setdefault(key, [sizes[first[u]], 0])[1] += 1
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),           # user
+            st.integers(min_value=0, max_value=400),         # minute
+            st.sampled_from(["view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_conversion_lag_matches_python_model(spark, rows, tmp_path_factory):
+    """Exact median/p90 of view→purchase lags against a Python model
+    over randomized interleavings (strictly-later purchases only; the
+    even-count median averages the two middle order statistics; p90 is
+    the ceil(0.9n)-th)."""
+    import math
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark import cache
+    from pyspark_pipelining_spark.queries_staged import q_conversion_lag
+
+    lags = []
+    by_u: dict[int, list] = {}
+    for u, m, t in rows:
+        by_u.setdefault(u, []).append((m, t))
+    for evs in by_u.values():
+        views = [m for m, t in evs if t == "view"]
+        if not views:
+            continue
+        vt = min(views)
+        purch = [m for m, t in evs if t == "purchase" and m > vt]
+        if purch:
+            lags.append((min(purch) - vt) * 60)
+    sf_dir = str(tmp_path_factory.mktemp("lag_sf"))
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [EPOCH + dt.timedelta(minutes=m) for (_u, m, _t) in rows],
+            "user_id": [u for (u, _m, _t) in rows],
+            "event_type": [t for (_u, _m, t) in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    ).to_parquet(f"{sf_dir}/events.parquet")
+    try:
+        out = q_conversion_lag(spark, sf_dir).collect()
+    finally:
+        cache.release_all()
+    if not lags:
+        assert out[0]["n_converted"] == 0
+        return
+    row = out[0]
+    s = sorted(lags)
+    n = len(s)
+    want_median = (s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]) / 2.0
+    want_p90 = float(s[math.ceil(0.9 * n) - 1])
+    assert row["n_converted"] == n
+    assert row["median_lag_s"] == round(want_median, 6)
+    assert row["p90_lag_s"] == want_p90
