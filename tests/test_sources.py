@@ -338,3 +338,15 @@ def test_json_error_channel_quarantines_bad_rows(spark, tmp_path):
     assert sorted((r["id"], r["v"]) for r in good.collect()) == [(1, "x"), (2, "y")]
     raws = [r["raw"] for r in bad.collect()]
     assert len(raws) == 2 and "not json at all" in raws
+    # the documented release path drops the cached parse behind both
+    # children (ADVICE r06: the cache must not pin the feed forever)
+    from pyspark_pipelining_spark.sources.registry import (
+        unpersist_json_with_errors,
+    )
+
+    parent = good._json_errors_parent
+    assert parent.storageLevel.useMemory or parent.storageLevel.useDisk
+    unpersist_json_with_errors(good)
+    assert not (parent.storageLevel.useMemory or parent.storageLevel.useDisk)
+    # no-op on frames that did not come from the loader
+    unpersist_json_with_errors(good.select("id"))
