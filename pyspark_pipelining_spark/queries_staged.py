@@ -407,12 +407,90 @@ FROM agg
 SQL_ZIPF_SLOPE = _sql_zipf()
 
 
+# ---------------------------------------------------------------------------
+# 6. Dedup impact report (docs/chars removable per source)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the near-dup dedup would actually DELETE, per source: docs
+    cluster by LSH → connected components (dedup_clusters), a doc is
+    removed iff it is not its cluster's min-id representative
+    (drop_duplicate_docs policy), and the report rolls up removed
+    docs/chars and the removal fraction — the go/no-go artifact a
+    corpus owner reads before a 100 TB dedup pass.  One broadcast-able
+    rollup over the cluster labels; all heavy lifting is the already
+    scale-shaped clustering."""
+    from pyspark_pipelining_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    labeled = docs.select("doc_id", "source", "n_chars").join(clusters, "doc_id")
+    removed = (F.col("doc_id") != F.col("cluster_id")).cast("long")
+    agg = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(removed).cast("long").alias("n_removed"),
+        F.sum(F.col("n_chars") * removed).cast("long").alias("chars_removed"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_removed",
+        "chars_removed",
+        F.round(F.col("n_removed") / F.col("n_docs"), 6).alias("removed_frac"),
+    ).orderBy("source")
+
+
+def _sql_dedup_impact(threshold: float = 0.5, num_hashes: int = 16, bands: int = 8) -> str:
+    from pyspark_pipelining_spark.queries_llm import _minhash_fragments
+
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1 AS src, doc_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_2, doc_1 FROM pairs
+),
+walk(doc_id, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.doc_id
+),
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id),
+labeled AS (
+    SELECT d.source, d.n_chars,
+           CASE WHEN d.doc_id != coalesce(c.cluster_id, d.doc_id)
+                THEN 1 ELSE 0 END AS removed
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(removed) AS BIGINT) AS n_removed,
+       CAST(sum(n_chars * removed) AS BIGINT) AS chars_removed,
+       round(sum(removed) / count(*), 6) AS removed_frac
+FROM labeled
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_DEDUP_IMPACT = _sql_dedup_impact()
+
+
 QUERIES_STAGED = {
     "funnel_conversion": q_funnel_conversion,
     "retention_matrix": q_retention_matrix,
     "containment_pairs": q_containment_pairs,
     "conversion_lag": q_conversion_lag,
     "zipf_slope": q_zipf_slope,
+    "dedup_impact": q_dedup_impact,
 }
 
 ORACLES_STAGED = {
@@ -421,4 +499,5 @@ ORACLES_STAGED = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "conversion_lag": SQL_CONVERSION_LAG,
     "zipf_slope": SQL_ZIPF_SLOPE,
+    "dedup_impact": SQL_DEDUP_IMPACT,
 }
