@@ -1085,3 +1085,248 @@ ORACLES_ANALYTICS = {
     "basket_pairs": SQL_BASKET_PAIRS,
     "cumulative_distinct_users": SQL_CUMULATIVE_DISTINCT_USERS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-8 registrations (formerly queries_staged.py): strict-order
+# funnel, retention matrix, conversion-lag quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: users whose first view precedes a click
+    that precedes a purchase.  Each step is one filtered scan (type
+    predicate pushed to parquet) folded to a per-user min timestamp,
+    then a user-keyed join with a strict ``ts >`` range predicate —
+    the chain never materializes event sequences, so step cost is
+    O(step events), not O(user history), at any scale.  Step
+    comparisons are pure timestamp predicates (no tiebreak needed:
+    both engines evaluate the identical strict inequality)."""
+    from pyspark_pipelining_spark import cache
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # v feeds both the count branch and the next step's join (and c
+    # likewise): persist each step's per-user min table so every
+    # filtered events scan runs ONCE (CLAUDE.md: multi-branch inputs
+    # checkpoint once); the persisted tables are one row per user
+    v = cache.keep(
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = cache.keep(
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    nfull = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nfull))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.when(
+                F.col("n_view") > 0,
+                F.round(F.col("n_view_click") / F.col("n_view"), 6),
+            ).alias("click_rate"),
+            F.when(
+                F.col("n_view_click") > 0,
+                F.round(F.col("n_full_funnel") / F.col("n_view_click"), 6),
+            ).alias("purchase_rate"),
+        )
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH v AS (
+    SELECT user_id, min(ts) AS vt FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS ct
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.vt
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS pt
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ct
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+agg AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+)
+SELECT n_view, n_view_click, n_full_funnel,
+       CASE WHEN n_view > 0
+            THEN round(n_view_click / n_view, 6) END AS click_rate,
+       CASE WHEN n_view_click > 0
+            THEN round(n_full_funnel / n_view_click, 6) END AS purchase_rate
+FROM agg
+"""
+
+
+def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic day-N retention: users cohort by first active DAY; each
+    (cohort, offset 0..7) cell counts users active that day.  The
+    input folds immediately to the distinct (user, day) grid — all
+    later joins and counts run on that bounded activity table, and
+    since the grid is distinct, a plain count IS the distinct-user
+    count (no countDistinct state).  Cohort sizes broadcast back."""
+    from pyspark_pipelining_spark import cache
+
+    ev = load_table(spark, sf_dir, "events")
+    # the grid feeds cells AND (via first) the cohort sizing — persist
+    # so the events scan + distinct fold runs once, not per branch
+    days = cache.keep(
+        ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    first = cache.keep(days.groupBy("user_id").agg(F.min("day").alias("day0")))
+    sized = first.groupBy("day0").agg(F.count(F.lit(1)).alias("cohort_users"))
+    cells = (
+        days.join(first, "user_id")
+        .select("day0", F.datediff("day", F.col("day0")).alias("day_offset"))
+        .filter((F.col("day_offset") >= 0) & (F.col("day_offset") <= 7))
+        .groupBy("day0", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sized), "day0")
+        .select(
+            F.col("day0").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "cohort_users",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_users"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_RETENTION_MATRIX = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+firstd AS (SELECT user_id, min(day) AS day0 FROM days GROUP BY user_id),
+sized AS (
+    SELECT day0, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM firstd GROUP BY day0
+),
+cells AS (
+    SELECT f.day0, date_diff('day', f.day0, d.day) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM days d JOIN firstd f ON d.user_id = f.user_id
+    WHERE date_diff('day', f.day0, d.day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+)
+SELECT day0 AS cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+       cohort_users, n_active,
+       round(n_active / cohort_users, 6) AS retention
+FROM cells JOIN sized USING (day0)
+ORDER BY cohort_day, day_offset
+"""
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds from first view to the first LATER purchase, per
+    converting user, summarized as exact median and p90 via the
+    integer order-statistic machinery (exact_median_value generalized
+    to arbitrary ranks): lags quantize to whole seconds, fold to
+    (lag_s, count) cells, and the quantile windows run over that
+    bounded cell table — never a global sort of users.  Timestamps
+    compare as unix micros (lossless: the feed is µs-exact)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("vt"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("pt"))
+        .join(v, "user_id")
+        .filter(F.col("pt") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("pt").alias("pt"), F.max("vt").alias("vt"))
+    )
+    cells = (
+        conv.select(F.expr("(pt - vt) div 1000000").alias("lag_s"))
+        .groupBy("lag_s")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    w = Window.orderBy("lag_s").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    ranked = cells.select(
+        "lag_s",
+        F.sum("ni").over(w).alias("cum"),
+        F.sum("ni").over(wt).alias("n"),
+    )
+    agg = ranked.agg(
+        # empty conversion set: 0 converted (not NULL); the quantiles
+        # stay NULL (undefined), identically in the oracle
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n_converted"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("lag_s"))).alias("c1"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 2) div 2"), F.col("lag_s"))).alias("c2"),
+        F.min(F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("lag_s"))).alias("c90"),
+    )
+    return agg.select(
+        "n_converted",
+        F.round((F.col("c1") + F.col("c2")) / F.lit(2.0), 6).alias("median_lag_s"),
+        F.col("c90").cast("double").alias("p90_lag_s"),
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS pt, max(v.vt) AS vt
+    FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.vt
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+),
+cells AS (
+    SELECT (pt - vt) // 1000000 AS lag_s, count(*) AS ni
+    FROM conv GROUP BY 1
+),
+ranked AS (
+    SELECT lag_s,
+           sum(ni) OVER (ORDER BY lag_s ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(ni) OVER () AS n
+    FROM cells
+),
+agg AS (
+    SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS n_converted,
+           min(CASE WHEN cum >= (n + 1) // 2 THEN lag_s END) AS c1,
+           min(CASE WHEN cum >= (n + 2) // 2 THEN lag_s END) AS c2,
+           min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lag_s END) AS c90
+    FROM ranked
+)
+SELECT n_converted,
+       round((c1 + c2) / 2.0, 6) AS median_lag_s,
+       CAST(c90 AS DOUBLE) AS p90_lag_s
+FROM agg
+"""
+
+QUERIES_ANALYTICS["funnel_conversion"] = q_funnel_conversion
+ORACLES_ANALYTICS["funnel_conversion"] = SQL_FUNNEL_CONVERSION
+QUERIES_ANALYTICS["retention_matrix"] = q_retention_matrix
+ORACLES_ANALYTICS["retention_matrix"] = SQL_RETENTION_MATRIX
+QUERIES_ANALYTICS["conversion_lag"] = q_conversion_lag
+ORACLES_ANALYTICS["conversion_lag"] = SQL_CONVERSION_LAG

@@ -1327,3 +1327,198 @@ ORACLES_LLM["sim_pq_topk"] = SQL_SIM_PQ_TOPK
 
 QUERIES_LLM["kmeans_cells"] = q_kmeans_cells
 ORACLES_LLM["kmeans_cells"] = SQL_KMEANS_CELLS
+
+
+# ---------------------------------------------------------------------------
+# Round-8 registrations (formerly queries_staged.py): containment join,
+# Zipf slope, dedup impact report
+# ---------------------------------------------------------------------------
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ordered doc pairs with 4-gram-set containment
+    ``|A ∩ B| / |A| ≥ 0.8`` (operators/dedup.prefix_containment_join)
+    — the subset-duplication screen Jaccard misses when a short doc is
+    quoted inside a much longer one.  Asymmetric prefix filter: only
+    the contained side prunes to its rarest-first prefix; candidates
+    come from prefix ⋈ postings on rare shingles, verification is
+    exact and candidate-only.  The oracle is the brute-force
+    all-ordered-pairs intersection — the filter must lose NOTHING."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_containment_join(docs, threshold=0.8, n=4).orderBy(
+        "doc_inner", "doc_outer"
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {SQL_FOURGRAMS},
+gset AS (SELECT DISTINCT doc_id, unnest(ngrams) AS g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM gset GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, count(*) AS i
+    FROM gset a JOIN gset b ON a.g = b.g AND a.doc_id != b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_inner, doc_outer, round(i / s.n_grams, 6) AS containment
+FROM inter JOIN sizes s ON inter.doc_inner = s.doc_id
+WHERE i / s.n_grams >= 0.8
+ORDER BY doc_inner, doc_outer
+"""
+
+
+ZIPF_TOPN = 200
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of log-frequency vs log-rank over the top
+    ZIPF_TOPN tokens — the Zipf exponent a corpus-health dashboard
+    tracks (natural text ≈ −1; template/boilerplate-heavy corpora
+    deviate).  Scale shape: the token count folds map-side, the top-N
+    comes from TakeOrdered (freq desc, token asc — deterministic), and
+    the regression runs over the bounded N-row table with every log
+    term int64-QUANTIZED (×1e9) before summing, so both engines
+    produce the identical double regardless of summation order; the
+    quantized cross-products widen to decimal (they exceed int64)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        text.with_words(docs)
+        .select(F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(ZIPF_TOPN)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    q = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e9)
+        .cast("long")
+        .alias("xq"),
+        F.round(F.log(F.col("n").cast("double")) * 1e9).cast("long").alias("yq"),
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * yq")).alias("sxy"),
+        F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * xq")).alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.col("k") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    return agg.select(
+        F.col("k").cast("long").alias("n_tokens"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH {SQL_WORDS},
+tok AS (SELECT unnest(w) AS token FROM words),
+freq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM tok WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT {ZIPF_TOPN}
+),
+q AS (
+    SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+                              AS DOUBLE)) * 1000000000) AS BIGINT) AS xq,
+           CAST(round(ln(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT) AS yq
+    FROM freq
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(xq) AS BIGINT) AS sx,
+           CAST(sum(yq) AS BIGINT) AS sy,
+           sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+           sum(CAST(xq AS HUGEINT) * xq) AS sxx
+    FROM q
+)
+SELECT k AS n_tokens,
+       round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+           AS zipf_slope
+FROM agg
+"""
+
+
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the near-dup dedup would actually DELETE, per source: docs
+    cluster by LSH → connected components (dedup_clusters), a doc is
+    removed iff it is not its cluster's min-id representative
+    (drop_duplicate_docs policy), and the report rolls up removed
+    docs/chars and the removal fraction — the go/no-go artifact a
+    corpus owner reads before a 100 TB dedup pass.  One broadcast-able
+    rollup over the cluster labels; all heavy lifting is the already
+    scale-shaped clustering."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    clusters = dedup.dedup_clusters(docs, pairs)
+    labeled = docs.select("doc_id", "source", "n_chars").join(clusters, "doc_id")
+    removed = (F.col("doc_id") != F.col("cluster_id")).cast("long")
+    agg = labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(removed).cast("long").alias("n_removed"),
+        F.sum(F.col("n_chars") * removed).cast("long").alias("chars_removed"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_removed",
+        "chars_removed",
+        F.round(F.col("n_removed") / F.col("n_docs"), 6).alias("removed_frac"),
+    ).orderBy("source")
+
+
+def _sql_dedup_impact(threshold: float = 0.5, num_hashes: int = 16, bands: int = 8) -> str:
+    ctes, band_match, agree = _minhash_fragments(num_hashes, bands)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+    SELECT a.doc_id AS doc_1, b.doc_id AS doc_2
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_match})
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}
+),
+edges AS (
+    SELECT doc_1 AS src, doc_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_2, doc_1 FROM pairs
+),
+walk(doc_id, lbl) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.doc_id
+),
+comp AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id),
+labeled AS (
+    SELECT d.source, d.n_chars,
+           CASE WHEN d.doc_id != coalesce(c.cluster_id, d.doc_id)
+                THEN 1 ELSE 0 END AS removed
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(removed) AS BIGINT) AS n_removed,
+       CAST(sum(n_chars * removed) AS BIGINT) AS chars_removed,
+       round(sum(removed) / count(*), 6) AS removed_frac
+FROM labeled
+GROUP BY source
+ORDER BY source
+"""
+
+
+SQL_DEDUP_IMPACT = _sql_dedup_impact()
+
+QUERIES_LLM["containment_pairs"] = q_containment_pairs
+ORACLES_LLM["containment_pairs"] = SQL_CONTAINMENT_PAIRS
+QUERIES_LLM["zipf_slope"] = q_zipf_slope
+ORACLES_LLM["zipf_slope"] = SQL_ZIPF_SLOPE
+QUERIES_LLM["dedup_impact"] = q_dedup_impact
+ORACLES_LLM["dedup_impact"] = SQL_DEDUP_IMPACT

@@ -640,30 +640,6 @@ def test_ks_drift_scans_events_at_most_twice(spark):
     assert plan.count("events.parquet") <= 2
 
 
-def test_no_staged_query_has_cartesian_or_python_row_udf(spark):
-    """The same repo-wide plan invariants, applied to the round-8
-    staging area BEFORE registration — a staged query must already
-    satisfy the contract the registry test enforces."""
-    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
-    from tests.conftest import SF_SMOKE
-
-    offenders = {}
-    for name, fn in QUERIES_STAGED.items():
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
-        bad = [
-            marker
-            for marker in ("CartesianProduct", "BatchEvalPython")
-            if marker in plan
-        ]
-        if bad:
-            offenders[name] = bad
-    assert not offenders, f"staged plan invariant violations: {offenders}"
-
-
 def test_session_paths_topk_is_take_ordered(spark):
     """The global top-k over trigram counts must compile to
     TakeOrderedAndProject (per-partition heaps), never a full sort of

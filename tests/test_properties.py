@@ -1119,7 +1119,7 @@ def test_funnel_conversion_matches_python_model(spark, rows, tmp_path_factory):
     import pandas as pd
 
     from pyspark_pipelining_spark import cache
-    from pyspark_pipelining_spark.queries_staged import q_funnel_conversion
+    from pyspark_pipelining_spark.queries_analytics import q_funnel_conversion
 
     sf_dir = str(tmp_path_factory.mktemp("funnel_sf"))
     pd.DataFrame(
@@ -1157,7 +1157,7 @@ def test_retention_matrix_matches_python_model(spark, rows, tmp_path_factory):
     import pandas as pd
 
     from pyspark_pipelining_spark import cache
-    from pyspark_pipelining_spark.queries_staged import q_retention_matrix
+    from pyspark_pipelining_spark.queries_analytics import q_retention_matrix
 
     sf_dir = str(tmp_path_factory.mktemp("retention_sf"))
     pd.DataFrame(
@@ -1217,7 +1217,7 @@ def test_conversion_lag_matches_python_model(spark, rows, tmp_path_factory):
     import pandas as pd
 
     from pyspark_pipelining_spark import cache
-    from pyspark_pipelining_spark.queries_staged import q_conversion_lag
+    from pyspark_pipelining_spark.queries_analytics import q_conversion_lag
 
     lags = []
     by_u: dict[int, list] = {}

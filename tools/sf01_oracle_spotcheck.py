@@ -44,6 +44,11 @@ SENSITIVE = [
     "corr_price_qty",
     "benford_digits",
     "cms_join_size",
+    # r08 registrations: µs interval arithmetic, int64-quantized log
+    # regression, and the largest exact-verify candidate set of the six
+    "conversion_lag",
+    "zipf_slope",
+    "containment_pairs",
 ]
 
 
