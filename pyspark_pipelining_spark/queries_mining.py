@@ -393,13 +393,16 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
     )
     wt = Window.partitionBy("event_type")
+    # cents·n vs sum(cents) widened to DECIMAL(38,0) on BOTH engines:
+    # raw int64 would wrap silently in Spark but raise in DuckDB at
+    # large group sizes (same discipline as gini_by_type's products)
     signed = ev.select(
         "event_type",
         "ts",
         "event_id",
         (
-            F.col("cents") * F.sum(F.lit(1)).over(wt)
-            > F.sum("cents").over(wt)
+            F.col("cents").cast("decimal(38,0)") * F.sum(F.lit(1)).over(wt)
+            > F.sum(F.col("cents").cast("decimal(38,0)")).over(wt)
         ).cast("int").alias("sign"),
     )
     wseq = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -445,8 +448,10 @@ WITH ev AS (
 ),
 signed AS (
     SELECT event_type, ts, event_id,
-           CASE WHEN cents * (count(*) OVER (PARTITION BY event_type))
-                     > (sum(cents) OVER (PARTITION BY event_type))
+           CASE WHEN CAST(cents AS DECIMAL(38,0))
+                       * (count(*) OVER (PARTITION BY event_type))
+                     > (sum(CAST(cents AS DECIMAL(38,0)))
+                          OVER (PARTITION BY event_type))
                 THEN 1 ELSE 0 END AS sign
     FROM ev
 ),
@@ -877,11 +882,15 @@ WITH exact AS (
 ),
 words AS (
     -- bit 63 is the min-int64 constant: DuckDB's checked 1 << 63
-    -- overflows, while Spark's shiftleft wraps to exactly this value
-    SELECT event_type, user_id // 64 AS word_idx,
-           bit_or(CASE WHEN user_id % 64 = 63
+    -- overflows, while Spark's shiftleft wraps to exactly this value.
+    -- (>> 6, & 63) = (arithmetic shift, floor-mod) — valid over the
+    -- FULL int64 range, matching the operator's (shiftright, pmod)
+    -- guarantee (truncating // and sign-keeping % diverge on negative
+    -- ids; harmless on the fixture, wrong in general)
+    SELECT event_type, user_id >> 6 AS word_idx,
+           bit_or(CASE WHEN (user_id & 63) = 63
                        THEN CAST(-9223372036854775807 - 1 AS BIGINT)
-                       ELSE 1::BIGINT << CAST(user_id % 64 AS INTEGER) END) AS word
+                       ELSE 1::BIGINT << CAST(user_id & 63 AS INTEGER) END) AS word
     FROM events GROUP BY 1, 2
 ),
 bmp AS (

@@ -1480,6 +1480,34 @@ def test_bitmap_distinct_exact_for_negative_values(spark):
     assert got[0]["n_distinct"] == len(set(vals))
 
 
+def test_bitmap_oracle_word_mechanics_match_spark_on_negatives(spark):
+    """ADVICE r07: the sketch_calibration oracle's (>> 6, & 63) word
+    mapping must equal Spark's (shiftright, pmod) over the full int64
+    range — DuckDB's truncating // and sign-keeping % diverge on
+    negative ids, so the oracle uses the bitwise forms instead."""
+    import duckdb
+
+    vals = [
+        -(2**63), -(2**63) + 1, -130, -65, -64, -63, -1, 0, 1,
+        63, 64, 127, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "val bigint")
+    spark_rows = sorted(
+        (r["w"], r["b"])
+        for r in df.selectExpr(
+            "shiftright(val, 6) AS w", "CAST(pmod(val, 64) AS INT) AS b"
+        ).collect()
+    )
+    duck_rows = sorted(
+        duckdb.sql(
+            "SELECT v >> 6, CAST(v & 63 AS INTEGER) FROM (VALUES "
+            + ", ".join(f"(CAST({v} AS BIGINT))" for v in vals)
+            + ") t(v)"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
 def test_containment_join_catches_planted_subset_duplicate(spark):
     """The semantic story behind prefix_containment_join: a short doc
     quoted verbatim inside a much longer one has containment 1.0 even
