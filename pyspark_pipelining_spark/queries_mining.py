@@ -723,6 +723,13 @@ ORACLES_MINING.update(
 
 PATH_GAP_MIN = 30
 PATH_TOPK = 20
+# Hard per-session state bound: only the first PATH_SESSION_CAP events
+# of a session (by (ts, event_id)) enter the collect_list, so a single
+# pathological always-active key (a bot that never crosses the gap)
+# cannot grow one session's array without bound at 100×.  Far above any
+# organic session (fixture max is 4 events; human sessions are
+# hundreds), and applied identically in the oracle.
+PATH_SESSION_CAP = 512
 
 
 def session_trigram_paths(
@@ -732,11 +739,14 @@ def session_trigram_paths(
     of an events frame (user_id, ts, event_id, event_type).
 
     Scale bound (pinned by tests/test_properties.py): path length is
-    capped at exactly 3 by construction (the trigram transform), and a
+    capped at exactly 3 by construction (the trigram transform), a
     session of n events expands to exactly max(0, n-2) trigram rows —
     the explode NEVER exceeds the input row count, unlike subsequence
-    or all-window enumeration which is combinatorial.  The global
-    top-k is TakeOrdered (per-partition heaps), not a full sort."""
+    or all-window enumeration which is combinatorial — and per-session
+    collect state is bounded by ``PATH_SESSION_CAP`` (row_number filter
+    BEFORE the collect, no extra shuffle: the (user, session) window
+    reuses the user_id partitioning).  The global top-k is TakeOrdered
+    (per-partition heaps), not a full sort."""
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # gap compares unix MICROS, not whole seconds: a truncated-second
     # diff disagrees with the oracle's epoch_us for sub-second gap
@@ -754,6 +764,10 @@ def session_trigram_paths(
             .cast("int"),
         )
         .withColumn("session_no", F.sum("new_s").over(wseq))
+    )
+    wcap = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    sess = sess.withColumn("rn", F.row_number().over(wcap)).filter(
+        F.col("rn") <= PATH_SESSION_CAP
     )
     seqs = sess.groupBy("user_id", "session_no").agg(
         F.sort_array(
@@ -806,10 +820,16 @@ sess AS (
                      ROWS UNBOUNDED PRECEDING) AS session_no
     FROM lagd
 ),
+capped AS (
+    SELECT user_id, session_no, ts, event_id, event_type
+    FROM sess
+    QUALIFY row_number() OVER (PARTITION BY user_id, session_no
+                               ORDER BY ts, event_id) <= {PATH_SESSION_CAP}
+),
 seqs AS (
     SELECT user_id, session_no,
            array_agg(event_type ORDER BY ts, event_id) AS types
-    FROM sess GROUP BY user_id, session_no
+    FROM capped GROUP BY user_id, session_no
 ),
 tris AS (
     SELECT unnest(list_transform(range(1, greatest(len(types) - 2, 0) + 1),

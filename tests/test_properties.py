@@ -1046,6 +1046,38 @@ def test_session_trigram_paths_expansion_bounded(spark):
     assert {r["path"] for r in out} == {"t0>t1>t2", "t1>t2>t0", "t2>t0>t1", "y>y>y"}
 
 
+def test_session_trigram_paths_state_capped_for_hot_key(spark):
+    """r07 watch-list (b): a single always-active key (bot that never
+    crosses the session gap) must NOT grow one session's collected
+    array without bound — only the first PATH_SESSION_CAP events (by
+    (ts, event_id)) enter the collect, so a session of n > cap events
+    yields exactly cap - 2 trigrams, and the cap filter reuses the
+    user_id partitioning (no extra shuffle)."""
+    import datetime as dt
+
+    from pyspark_pipelining_spark.queries_mining import (
+        PATH_SESSION_CAP,
+        session_trigram_paths,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    n = PATH_SESSION_CAP + 50  # one session: 1-second gaps, never splits
+    rows = [
+        (1, base + dt.timedelta(seconds=i), i, f"t{i % 2}") for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    out = session_trigram_paths(ev, gap_min=30, topk=1000).collect()
+    assert sum(r["n"] for r in out) == PATH_SESSION_CAP - 2
+    plan = ev.transform(
+        lambda df: session_trigram_paths(df, gap_min=30, topk=1000)
+    )._jdf.queryExecution().executedPlan().toString()
+    # windows (sessionize + cap) share ONE user_id exchange; the only
+    # other exchange is the final path aggregation
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_minhash_lsh_recall_vs_exact_ppjoin_ground_truth(spark):
     """r06 watch-list (c): the registered MinHash-LSH oracles reproduce
     the same bucketing in SQL, proving determinism rather than
