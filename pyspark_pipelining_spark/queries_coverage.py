@@ -1374,3 +1374,58 @@ ORACLES_COVERAGE = {
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-8: binaryFile ingestion under the hard signal (r07 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file stats over the sf directory read as RAW BLOBS through
+    ``sources.registry.load_binary_files`` (Spark's binaryFile source) — the
+    multimodal on-ramp's first driver-validated row: file name, byte
+    length, the 4-byte magic (hex — ``50415231`` = "PAR1"), and a
+    sha256 content digest.  The digest runs over ``hex(content)``
+    because that is the binary-hash formulation both engines share
+    bit-for-bit (DuckDB's sha256 takes VARCHAR only); hexing is a
+    one-pass JVM expression.
+
+    The oracle is fully INDEPENDENT: DuckDB ``read_blob`` over a
+    constant multi-sf glob, with the current sf directory derived from
+    the data itself (``parquet_file_metadata`` row count matched
+    against the registered ``customer`` view) — no literal per-sf path
+    in the SQL, which is what kept this source out of the hard signal
+    until now.
+
+    Scale: one file = one row = one task; ``pathGlobFilter`` prunes at
+    listing time; content bytes stream once through hash+substring
+    (no shuffle before the 10-row sort)."""
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    df = load_binary_files(spark, sf_dir, glob="*.parquet")
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.hex(F.col("content")), 1, 8).alias("magic_hex"),
+        F.sha2(F.hex(F.col("content")), 256).alias("content_sha"),
+    ).orderBy("file_name")
+
+
+SQL_BLOB_STATS = r"""
+WITH sfdir AS (
+    SELECT regexp_extract(file_name, '^(.*)/customer\.parquet$', 1) AS dir
+    FROM parquet_file_metadata('/root/testdata/sf*/customer.parquet')
+    WHERE num_rows = (SELECT count(*) FROM customer)
+)
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       CAST(size AS BIGINT) AS n_bytes,
+       substring(hex(content), 1, 8) AS magic_hex,
+       sha256(hex(content)) AS content_sha
+FROM read_blob('/root/testdata/sf*/*.parquet'), sfdir
+WHERE filename LIKE dir || '/%'
+ORDER BY file_name
+"""
+
+QUERIES_COVERAGE["blob_stats"] = q_blob_stats
+ORACLES_COVERAGE["blob_stats"] = SQL_BLOB_STATS
