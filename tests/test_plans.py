@@ -697,3 +697,27 @@ def test_convergence_probes_are_bounded_actions_on_checkpointed_state(
     assert 2 <= len(kc_probes) <= 4
     for plan in cc_probes + kc_probes:
         assert "LogicalRDD" in plan and "Join" not in plan, plan
+
+
+def test_staged_plans_have_no_cartesian_or_python_row_udf(spark):
+    """The repo-wide plan invariant, applied to the round-9 staging
+    area BEFORE registration (same gate the round-7/8 staged sets
+    passed): no CartesianProduct, no BatchEvalPython."""
+    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+    from tests.conftest import SF_SMOKE
+
+    offenders = {}
+    for name, fn in QUERIES_STAGED.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"staged plan invariant violations: {offenders}"

@@ -79,3 +79,53 @@ def test_oracle_pandas_dtypes_match_spark_integrals(spark):
         con.close()
     assert not offenders, f"un-CAST integer aggregates in oracle SQL: {offenders}"
 
+
+
+# --- staged (round-9) queries: oracle-checked now, registered later ----
+# (the round-8 staging area registered into queries_analytics /
+# queries_llm / queries_coverage; this is the next batch under the
+# same freeze discipline)
+
+from pyspark_pipelining_spark.queries_staged import (  # noqa: E402
+    ORACLES_STAGED,
+    QUERIES_STAGED,
+)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES_STAGED))
+def test_staged_query_matches_oracle(spark, name):
+    compare(spark, SF_SMOKE, QUERIES_STAGED[name], ORACLES_STAGED[name])
+    assert QUERIES_STAGED[name](spark, SF_SMOKE).count() > 0
+
+
+def test_staged_oracle_pandas_dtypes_match_spark_integrals(spark):
+    """The registered-query dtype gate, applied to the staging area
+    BEFORE round-9 registration: an un-CAST HUGEINT or integer-width
+    mismatch must surface here, not as a driver red row next round."""
+    from tests.oracle_utils import duck_connection
+
+    con = duck_connection(SF_SMOKE)
+    offenders = []
+    try:
+        for name in sorted(QUERIES_STAGED):
+            sdf = QUERIES_STAGED[name](spark, SF_SMOKE)
+            integral = {
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+            }
+            if not integral:
+                continue
+            pdf = con.execute(ORACLES_STAGED[name]).df()
+            for c, t in pdf.dtypes.items():
+                if c in integral and str(t).startswith("float"):
+                    offenders.append((name, c, str(t)))
+    finally:
+        con.close()
+    assert not offenders, f"un-CAST integer aggregates in staged oracle SQL: {offenders}"
+
+
+def test_staged_names_do_not_collide_with_registry(spark):
+    from pyspark_pipelining_spark.queries import QUERIES
+
+    assert not set(QUERIES_STAGED) & set(QUERIES)

@@ -49,6 +49,12 @@ SENSITIVE = [
     "conversion_lag",
     "zipf_slope",
     "containment_pairs",
+    # r09 staging: int64-quantized IDF weights with decimal dot
+    # products, integer rank arithmetic over 100x more cells, and
+    # decimal(38,0) regression cross-products
+    "sparse_cosine_pairs",
+    "price_quantile_sketch",
+    "trend_by_segment",
 ]
 
 
@@ -56,7 +62,14 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     from pyspark_pipelining_spark.queries import ORACLES, QUERIES
+    from pyspark_pipelining_spark.queries_staged import (
+        ORACLES_STAGED,
+        QUERIES_STAGED,
+    )
     from tests.oracle_utils import compare
+
+    queries = {**QUERIES_STAGED, **QUERIES}
+    oracles = {**ORACLES_STAGED, **ORACLES}
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -67,11 +80,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
     for name in SENSITIVE:
-        if name not in QUERIES:
-            print(f"SKIP {name}: not registered")
+        if name not in queries:
+            print(f"SKIP {name}: not registered or staged")
             continue
         try:
-            compare(spark, SF_DIR, QUERIES[name], ORACLES[name])
+            compare(spark, SF_DIR, queries[name], oracles[name])
             print(f"OK   {name}")
         except Exception as exc:  # record mismatches AND runtime errors
             failures.append(name)
