@@ -357,7 +357,11 @@ def q_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "c_mktsegment",
         F.col("n_months").cast("long").alias("n_months"),
-        F.round(num / den / F.lit(100.0), 6).alias("slope_dollars_per_month"),
+        # a single-month segment has den = 0 (no slope defined): NULL,
+        # not a 0/0 NaN — both engines guard identically
+        F.when(den != 0, F.round(num / den / F.lit(100.0), 6)).alias(
+            "slope_dollars_per_month"
+        ),
     ).orderBy("c_mktsegment")
 
 
@@ -379,11 +383,13 @@ agg AS (
     FROM monthly GROUP BY 1
 )
 SELECT c_mktsegment, n_months,
-       round((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / 100.0, 6) AS slope_dollars_per_month
+       CASE WHEN (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0
+            THEN round((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / 100.0, 6) END AS slope_dollars_per_month
 FROM agg
 ORDER BY c_mktsegment
 """

@@ -1342,3 +1342,178 @@ def test_conversion_lag_matches_python_model(spark, rows, tmp_path_factory):
     assert row["n_converted"] == n
     assert row["median_lag_s"] == round(want_median, 6)
     assert row["p90_lag_s"] == want_p90
+
+
+# --- round-9 staged queries: independent Python models --------------------
+
+
+def test_sparse_cosine_pairs_semantics_planted(spark, tmp_path_factory, monkeypatch):
+    """Weighted-similarity semantics on planted structure: (1) an
+    exact duplicate pair scores cosine 1.0; (2) docs that share ONLY a
+    gram above the df cap never pair (the discriminative-vocabulary
+    pruning is the semantic, not an approximation); (3) docs sharing a
+    rare gram below the cap do pair when the rare weight dominates."""
+    import pandas as pd
+
+    from pyspark_pipelining_spark import cache
+    from pyspark_pipelining_spark import queries_staged as qs
+
+    # df cap of 3 so the "ubiquitous" gram needs only 4 carriers
+    monkeypatch.setattr(qs, "COS_DF_CAP", 3)
+    boiler = "b0 b1 b2 b3"  # one shared 4-gram, df = 4 > cap
+    docs = {
+        0: f"{boiler} x0 x1 x2 x3",
+        1: f"{boiler} x0 x1 x2 x3",        # exact dup of 0
+        2: f"{boiler} y0 y1 y2 y3",        # shares only the capped gram
+        3: f"{boiler} z0 z1 z2 z3",        # shares only the capped gram
+    }
+    sf_dir = str(tmp_path_factory.mktemp("cosine_sf"))
+    pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(t) for t in docs.values()],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    try:
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in qs.q_sparse_cosine_pairs(spark, sf_dir).collect()
+        }
+    finally:
+        cache.release_all()
+    # the dup pair survives at 1.0; every cross pair shares ONLY grams
+    # containing boiler tokens — all above the cap or unique, so no
+    # other pair reaches the threshold
+    assert got == {(0, 1): 1.0}
+
+
+@given(
+    prices=st.lists(
+        st.integers(min_value=90_000, max_value=11_000_000),  # cents
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_price_quantile_sketch_matches_python_and_bounds_error(
+    spark, prices, tmp_path_factory
+):
+    """The exact side must equal the plain-Python order statistic at
+    ceil-rank, and the histogram estimate must sit within half a bin
+    width ($50) of it — the guarantee that makes the constant-size
+    sketch usable at scale."""
+    import math
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark import cache
+    from pyspark_pipelining_spark.queries_staged import (
+        QSKETCH_BIN_CENTS,
+        q_price_quantile_sketch,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("qsketch_sf"))
+    n = len(prices)
+    pd.DataFrame(
+        {
+            "l_orderkey": range(n),
+            "l_partkey": 1,
+            "l_suppkey": 1,
+            "l_linenumber": pd.array([1] * n, dtype="int32"),
+            "l_quantity": 1.0,
+            "l_extendedprice": [c / 100.0 for c in prices],
+            "l_discount": 0.0,
+            "l_tax": 0.0,
+            "l_returnflag": "A",
+            "l_linestatus": "O",
+            "l_shipdate": EPOCH,
+        }
+    ).to_parquet(f"{sf_dir}/lineitem.parquet")
+    try:
+        row = q_price_quantile_sketch(spark, sf_dir).collect()[0]
+    finally:
+        cache.release_all()
+    cents = sorted(prices)
+    assert row["n"] == n
+    for p in (50, 90, 99):
+        k = math.ceil(p * n / 100)
+        exact_c = cents[k - 1]
+        assert row[f"p{p}_exact"] == round(exact_c / 100.0, 6)
+        est_c = (exact_c // QSKETCH_BIN_CENTS) * QSKETCH_BIN_CENTS + (
+            QSKETCH_BIN_CENTS // 2
+        )
+        assert row[f"p{p}_est"] == round(est_c / 100.0, 6)
+        assert abs(row[f"p{p}_est"] - row[f"p{p}_exact"]) <= QSKETCH_BIN_CENTS / 200.0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # segment index
+            st.integers(min_value=0, max_value=24),     # month offset
+            st.integers(min_value=1, max_value=10_000_000),  # price cents
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_trend_by_segment_matches_lstsq(spark, rows, tmp_path_factory):
+    """The integer-sufficient-statistic slope must agree with numpy
+    least squares on the monthly cells; a segment with one distinct
+    month has no defined slope and must surface NULL (not NaN)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries_staged import q_trend_by_segment
+
+    segs = ["ALPHA", "BETA"]
+    sf_dir = str(tmp_path_factory.mktemp("trend_sf"))
+    pd.DataFrame(
+        {
+            "o_orderkey": range(len(rows)),
+            "o_custkey": [s + 1 for (s, _m, _c) in rows],
+            "o_orderstatus": "O",
+            "o_totalprice": [c / 100.0 for (_s, _m, c) in rows],
+            "o_orderdate": [
+                dt.datetime(2020 + m // 12, m % 12 + 1, 5) for (_s, m, _c) in rows
+            ],
+            "o_orderpriority": "1-URGENT",
+        }
+    ).to_parquet(f"{sf_dir}/orders.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["c1", "c2"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": segs,
+        }
+    ).to_parquet(f"{sf_dir}/customer.parquet")
+    got = {
+        r["c_mktsegment"]: (r["n_months"], r["slope_dollars_per_month"])
+        for r in q_trend_by_segment(spark, sf_dir).collect()
+    }
+    for si, seg in enumerate(segs):
+        cells: dict[int, int] = {}
+        for s, m, c in rows:
+            if s == si:
+                cells[12 * (2020 + m // 12) + (m % 12 + 1)] = (
+                    cells.get(12 * (2020 + m // 12) + (m % 12 + 1), 0) + c
+                )
+        if not cells:
+            assert seg not in got
+            continue
+        n_months, slope = got[seg]
+        assert n_months == len(cells)
+        if len(cells) < 2:
+            assert slope is None
+            continue
+        x = np.array(sorted(cells), dtype=float)
+        y = np.array([cells[m] for m in sorted(cells)], dtype=float)
+        beta = np.polyfit(x, y, 1)[0] / 100.0
+        assert slope is not None
+        assert abs(slope - beta) <= 1e-6 * max(1.0, abs(beta))
