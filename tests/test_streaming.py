@@ -663,3 +663,47 @@ def test_streaming_hll_register_maintenance_matches_batch(spark, tmp_path):
         for r in hll_registers(ev, "day", "uid").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_price_histogram_bins_stream_matches_batch(spark, tmp_path):
+    """The round-9 staged quantile sketch's state is a bounded
+    mergeable (flag, $100-bin) count map — exactly the shape
+    Structured Streaming folds incrementally.  The availableNow replay
+    of the bin aggregation must equal the batch fold bin-for-bin,
+    which is what makes the sketch the streamable replacement for
+    exact quantiles (a global order statistic has no streaming form)."""
+    import pyspark.sql.types as T
+
+    from pyspark_pipelining_spark.queries_staged import QSKETCH_BIN_CENTS
+    from pyspark_pipelining_spark.streaming import run_stream_to_memory
+
+    bin_expr = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        f" div {QSKETCH_BIN_CENTS}"
+    )
+    static = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    batch = static.groupBy("l_returnflag", bin_expr.alias("bin")).agg(
+        F.count(F.lit(1)).alias("ni")
+    )
+
+    d = str(tmp_path / "li_stream")
+    os.makedirs(d)
+    os.symlink(f"{SF_SMOKE}/lineitem.parquet", os.path.join(d, "lineitem.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .groupBy("l_returnflag", bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    result = run_stream_to_memory(stream, "price_bins_stream")
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in result.collect())
+    assert b == s and len(b) > 0
