@@ -539,3 +539,87 @@ def prefix_containment_join(
         .filter(F.col("containment") >= t)
         .select("doc_inner", "doc_outer", F.round("containment", 6).alias("containment"))
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 4,
+    df_cap: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All doc pairs with TF-IDF cosine ≥ ``threshold`` over word
+    ``n``-gram shingles with doc_freq ≤ ``df_cap`` — the WEIGHTED
+    set-similarity join: where :func:`prefix_jaccard_join` and
+    :func:`prefix_containment_join` treat every shared shingle
+    equally, here rare shingles dominate, so boilerplate-diluted
+    near-dups that share distinctive content phrases still surface.
+
+    Determinism (the cross-engine oracle discipline): IDF is the ONE
+    transcendental — ``ln(n_docs/df)`` int64-quantized at 1e6 — so
+    term weights ``wq = tf·idf_q`` are exact integers, norms and dot
+    products are exact DECIMAL(38,0) sums, and the final cosine is a
+    single exactly-rounded double expression (÷, ×, sqrt are IEEE
+    exactly-rounded).
+
+    Scale shape: candidate fanout is Σ_gram df², bounded per gram by
+    ``df_cap²`` — dropping corpus-ubiquitous shingles is the standard
+    discriminative-vocabulary pruning (their IDF weight is near zero
+    anyway), turning the all-pairs postings join into a provably
+    linear-in-vocabulary candidate generator.  Postings persist once
+    (``cache.keep``) and feed the norm fold plus both join sides; the
+    pair aggregation shuffles on (doc_a, doc_b) with map-side
+    partials; the global doc count is a lazy 1-row broadcast.
+
+    Output: ``doc_a, doc_b, cosine`` (unrounded filter, rounded 6).
+    """
+    tf = (
+        word_ngrams(df, n=n, text_col=text_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode("ngrams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        tf.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") <= df_cap)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "gram",
+            F.expr(
+                "CAST(round(ln(CAST(n_docs AS DOUBLE) / doc_freq) * 1000000)"
+                " AS BIGINT)"
+            ).alias("idf_q"),
+        )
+    )
+    post = cache.keep(
+        tf.join(vocab, "gram").select(
+            "doc_id", "gram", (F.col("tf") * F.col("idf_q")).alias("wq")
+        )
+    )
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.expr("CAST(wq AS DECIMAL(38,0)) * wq")).alias("n2")
+    )
+    a = post.select("gram", F.col("doc_id").alias("doc_a"), F.col("wq").alias("wa"))
+    b = post.select("gram", F.col("doc_id").alias("doc_b"), F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.expr("CAST(wa AS DECIMAL(38,0)) * wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("c", cos)
+        .filter(F.col("c") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", F.round("c", 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )

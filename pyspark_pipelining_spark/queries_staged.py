@@ -74,66 +74,14 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically (÷, ×, sqrt are IEEE exactly-rounded; only ln needs
     the quantization).
 
-    Scale shape: candidate fanout is Σ_gram df², bounded per gram by
-    ``COS_DF_CAP²`` — dropping corpus-ubiquitous shingles (df > cap)
-    is the standard discriminative-vocabulary pruning (their IDF
-    weight is near zero anyway), and it turns the all-pairs postings
-    join into a provably linear-in-vocabulary candidate generator.
-    Postings persist once and feed the norm fold plus both join
-    sides; the pair aggregation shuffles on (doc_a, doc_b) with
-    map-side partials."""
-    from pyspark_pipelining_spark import cache
+    Scale shape, quantization discipline, and the df-cap candidate
+    bound are documented on the operator
+    (``operators/dedup.tfidf_cosine_pairs``)."""
     from pyspark_pipelining_spark.operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        dedup.word_ngrams(docs, n=COS_NGRAM)
-        .select("doc_id", F.explode("ngrams").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    vocab = (
-        tf.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .filter(F.col("doc_freq") <= COS_DF_CAP)
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "gram",
-            F.expr(
-                "CAST(round(ln(CAST(n_docs AS DOUBLE) / doc_freq) * 1000000)"
-                " AS BIGINT)"
-            ).alias("idf_q"),
-        )
-    )
-    post = cache.keep(
-        tf.join(vocab, "gram").select(
-            "doc_id", "gram", (F.col("tf") * F.col("idf_q")).alias("wq")
-        )
-    )
-    norms = post.groupBy("doc_id").agg(
-        F.sum(F.expr("CAST(wq AS DECIMAL(38,0)) * wq")).alias("n2")
-    )
-    a = post.select("gram", F.col("doc_id").alias("doc_a"), F.col("wq").alias("wa"))
-    b = post.select("gram", F.col("doc_id").alias("doc_b"), F.col("wq").alias("wb"))
-    dots = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.expr("CAST(wa AS DECIMAL(38,0)) * wb")).alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
-    cos = F.col("dot").cast("double") / (
-        F.sqrt(F.col("n2a").cast("double")) * F.sqrt(F.col("n2b").cast("double"))
-    )
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("c", cos)
-        .filter(F.col("c") >= F.lit(COS_THRESHOLD))
-        .select("doc_a", "doc_b", F.round("c", 6).alias("cosine"))
-        .orderBy("doc_a", "doc_b")
+    return dedup.tfidf_cosine_pairs(
+        docs, threshold=COS_THRESHOLD, n=COS_NGRAM, df_cap=COS_DF_CAP
     )
 
 
