@@ -721,3 +721,23 @@ def test_staged_plans_have_no_cartesian_or_python_row_udf(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"staged plan invariant violations: {offenders}"
+
+
+def test_tfidf_cosine_postings_are_cached_for_reuse(spark):
+    """The postings table feeds the norm fold plus BOTH sides of the
+    pair join — it must come from the persisted handle
+    (InMemoryTableScan), not three re-executions of the
+    tokenize+tf+vocab chain."""
+    from pyspark_pipelining_spark.operators import dedup
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = dedup.tfidf_cosine_pairs(docs)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
