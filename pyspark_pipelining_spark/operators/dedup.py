@@ -567,10 +567,15 @@ def tfidf_cosine_pairs(
     ``df_cap²`` — dropping corpus-ubiquitous shingles is the standard
     discriminative-vocabulary pruning (their IDF weight is near zero
     anyway), turning the all-pairs postings join into a provably
-    linear-in-vocabulary candidate generator.  Postings persist once
-    (``cache.keep``) and feed the norm fold plus both join sides; the
-    pair aggregation shuffles on (doc_a, doc_b) with map-side
-    partials; the global doc count is a lazy 1-row broadcast.
+    linear-in-vocabulary candidate generator.  Document frequency
+    comes from a COUNT window over the gram partition, not a
+    groupBy+self-join — one shuffle of the tf table instead of two,
+    and it leaves the cached postings hash-partitioned on gram for
+    the pair self-join (A/B at sf0.1: 2.52 s → 2.09 s median,
+    identical pairs).  Postings persist once (``cache.keep``) and
+    feed the norm fold plus both join sides; the pair aggregation
+    shuffles on (doc_a, doc_b) with map-side partials; the global doc
+    count is a lazy 1-row broadcast.
 
     Output: ``doc_a, doc_b, cosine`` (unrounded filter, rounded 6).
     """
@@ -581,22 +586,21 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     nd = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    vocab = (
-        tf.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    wg = Window.partitionBy("gram")
+    post = cache.keep(
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(wg))
         .filter(F.col("doc_freq") <= df_cap)
         .crossJoin(F.broadcast(nd))
         .select(
+            "doc_id",
             "gram",
-            F.expr(
-                "CAST(round(ln(CAST(n_docs AS DOUBLE) / doc_freq) * 1000000)"
-                " AS BIGINT)"
-            ).alias("idf_q"),
-        )
-    )
-    post = cache.keep(
-        tf.join(vocab, "gram").select(
-            "doc_id", "gram", (F.col("tf") * F.col("idf_q")).alias("wq")
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(round(ln(CAST(n_docs AS DOUBLE) / doc_freq)"
+                    " * 1000000) AS BIGINT)"
+                )
+            ).alias("wq"),
         )
     )
     norms = post.groupBy("doc_id").agg(
