@@ -741,3 +741,22 @@ def test_tfidf_cosine_postings_are_cached_for_reuse(spark):
     )
     assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_cooccur_pmi_marginals_are_windows_not_joins(spark):
+    """The w1/w2 marginals come from sum windows over the pair-count
+    table, not re-aggregated marginal tables joined back: the executed
+    plan carries at most 4 hash exchanges (pair groupBy, the two
+    marginal windows, and the grand-total branch's re-aggregation) —
+    the join-back formulation measured 6+ and 2x the wall clock."""
+    from pyspark_pipelining_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        QUERIES["cooccur_pmi"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "SortMergeJoin" not in plan
