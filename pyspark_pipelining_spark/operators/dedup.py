@@ -428,7 +428,11 @@ def prefix_jaccard_join(
     # count shares the rarest-first row_number's exchange, so the
     # prefix computation shuffles toks twice total vs the
     # groupBy+join-back formulation's four (A/B at sf0.1:
-    # 2.48 s → 1.64 s median, identical pairs)
+    # 2.48 s → 1.64 s median, identical pairs).  Skew envelope: the
+    # tok window keys each gram's full posting list to one task
+    # (spillable, not AQE-splittable) — on a corpus with an extreme
+    # boilerplate head, prefer the groupBy+join-back form (README
+    # scale notes)
     wt = Window.partitionBy("tok")
     wd = Window.partitionBy("doc_id")
     wo = Window.partitionBy("doc_id").orderBy("df_freq", "tok")
@@ -586,7 +590,10 @@ def tfidf_cosine_pairs(
     groupBy+self-join — one shuffle of the tf table instead of two,
     and it leaves the cached postings hash-partitioned on gram for
     the pair self-join (A/B at sf0.1: 2.52 s → 2.09 s median,
-    identical pairs).  Postings persist once (``cache.keep``) and
+    identical pairs; a hot gram's window partition is its posting
+    list — the 100 TB-hardened variant anti-filters the over-cap head
+    from a skew-immune partial-agg df table first, README scale
+    notes).  Postings persist once (``cache.keep``) and
     feed the norm fold plus both join sides; the pair aggregation
     shuffles on (doc_a, doc_b) with map-side partials; the global doc
     count is a lazy 1-row broadcast.
@@ -636,8 +643,14 @@ def tfidf_cosine_pairs(
     return (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
+        # zero-norm guard: with df_cap >= n_docs a universal gram gets
+        # idf_q = 0, and a pair sharing ONLY zero-weight grams would be
+        # 0/0 = NaN — which both engines treat as > threshold.  Such
+        # pairs carry no discriminative overlap; drop them.
+        .filter((F.col("n2a") > 0) & (F.col("n2b") > 0))
         .withColumn("c", cos)
         .filter(F.col("c") >= F.lit(float(threshold)))
+        # fact-sized pair output — no global sort (jaccard_pairs
+        # convention); the registered query layer sorts for display
         .select("doc_a", "doc_b", F.round("c", 6).alias("cosine"))
-        .orderBy("doc_a", "doc_b")
     )

@@ -334,10 +334,13 @@ def cooccur_pmi(
     marginal-table formulation's four (two to build them over the FULL
     multiset, two to join them back; A/B at sf0.1: 1.51 s → 0.74 s
     median, identical output).  Marginals compute BEFORE the min_count
-    output filter, preserving the full-multiset semantics.  The grand
-    total is a broadcast single-row agg.  At 100 TB the pair groupBy
-    is the one unavoidable shuffle, and AQE handles the heavy head
-    (stopword pairs) via skew split."""
+    output filter, preserving the full-multiset semantics.  The window
+    skew envelope is benign HERE because it runs over the
+    already-aggregated pair-count table: a stopword's w1 partition
+    holds at most |vocab| rows (its distinct successors), never
+    corpus-sized.  The grand total is a broadcast single-row agg.  At
+    100 TB the pair groupBy is the one unavoidable shuffle, and AQE
+    handles the heavy head (stopword pairs) via skew split."""
     words = with_words(df, text_col)
     sz = F.size("words")
 
@@ -512,8 +515,10 @@ def ngram_novelty(
     n-gram stream that shuffles is unique per doc), document frequency
     from ONE count window over the gram partition — a single shuffle
     of the gram stream instead of the groupBy + join-back pair (A/B at
-    sf0.1: 1.51 s → 0.96 s median, identical output); the final
-    per-doc aggregate is doc-keyed.  Docs with fewer than ``n`` words
+    sf0.1: 1.51 s → 0.96 s median, identical output; a hot gram's
+    window partition is its posting list — see the README
+    count-window skew envelope); the final per-doc aggregate is
+    doc-keyed.  Docs with fewer than ``n`` words
     surface with ``n_ngrams = 0, novelty = 0``.
 
     Output: ``doc_id, n_ngrams, n_unique, novelty`` (6dp).

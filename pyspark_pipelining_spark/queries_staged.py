@@ -82,7 +82,7 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.tfidf_cosine_pairs(
         docs, threshold=COS_THRESHOLD, n=COS_NGRAM, df_cap=COS_DF_CAP
-    )
+    ).orderBy("doc_a", "doc_b")
 
 
 SQL_SPARSE_COSINE_PAIRS = f"""
@@ -117,6 +117,7 @@ cos AS (
     FROM dots
     JOIN norms na ON dots.doc_a = na.doc_id
     JOIN norms nb ON dots.doc_b = nb.doc_id
+    WHERE na.n2 > 0 AND nb.n2 > 0
 )
 SELECT doc_a, doc_b, round(c, 6) AS cosine
 FROM cos WHERE c >= {COS_THRESHOLD}
