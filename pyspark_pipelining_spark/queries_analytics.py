@@ -1330,3 +1330,103 @@ QUERIES_ANALYTICS["retention_matrix"] = q_retention_matrix
 ORACLES_ANALYTICS["retention_matrix"] = SQL_RETENTION_MATRIX
 QUERIES_ANALYTICS["conversion_lag"] = q_conversion_lag
 ORACLES_ANALYTICS["conversion_lag"] = SQL_CONVERSION_LAG
+
+
+# ---------------------------------------------------------------------------
+# Round-9 registration (formerly queries_staged.py): per-segment monthly
+# revenue trend (grouped OLS slope)
+# ---------------------------------------------------------------------------
+
+
+def q_trend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of monthly order revenue per market segment — the
+    grouped-regression pattern: fold to (segment, month) revenue
+    cells, then one more fold to per-segment EXACT integer sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²; month index ``x = 12·year +
+    month`` keeps x² in easy int64 range, the x·y cross products
+    widen to DECIMAL(38,0) per the gini/stats.py convention), and the
+    closed-form slope is one double expression both engines evaluate
+    identically over identical exact inputs.
+
+    The monthly revenue fold itself also widens to DECIMAL(38,0)
+    (round-8 ADVICE): a raw BIGINT sum would silently wrap at extreme
+    scale while DuckDB's sum(BIGINT) promotes to exact HUGEINT — the
+    same divergence class runs_test fixed.
+
+    Scale shape: two-level aggregate — the month fold combines
+    map-side on (segment, month), the regression fold runs over ≤
+    months-per-segment rows; the customer dim broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT) AS DECIMAL(38,0))"
+                )
+            ).alias("rev")
+        )
+    )
+    agg = monthly.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("m").alias("sx"),
+        F.sum("rev").alias("sy"),
+        # m fits decimal(6,0); (6,0)×(38,0) stays scale-0 exact under
+        # Spark's precision cap, matching DuckDB's exact product
+        F.sum(F.expr("CAST(m AS DECIMAL(6,0)) * rev")).alias("sxy"),
+        F.sum(F.expr("CAST(m AS BIGINT) * m")).alias("sxx"),
+    )
+    num = F.col("n_months").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.col("n_months").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    return agg.select(
+        "c_mktsegment",
+        F.col("n_months").cast("long").alias("n_months"),
+        # a single-month segment has den = 0 (no slope defined): NULL,
+        # not a 0/0 NaN — both engines guard identically
+        F.when(den != 0, F.round(num / den / F.lit(100.0), 6)).alias(
+            "slope_dollars_per_month"
+        ),
+    ).orderBy("c_mktsegment")
+
+
+SQL_TREND_BY_SEGMENT = """
+WITH monthly AS (
+    SELECT c_mktsegment,
+           12 * year(o_orderdate) + month(o_orderdate) AS m,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(m) AS BIGINT) AS sx,
+           sum(CAST(rev AS DECIMAL(38,0))) AS sy,
+           sum(CAST(m AS DECIMAL(38,0)) * rev) AS sxy,
+           CAST(sum(CAST(m AS BIGINT) * m) AS BIGINT) AS sxx
+    FROM monthly GROUP BY 1
+)
+SELECT c_mktsegment, n_months,
+       CASE WHEN (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0
+            THEN round((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / 100.0, 6) END AS slope_dollars_per_month
+FROM agg
+ORDER BY c_mktsegment
+"""
+
+QUERIES_ANALYTICS["trend_by_segment"] = q_trend_by_segment
+ORACLES_ANALYTICS["trend_by_segment"] = SQL_TREND_BY_SEGMENT

@@ -1522,3 +1522,98 @@ QUERIES_LLM["zipf_slope"] = q_zipf_slope
 ORACLES_LLM["zipf_slope"] = SQL_ZIPF_SLOPE
 QUERIES_LLM["dedup_impact"] = q_dedup_impact
 ORACLES_LLM["dedup_impact"] = SQL_DEDUP_IMPACT
+
+
+# ---------------------------------------------------------------------------
+# Round-9 registrations (formerly queries_staged.py): TF-IDF weighted
+# cosine similarity self-join
+# ---------------------------------------------------------------------------
+
+COS_NGRAM = 4
+COS_DF_CAP = 200
+COS_THRESHOLD = 0.5
+
+_SQL_GRAM_TF = """
+words AS (
+    SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+    FROM documents
+),
+occs AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                       || ' ' || w[i + 3])) AS gram
+    FROM words
+),
+tf AS (
+    SELECT doc_id, gram, count(*) AS tf FROM occs GROUP BY doc_id, gram
+)"""
+
+
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs with TF-IDF cosine ≥ ``COS_THRESHOLD`` over
+    4-gram shingles with doc_freq ≤ ``COS_DF_CAP`` — the WEIGHTED
+    set-similarity join: where jaccard_prefix_pairs treats every
+    shared shingle equally, here rare shingles dominate the score, so
+    boilerplate-diluted near-dups that share distinctive content
+    phrases still surface (and ubiquitous boilerplate contributes
+    ~nothing even below the cap).
+
+    Determinism: IDF is the ONE transcendental — ln(n_docs/df)
+    int64-quantized at 1e6 (the lm_score convention), so term weights
+    ``wq = tf·idf_q`` are exact integers, norms and dot products are
+    exact DECIMAL(38,0) sums, and the final cosine is one
+    exactly-rounded double expression both engines evaluate
+    identically (÷, ×, sqrt are IEEE exactly-rounded; only ln needs
+    the quantization).
+
+    Scale shape, quantization discipline, and the df-cap candidate
+    bound are documented on the operator
+    (``operators/dedup.tfidf_cosine_pairs``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.tfidf_cosine_pairs(
+        docs, threshold=COS_THRESHOLD, n=COS_NGRAM, df_cap=COS_DF_CAP
+    ).orderBy("doc_a", "doc_b")
+
+
+SQL_SPARSE_COSINE_PAIRS = f"""
+WITH {_SQL_GRAM_TF},
+nd AS (SELECT count(*) AS n_docs FROM documents),
+vocab AS (
+    SELECT gram,
+           CAST(round(ln(CAST(n_docs AS DOUBLE) / doc_freq) * 1000000)
+                AS BIGINT) AS idf_q
+    FROM (SELECT gram, count(*) AS doc_freq FROM tf GROUP BY gram) d
+    CROSS JOIN nd
+    WHERE doc_freq <= {COS_DF_CAP}
+),
+post AS (
+    SELECT doc_id, tf.gram, tf * idf_q AS wq
+    FROM tf JOIN vocab ON tf.gram = vocab.gram
+),
+norms AS (
+    SELECT doc_id, sum(CAST(wq AS DECIMAL(38,0)) * wq) AS n2
+    FROM post GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(CAST(a.wq AS DECIMAL(38,0)) * b.wq) AS dot
+    FROM post a JOIN post b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cos AS (
+    SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS c
+    FROM dots
+    JOIN norms na ON dots.doc_a = na.doc_id
+    JOIN norms nb ON dots.doc_b = nb.doc_id
+    WHERE na.n2 > 0 AND nb.n2 > 0
+)
+SELECT doc_a, doc_b, round(c, 6) AS cosine
+FROM cos WHERE c >= {COS_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES_LLM["sparse_cosine_pairs"] = q_sparse_cosine_pairs
+ORACLES_LLM["sparse_cosine_pairs"] = SQL_SPARSE_COSINE_PAIRS

@@ -1278,3 +1278,140 @@ ORDER BY source
 
 QUERIES_MINING["merged_schema_sources"] = q_merged_schema_sources
 ORACLES_MINING["merged_schema_sources"] = SQL_MERGED_SCHEMA_SOURCES
+
+
+# ---------------------------------------------------------------------------
+# Round-9 registration (formerly queries_staged.py): histogram quantile
+# sketch calibrated against exact order statistics
+# ---------------------------------------------------------------------------
+
+QSKETCH_BIN_CENTS = 10_000  # $100 bins
+
+
+def q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of ``l_extendedprice`` per return flag, twice: the
+    EXACT order statistic (conditional mins over cumulative counts on
+    the distinct-cents cell table — the exact_median_value machinery)
+    and a fixed-width HISTOGRAM SKETCH estimate (bin midpoint of the
+    first bin whose cumulative count reaches the rank) — the
+    calibration row a pipeline uses to decide whether the
+    constant-size mergeable histogram is accurate enough to replace
+    the exact path at scale.
+
+    All rank arithmetic is integer (``k_p = (p·n + 99) div 100`` is
+    ceil in exact int64); the only doubles are the final /100
+    cent→dollar casts, identical in both engines.
+
+    Scale shape: the sketch side is a BOUNDED aggregate — bins =
+    price_domain / $100 regardless of row count, mergeable map-side —
+    while the exact side's cell table is bounded by the distinct price
+    domain (not the row count).  One scan feeds both via the persisted
+    cell table."""
+    from pyspark_pipelining_spark import cache
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = cache.keep(
+        li.groupBy(
+            "l_returnflag",
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        ).agg(F.count(F.lit(1)).alias("ni"))
+    )
+
+    def ranked(df: DataFrame, val: str) -> DataFrame:
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy("l_returnflag")
+        return df.select(
+            "l_returnflag",
+            val,
+            F.sum("ni").over(w).alias("cum"),
+            F.sum("ni").over(wt).alias("n"),
+        )
+
+    def pick(df: DataFrame, val: str, prefix: str) -> DataFrame:
+        aggs = [F.max("n").alias("n")] + [
+            F.min(
+                F.when(F.col("cum") >= F.expr(f"({p} * n + 99) div 100"), F.col(val))
+            ).alias(f"{prefix}{p}")
+            for p in (50, 90, 99)
+        ]
+        return df.groupBy("l_returnflag").agg(*aggs)
+
+    exact = pick(ranked(cells, "cents"), "cents", "ec")
+    bins = cells.groupBy(
+        "l_returnflag", F.expr(f"cents div {QSKETCH_BIN_CENTS}").alias("bin")
+    ).agg(F.sum("ni").alias("ni"))
+    est = pick(ranked(bins, "bin"), "bin", "eb").drop("n")
+    half = QSKETCH_BIN_CENTS // 2
+    out = exact.join(F.broadcast(est), "l_returnflag")
+    cols = [F.col("l_returnflag"), F.col("n").cast("long").alias("n")]
+    for p in (50, 90, 99):
+        cols.append(F.round(F.col(f"ec{p}") / F.lit(100.0), 6).alias(f"p{p}_exact"))
+        cols.append(
+            F.round(
+                (F.col(f"eb{p}") * QSKETCH_BIN_CENTS + half) / F.lit(100.0), 6
+            ).alias(f"p{p}_est")
+        )
+    return out.select(*cols).orderBy("l_returnflag")
+
+
+SQL_PRICE_QUANTILE_SKETCH = f"""
+WITH cells AS (
+    SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           count(*) AS ni
+    FROM lineitem GROUP BY 1, 2
+),
+rankedc AS (
+    SELECT l_returnflag, cents,
+           CAST(sum(ni) OVER (PARTITION BY l_returnflag ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(ni) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+    FROM cells
+),
+exact AS (
+    SELECT l_returnflag, max(n) AS n,
+           min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS ec50,
+           min(CASE WHEN cum >= (90 * n + 99) // 100 THEN cents END) AS ec90,
+           min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS ec99
+    FROM rankedc GROUP BY l_returnflag
+),
+bins AS (
+    SELECT l_returnflag, cents // {QSKETCH_BIN_CENTS} AS bin, sum(ni) AS ni
+    FROM cells GROUP BY 1, 2
+),
+rankedb AS (
+    SELECT l_returnflag, bin,
+           CAST(sum(ni) OVER (PARTITION BY l_returnflag ORDER BY bin
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(ni) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+    FROM bins
+),
+est AS (
+    SELECT l_returnflag,
+           min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) AS eb50,
+           min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin END) AS eb90,
+           min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) AS eb99
+    FROM rankedb GROUP BY l_returnflag
+)
+SELECT exact.l_returnflag, CAST(n AS BIGINT) AS n,
+       round(ec50 / 100.0, 6) AS p50_exact,
+       round((eb50 * {QSKETCH_BIN_CENTS} + {QSKETCH_BIN_CENTS // 2}) / 100.0, 6)
+           AS p50_est,
+       round(ec90 / 100.0, 6) AS p90_exact,
+       round((eb90 * {QSKETCH_BIN_CENTS} + {QSKETCH_BIN_CENTS // 2}) / 100.0, 6)
+           AS p90_est,
+       round(ec99 / 100.0, 6) AS p99_exact,
+       round((eb99 * {QSKETCH_BIN_CENTS} + {QSKETCH_BIN_CENTS // 2}) / 100.0, 6)
+           AS p99_est
+FROM exact JOIN est ON exact.l_returnflag = est.l_returnflag
+ORDER BY exact.l_returnflag
+"""
+
+QUERIES_MINING["price_quantile_sketch"] = q_price_quantile_sketch
+ORACLES_MINING["price_quantile_sketch"] = SQL_PRICE_QUANTILE_SKETCH

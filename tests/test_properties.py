@@ -1344,7 +1344,7 @@ def test_conversion_lag_matches_python_model(spark, rows, tmp_path_factory):
     assert row["p90_lag_s"] == want_p90
 
 
-# --- round-9 staged queries: independent Python models --------------------
+# --- round-9 registrations (former staging trio): independent models ------
 
 
 def test_sparse_cosine_pairs_semantics_planted(spark, tmp_path_factory, monkeypatch):
@@ -1356,7 +1356,7 @@ def test_sparse_cosine_pairs_semantics_planted(spark, tmp_path_factory, monkeypa
     import pandas as pd
 
     from pyspark_pipelining_spark import cache
-    from pyspark_pipelining_spark import queries_staged as qs
+    from pyspark_pipelining_spark import queries_llm as qs
 
     # df cap of 3 so the "ubiquitous" gram needs only 4 carriers
     monkeypatch.setattr(qs, "COS_DF_CAP", 3)
@@ -1410,7 +1410,7 @@ def test_price_quantile_sketch_matches_python_and_bounds_error(
     import pandas as pd
 
     from pyspark_pipelining_spark import cache
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_mining import (
         QSKETCH_BIN_CENTS,
         q_price_quantile_sketch,
     )
@@ -1468,7 +1468,7 @@ def test_trend_by_segment_matches_lstsq(spark, rows, tmp_path_factory):
     import numpy as np
     import pandas as pd
 
-    from pyspark_pipelining_spark.queries_staged import q_trend_by_segment
+    from pyspark_pipelining_spark.queries_analytics import q_trend_by_segment
 
     segs = ["ALPHA", "BETA"]
     sf_dir = str(tmp_path_factory.mktemp("trend_sf"))
@@ -1517,3 +1517,62 @@ def test_trend_by_segment_matches_lstsq(spark, rows, tmp_path_factory):
         beta = np.polyfit(x, y, 1)[0] / 100.0
         assert slope is not None
         assert abs(slope - beta) <= 1e-6 * max(1.0, abs(beta))
+
+
+# --- round-10 staged query: sketch merge associativity ---------------------
+
+
+@given(
+    lens=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # source index
+            st.integers(min_value=0, max_value=5_000),  # n_chars
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_doclen_sketch_merge_associativity(spark, lens, tmp_path_factory):
+    """The mergeable-histogram guarantee: folding per-source partial
+    bin maps and merging must give BIT-IDENTICAL quantile estimates to
+    the single-level global fold (integer bin counts are associative),
+    and both must equal the plain-Python histogram walk — for every
+    random split of rows across sources."""
+    import math
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries_staged import (
+        DOCLEN_BIN,
+        q_doclen_sketch_merge,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("sketchmerge_sf"))
+    pd.DataFrame(
+        {
+            "doc_id": range(len(lens)),
+            "text": ["x" * 3 for _ in lens],
+            "lang": "en",
+            "source": [f"s{s}" for (s, _n) in lens],
+            "n_chars": [n for (_s, n) in lens],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    row = q_doclen_sketch_merge(spark, sf_dir).collect()[0]
+    n = len(lens)
+    assert row["n_merged"] == n and row["n_direct"] == n
+    # python model: cumulative walk over the global bin histogram
+    bins: dict[int, int] = {}
+    for _s, nc in lens:
+        bins[nc // DOCLEN_BIN] = bins.get(nc // DOCLEN_BIN, 0) + 1
+    for p in (50, 90, 99):
+        k = math.ceil(p * n / 100)
+        cum = 0
+        want = None
+        for b in sorted(bins):
+            cum += bins[b]
+            if cum >= k:
+                want = round(float(b * DOCLEN_BIN + DOCLEN_BIN // 2), 1)
+                break
+        assert row[f"p{p}_merged"] == want, (p, want, row)
+        assert row[f"p{p}_direct"] == want, (p, want, row)

@@ -674,7 +674,7 @@ def test_price_histogram_bins_stream_matches_batch(spark, tmp_path):
     exact quantiles (a global order statistic has no streaming form)."""
     import pyspark.sql.types as T
 
-    from pyspark_pipelining_spark.queries_staged import QSKETCH_BIN_CENTS
+    from pyspark_pipelining_spark.queries_mining import QSKETCH_BIN_CENTS
     from pyspark_pipelining_spark.streaming import run_stream_to_memory
 
     bin_expr = F.expr(

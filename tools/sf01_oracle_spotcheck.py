@@ -49,12 +49,14 @@ SENSITIVE = [
     "conversion_lag",
     "zipf_slope",
     "containment_pairs",
-    # r09 staging: int64-quantized IDF weights with decimal dot
+    # r09 registrations: int64-quantized IDF weights with decimal dot
     # products, integer rank arithmetic over 100x more cells, and
     # decimal(38,0) regression cross-products
     "sparse_cosine_pairs",
     "price_quantile_sketch",
     "trend_by_segment",
+    # r10 staging: integer rank arithmetic over merged partial bins
+    "doclen_sketch_merge",
 ]
 
 
