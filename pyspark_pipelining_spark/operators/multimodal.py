@@ -371,3 +371,121 @@ def resize_stub(media_df: DataFrame, target: int = 224) -> DataFrame:
         run,
         schema="media_id long, out_width long, out_height long, payload binary",
     )
+
+
+def wav_pcm_windows(
+    files: DataFrame, window_samples: int = 256, path_col: str = "path"
+) -> DataFrame:
+    """Sample-level PCM math on real WAV bytes with ZERO Python in the
+    plan — the codec-free multimodal compute path: parse the canonical
+    44-byte RIFF/WAVE header and fold per-window RMS + peak over the
+    int16 samples, all through JVM ``hex``/``substring``/``conv`` and
+    an ``aggregate`` higher-order function.
+
+    Input: ``binaryFile`` rows (``path``, ``content``).  Non-PCM16-mono
+    or non-canonical-header files are FILTERED (magic + fmt guards),
+    not errored — the lake-scan convention (a 100 TB media lake always
+    contains strays); real codecs stay behind ``decode_real``.
+
+    Decode discipline (cross-engine exact): the file hexes ONCE per
+    row; each output row carries only its own window's hex slice, so
+    the explode fans out window-count rows (not sample-count) and the
+    per-sample loop is an ``aggregate`` HOF over the slice — integer
+    accumulators only (sum of squares ≤ n·2³⁰ per window, easy int64),
+    and the only doubles are the final ``sqrt(ss/n)`` — IEEE
+    exactly-rounded from exact integers in any engine.
+
+    Scale: one file = one row = one task from the binaryFile source;
+    window rows are a ×(seconds·rate/window) fanout of file rows with
+    ~2·window_samples bytes each — far smaller than the input; metrics
+    fold inside the row (no shuffle at all until a downstream agg).
+
+    Output: ``file_name, win, sample_rate, n_samples, peak, rms``.
+    """
+    ws = int(window_samples)
+    hdr = files.select(
+        F.element_at(F.split(F.col(path_col), "/"), -1).alias("file_name"),
+        F.hex("content").alias("h"),
+    ).select(
+        "file_name",
+        "h",
+        # canonical header: RIFF @1, WAVE @9, 'fmt ' @13, chunk16 @17,
+        # data @37 — hex position of byte k is 2k-1
+        (
+            (F.expr("substring(h, 1, 8)") == "52494646")
+            & (F.expr("substring(h, 17, 8)") == "57415645")
+            & (F.expr("substring(h, 25, 8)") == "666D7420")
+            & (F.expr("substring(h, 73, 8)") == "64617461")
+        ).alias("canonical"),
+        F.expr(
+            "CAST(conv(concat(substring(h, 43, 2), substring(h, 41, 2)),"
+            " 16, 10) AS INT)"
+        ).alias("audio_fmt"),
+        F.expr(
+            "CAST(conv(concat(substring(h, 47, 2), substring(h, 45, 2)),"
+            " 16, 10) AS INT)"
+        ).alias("channels"),
+        F.expr(
+            "CAST(conv(concat(substring(h, 55, 2), substring(h, 53, 2),"
+            " substring(h, 51, 2), substring(h, 49, 2)), 16, 10) AS INT)"
+        ).alias("sample_rate"),
+        F.expr(
+            "CAST(conv(concat(substring(h, 71, 2), substring(h, 69, 2)),"
+            " 16, 10) AS INT)"
+        ).alias("bits"),
+        F.expr(
+            "CAST(conv(concat(substring(h, 87, 2), substring(h, 85, 2),"
+            " substring(h, 83, 2), substring(h, 81, 2)), 16, 10) AS BIGINT)"
+        ).alias("data_bytes"),
+    )
+    pcm = hdr.filter(
+        F.col("canonical")
+        & (F.col("audio_fmt") == 1)
+        & (F.col("channels") == 1)
+        & (F.col("bits") == 16)
+    ).withColumn("n_total", F.expr("data_bytes div 2"))
+    wins = pcm.select(
+        "file_name",
+        "sample_rate",
+        "n_total",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.expr(f"(n_total - 1) div {ws}"))
+        ).alias("win"),
+        F.col("h"),
+    ).select(
+        "file_name",
+        "sample_rate",
+        "win",
+        F.least(F.lit(ws), F.col("n_total") - F.col("win") * ws).alias("n_samples"),
+        # data section starts at byte 45 → hex pos 89; 4 hex chars/sample
+        F.expr(
+            f"substring(h, 89 + win * {4 * ws},"
+            f" 4 * least({ws}, n_total - win * {ws}))"
+        ).alias("chunk"),
+    )
+    # little-endian signed int16 sample j of the chunk (0-based)
+    u = (
+        "CAST(conv(concat(substring(chunk, 4 * j + 3, 2),"
+        " substring(chunk, 4 * j + 1, 2)), 16, 10) AS BIGINT)"
+    )
+    v = f"({u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END)"
+    return wins.select(
+        "file_name",
+        "win",
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.expr(
+            "aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L,"
+            f" (acc, j) -> greatest(acc, abs({v})))"
+        ).alias("peak"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L,"
+                    f" (acc, j) -> acc + {v} * {v})"
+                ).cast("double")
+                / F.col("n_samples").cast("double")
+            ),
+            6,
+        ).alias("rms"),
+    )

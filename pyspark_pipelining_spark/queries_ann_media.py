@@ -257,3 +257,118 @@ ORACLES_ANN_MEDIA = {
     "media_sniff": SQL_MEDIA_SNIFF,
     "media_wav_sniff": SQL_MEDIA_WAV_SNIFF,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-9: sample-level PCM math on real WAV bytes (codec-free multimodal
+# compute under the hard signal — the r08 verdict's read_blob follow-up)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+#: Committed deterministic PCM16 fixtures (tools/gen_wav_fixtures.py) —
+#: derived from the package location at import so the oracle SQL below
+#: carries the right absolute path wherever the repo sits.
+WAV_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "fixtures",
+    "audio",
+)
+
+WAV_WINDOW = 256
+
+
+def q_wav_pcm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-256-sample-window RMS and peak over REAL WAV files read as
+    raw bytes through ``sources.registry.load_binary_files`` — the
+    first multimodal query whose driver row validates SAMPLE-LEVEL
+    math, not just container sniffing: the canonical RIFF/WAVE header
+    is parsed and the int16 PCM samples decoded entirely with JVM
+    ``hex``/``substring``/``conv`` expressions and an ``aggregate``
+    higher-order function (``operators/multimodal.wav_pcm_windows``).
+
+    The input is the repo's committed deterministic fixture set (the
+    sf tables carry no media bytes; the fixtures are integer-generated
+    by ``tools/gen_wav_fixtures.py``, so both engines read identical
+    bytes).  The DuckDB oracle is fully independent: ``read_blob``
+    over the same files, hex-pair decoding via ``CAST('0x…')``, and a
+    plain unnest+GROUP BY instead of Spark's in-row HOF fold."""
+    from pyspark_pipelining_spark.operators.multimodal import wav_pcm_windows
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, WAV_FIXTURE_DIR, glob="*.wav")
+    return wav_pcm_windows(files, window_samples=WAV_WINDOW).orderBy(
+        "file_name", "win"
+    )
+
+
+def _sql_wav_pcm_windows(ws: int = WAV_WINDOW) -> str:
+    u = (
+        "CAST('0x' || substring(chunk, 4 * j + 3, 2)"
+        " || substring(chunk, 4 * j + 1, 2) AS BIGINT)"
+    )
+    return f"""
+WITH wav AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           hex(content) AS h
+    FROM read_blob('{WAV_FIXTURE_DIR}/*.wav')
+),
+hdr AS (
+    SELECT file_name, h,
+           CAST('0x' || substring(h, 43, 2) || substring(h, 41, 2) AS INT)
+               AS audio_fmt,
+           CAST('0x' || substring(h, 47, 2) || substring(h, 45, 2) AS INT)
+               AS channels,
+           CAST('0x' || substring(h, 55, 2) || substring(h, 53, 2)
+                || substring(h, 51, 2) || substring(h, 49, 2) AS INT)
+               AS sample_rate,
+           CAST('0x' || substring(h, 71, 2) || substring(h, 69, 2) AS INT)
+               AS bits,
+           CAST('0x' || substring(h, 87, 2) || substring(h, 85, 2)
+                || substring(h, 83, 2) || substring(h, 81, 2) AS BIGINT)
+               // 2 AS n_total
+    FROM wav
+    WHERE substring(h, 1, 8) = '52494646'
+      AND substring(h, 17, 8) = '57415645'
+      AND substring(h, 25, 8) = '666D7420'
+      AND substring(h, 73, 8) = '64617461'
+),
+wins AS (
+    SELECT file_name, sample_rate, n_total, h,
+           unnest(range(0, (n_total - 1) // {ws} + 1)) AS win
+    FROM hdr
+    WHERE audio_fmt = 1 AND channels = 1 AND bits = 16
+),
+chunks AS (
+    SELECT file_name, sample_rate, win,
+           least({ws}, n_total - win * {ws}) AS n_samples,
+           substring(h, CAST(89 + win * {4 * ws} AS BIGINT),
+                     CAST(4 * least({ws}, n_total - win * {ws}) AS BIGINT))
+               AS chunk
+    FROM wins
+),
+samp AS (
+    SELECT file_name, sample_rate, win, n_samples, chunk,
+           unnest(range(0, n_samples)) AS j
+    FROM chunks
+),
+vals AS (
+    SELECT file_name, sample_rate, win, n_samples,
+           {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END AS v
+    FROM samp
+)
+SELECT file_name, CAST(win AS BIGINT) AS win,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n_samples), 6) AS rms
+FROM vals
+GROUP BY file_name, win, sample_rate, n_samples
+ORDER BY file_name, win
+"""
+
+
+SQL_WAV_PCM_WINDOWS = _sql_wav_pcm_windows()
+
+QUERIES_ANN_MEDIA["wav_pcm_windows"] = q_wav_pcm_windows
+ORACLES_ANN_MEDIA["wav_pcm_windows"] = SQL_WAV_PCM_WINDOWS

@@ -1542,3 +1542,88 @@ def test_containment_join_catches_planted_subset_duplicate(spark):
         for r in prefix_jaccard_join(docs, threshold=0.8, n=4).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_wav_pcm_windows_matches_stdlib_decode(spark):
+    """The JVM hex/conv/HOF decode of the committed PCM16 fixtures must
+    equal a stdlib wave+struct decode sample-for-sample: per-window
+    peak and RMS, the short final window included (fixtures are
+    2048 = 8×256 samples, so also check a non-multiple window size)."""
+    import math
+    import struct
+    import wave
+
+    from pyspark_pipelining_spark.operators.multimodal import wav_pcm_windows
+    from pyspark_pipelining_spark.queries_ann_media import WAV_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, WAV_FIXTURE_DIR, glob="*.wav")
+    for ws in (256, 300):  # 2048 % 300 != 0 → short last window
+        got = [
+            tuple(r)
+            for r in wav_pcm_windows(files, window_samples=ws)
+            .orderBy("file_name", "win")
+            .collect()
+        ]
+        want = []
+        for name in ("noise_lcg.wav", "tone_ramp.wav", "tone_triangle.wav"):
+            w = wave.open(f"{WAV_FIXTURE_DIR}/{name}")
+            raw = w.readframes(w.getnframes())
+            s = struct.unpack(f"<{len(raw) // 2}h", raw)
+            assert (w.getnchannels(), w.getsampwidth()) == (1, 2)
+            for wi in range((len(s) + ws - 1) // ws):
+                seg = s[wi * ws : (wi + 1) * ws]
+                ss = sum(x * x for x in seg)
+                want.append(
+                    (
+                        name,
+                        wi,
+                        w.getframerate(),
+                        len(seg),
+                        max(abs(x) for x in seg),
+                        round(math.sqrt(ss / len(seg)), 6),
+                    )
+                )
+        assert got == want
+
+
+def test_wav_pcm_windows_filters_strays_not_errors(spark, tmp_path):
+    """Lake-scan convention: non-WAV bytes, stereo, and 8-bit files are
+    FILTERED by the header guards (never an exception); a valid PCM16
+    mono file alongside them still decodes."""
+    import shutil
+    import struct
+
+    from pyspark_pipelining_spark.operators.multimodal import wav_pcm_windows
+    from pyspark_pipelining_spark.queries_ann_media import WAV_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "not_audio.wav").write_bytes(b"PK\x03\x04 definitely a zip")
+    samples = struct.pack("<4h", 1, -1, 2, -2)
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    (d / "stereo.wav").write_bytes(stereo)
+    shutil.copy(f"{WAV_FIXTURE_DIR}/tone_ramp.wav", d / "tone_ramp.wav")
+    out = wav_pcm_windows(
+        load_binary_files(spark, str(d), glob="*.wav")
+    ).collect()
+    assert {r["file_name"] for r in out} == {"tone_ramp.wav"}
+    assert len(out) == 8
+
+
+def test_wav_fixture_generator_is_deterministic(tmp_path, monkeypatch):
+    """Re-running tools/gen_wav_fixtures.py must reproduce the committed
+    bytes exactly (the cross-engine byte contract the oracle relies on)."""
+    import tools.gen_wav_fixtures as gen
+
+    monkeypatch.setattr(gen, "OUT_DIR", str(tmp_path))
+    gen.main()
+    for name in ("tone_triangle.wav", "tone_ramp.wav", "noise_lcg.wav"):
+        with open(f"{gen.HERE}/fixtures/audio/{name}", "rb") as committed:
+            with open(tmp_path / name, "rb") as fresh:
+                assert committed.read() == fresh.read(), name
