@@ -33,11 +33,52 @@ from pyspark_pipelining_spark.queries import QUERIES
 from pyspark_pipelining_spark.session import get_spark
 
 
+def _host_probe() -> dict:
+    """Snapshot host contention counters (Linux /proc; empty elsewhere).
+
+    ``load1`` BEFORE the run is the ambient signal (the run itself
+    drives load up afterwards); the steal-tick delta across the run is
+    the hypervisor-contention signal a same-code slowdown cannot fake.
+    Recorded so a bench delta can be adjudicated from the artifact
+    itself instead of re-deriving uniform-inflation arguments (r08)."""
+    probe: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            parts = fh.read().split()
+        probe["load1"], probe["load5"] = float(parts[0]), float(parts[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        probe["total_ticks"] = sum(vals)
+        probe["steal_ticks"] = vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    return probe
+
+
+def _contention(before: dict, after: dict) -> dict:
+    host: dict = {"before": before, "after": after}
+    dt = after.get("total_ticks", 0) - before.get("total_ticks", 0)
+    ds = after.get("steal_ticks", 0) - before.get("steal_ticks", 0)
+    steal_pct = round(100.0 * ds / dt, 3) if dt > 0 else -1.0
+    host["steal_pct"] = steal_pct
+    cpus = os.cpu_count() or 1
+    # ambient load before the run claims a quarter of the cores, or the
+    # hypervisor stole >2% of the run's ticks → treat timings as suspect
+    host["contended"] = bool(
+        before.get("load1", 0.0) > 0.25 * cpus or steal_pct > 2.0
+    )
+    return host
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     warmups = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1")))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    probe_before = _host_probe()  # before the JVM starts: ambient load
     spark = get_spark("bench")
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -80,6 +121,7 @@ def main() -> None:
         "warmups": warmups,
         "spread": spreads,
         "median_rel_spread": median_rel_spread,
+        "host": _contention(probe_before, _host_probe()),
     }
     # The driver keeps only the last ~2.2 KB of stdout, so the full
     # per-query line truncates (BENCH_r03-r05 `parsed: null`).  Print
@@ -105,6 +147,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "median_rel_spread": median_rel_spread,
+        "contended": payload["host"]["contended"],
+        "steal_pct": payload["host"]["steal_pct"],
         "detail": "BENCH_FULL.json has all per-query timings",
     }
     print(json.dumps(summary, separators=(",", ":")))

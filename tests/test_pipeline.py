@@ -286,3 +286,39 @@ def test_pipeline_manifest_records_failures(spark, tmp_path):
         p.run("boom")
     assert p.manifest[-1]["status"] == "failed"
     assert "ValueError: nope" in p.manifest[-1]["error"]
+
+
+def test_bench_contention_probe_and_flag():
+    """bench.py's host block must compute steal percentage from tick
+    deltas and flag contention on ambient load or steal — and the live
+    probe must read this host's /proc counters without error."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    live = bench._host_probe()
+    assert "load1" in live and "total_ticks" in live
+
+    idle = bench._contention(
+        {"load1": 0.1, "total_ticks": 1000, "steal_ticks": 0},
+        {"load1": 30.0, "total_ticks": 2000, "steal_ticks": 5},
+    )
+    assert idle["steal_pct"] == 0.5
+    assert idle["contended"] is False  # load AFTER the run is our own
+
+    stolen = bench._contention(
+        {"load1": 0.1, "total_ticks": 1000, "steal_ticks": 0},
+        {"load1": 30.0, "total_ticks": 2000, "steal_ticks": 50},
+    )
+    assert stolen["steal_pct"] == 5.0 and stolen["contended"] is True
+
+    busy = bench._contention(
+        {"load1": (os.cpu_count() or 1) * 0.5, "total_ticks": 1000, "steal_ticks": 0},
+        {"load1": 1.0, "total_ticks": 2000, "steal_ticks": 0},
+    )
+    assert busy["contended"] is True
+
+    empty = bench._contention({}, {})  # non-Linux: no counters, no crash
+    assert empty["steal_pct"] == -1.0 and empty["contended"] is False
