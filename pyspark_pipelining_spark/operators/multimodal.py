@@ -399,6 +399,12 @@ def wav_pcm_windows(
     window rows are a ×(seconds·rate/window) fanout of file rows with
     ~2·window_samples bytes each — far smaller than the input; metrics
     fold inside the row (no shuffle at all until a downstream agg).
+    SIZE ENVELOPE: the per-file hex string doubles the payload, so
+    this expression path is for clip-sized audio (≲500 MB/file; the
+    binaryFile source itself caps a row at 2 GB) — hour-long masters
+    belong to the Arrow-batched ``audio_window_plan`` path, chunked
+    upstream.  Gate with ``load_binary_files(..., max_bytes=...)``,
+    which skips oversized payloads at the format level.
 
     Output: ``file_name, win, sample_rate, n_samples, peak, rms``.
     """

@@ -930,9 +930,11 @@ ORDER BY media_id
 def q_media_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio analysis-window plan (operators/multimodal
     .audio_window_plan): deterministic per-clip durations synthesized
-    from ids (no audio fixtures in the container); some clips are
-    shorter than one window and contribute zero rows — the plan
-    handles them without special-casing."""
+    from ids — this query exercises the WINDOW-PLAN geometry over the
+    sf documents table (real sample-level decode on actual WAV bytes
+    is ``wav_pcm_windows``); some clips are shorter than one window
+    and contribute zero rows — the plan handles them without
+    special-casing."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs).withColumn(
         "meta",

@@ -760,3 +760,29 @@ def test_cooccur_pmi_marginals_are_windows_not_joins(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_joins_have_no_token_keyed_window(spark):
+    """r09 skew-proofing regression guard: document frequency in the
+    prefix joins must come from the groupBy+join-back (AQE-broadcast /
+    AQE-skew-splittable), never from a window partitioned on the token
+    — a token-keyed window keys each posting list to one
+    non-splittable task.  Every window in the executed plans must
+    partition by doc_id (group size bounded by document length), and
+    the candidate pipeline must stay SMJ-free at this scale (the df
+    table broadcasts)."""
+    import re
+
+    from pyspark_pipelining_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    for name in ("jaccard_prefix_pairs", "containment_pairs"):
+        plan = (
+            QUERIES[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        keys = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+        assert keys and keys <= {"doc_id"}, (name, keys)
+        assert "SortMergeJoin" not in plan, name
