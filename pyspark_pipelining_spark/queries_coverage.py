@@ -545,9 +545,17 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer) peaks in magnitude.  One groupBy + one window —
     no driver loop."""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("v"))
+    # every fold/product widens to DECIMAL(38,0) (r09 sweep of the
+    # trend_by_segment/runs_test silent-wrap class): the n·v residual
+    # legitimately exceeds int64 long before the OUTPUT does, and a
+    # wrapped residual can cancel back into range — silently moving
+    # the argmax — while DuckDB's HUGEINT stays exact.  Output cast
+    # back to BIGINT at the boundary on both sides.
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(CAST(floor(value * 100) AS BIGINT) AS DECIMAL(38,0))")
+        ).alias("v")
+    )
     wt = Window.partitionBy("event_type")
     wcum = (
         Window.partitionBy("event_type")
@@ -557,7 +565,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = daily.select(
         "event_type",
         "day",
-        (F.count(F.lit(1)).over(wt) * F.col("v") - F.sum("v").over(wt)).alias("_r"),
+        # n_days fits decimal(6,0); (6,0)×(38,0) stays scale-0 exact
+        (
+            F.count(F.lit(1)).over(wt).cast("decimal(6,0)") * F.col("v")
+            - F.sum("v").over(wt)
+        ).alias("_r"),
         F.count(F.lit(1)).over(wt).alias("n_days"),
     ).withColumn("_cusum", F.sum("_r").over(wcum))
     wpk = Window.partitionBy("event_type").orderBy(
@@ -569,7 +581,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("day").alias("peak_day"),
-            F.col("_cusum").alias("peak_cusum"),
+            F.col("_cusum").cast("long").alias("peak_cusum"),
             "n_days",
         )
         .orderBy("event_type")

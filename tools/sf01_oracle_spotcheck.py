@@ -57,6 +57,8 @@ SENSITIVE = [
     "trend_by_segment",
     # r10 staging: integer rank arithmetic over merged partial bins
     "doclen_sketch_merge",
+    # r09 sweep: n·v residuals widened to decimal(38,0) (silent-wrap class)
+    "cusum_changepoint",
 ]
 
 
