@@ -1623,3 +1623,53 @@ def test_prefix_joins_hot_token_is_lossless(spark, docs, threshold):
         for r in prefix_containment_join(df, threshold=threshold, n=1).collect()
     }
     assert got_c == _containment_brute_force(sets, threshold)
+
+
+@given(
+    samples=st.lists(
+        st.one_of(
+            st.integers(min_value=-32768, max_value=32767),
+            st.sampled_from([-32768, 32767, 0, -1, 1, 255, 256, -256]),
+        ),
+        min_size=1,
+        max_size=600,
+    ),
+    ws=st.sampled_from([64, 100]),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_wav_pcm_decode_roundtrip_random_samples(spark, samples, ws, tmp_path_factory):
+    """The JVM hex/conv sample decode must round-trip ARBITRARY int16
+    PCM — sign boundary (±32768), byte-boundary (±255/256), and a
+    short final window — against a plain-Python model of the same
+    windows, not just the committed fixtures."""
+    import math
+
+    from pyspark_pipelining_spark.operators.multimodal import wav_pcm_windows
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_wav_fixtures import wav_bytes
+
+    d = tmp_path_factory.mktemp("wav_rt")
+    (d / "t.wav").write_bytes(wav_bytes(samples))
+    got = [
+        tuple(r)
+        for r in wav_pcm_windows(
+            load_binary_files(spark, str(d), glob="*.wav"), window_samples=ws
+        )
+        .orderBy("win")
+        .collect()
+    ]
+    want = []
+    for wi in range((len(samples) + ws - 1) // ws):
+        seg = samples[wi * ws : (wi + 1) * ws]
+        ss = sum(x * x for x in seg)
+        want.append(
+            (
+                "t.wav",
+                wi,
+                8000,
+                len(seg),
+                max(abs(x) for x in seg),
+                round(math.sqrt(ss / len(seg)), 6),
+            )
+        )
+    assert got == want
