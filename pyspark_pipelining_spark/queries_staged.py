@@ -147,10 +147,80 @@ FROM em CROSS JOIN ed
 """
 
 
+# ---------------------------------------------------------------------------
+# 2. Native session windows (F.session_window) — gap sessionization via
+#    Spark's built-in streaming-compatible operator
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessions via Spark's NATIVE ``session_window``
+    operator — the streaming-compatible twin of the registry's manual
+    gaps-and-islands ``sessionize``: one groupBy, no lag window, and
+    the identical plan runs under Structured Streaming with a
+    watermark (stream≡batch pinned in tests/test_streaming.py).
+
+    Boundary semantics (pinned empirically, encoded in the oracle):
+    events merge while the gap is ≤ 30 min — a new session starts only
+    when the inter-event gap EXCEEDS the gap parameter — and
+    ``session_window.end`` is the last event time + gap.  Timestamps
+    compare in unix MICROS on both engines (µs-exact feed).
+
+    Scale shape: one shuffle on user_id and the session merge happens
+    inside the aggregation operator (no per-user sort window, no lag
+    self-reference); value totals fold through decimal(18,2) cast to
+    double only at the boundary."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).alias("_v"),
+    )
+    return s.select(
+        "user_id",
+        F.expr("unix_micros(session_window.start)").alias("start_us"),
+        F.expr("unix_micros(session_window.end)").alias("end_us"),
+        "n_events",
+        F.col("_v").cast("double").alias("total_value"),
+    ).orderBy("user_id", "start_us")
+
+
+SQL_SESSION_WINDOW_STATS = f"""
+WITH lagd AS (
+    SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+flag AS (
+    SELECT *, CASE WHEN prev IS NULL
+                     OR ts - prev > INTERVAL {SESSION_GAP_MIN} MINUTES
+                   THEN 1 ELSE 0 END AS new_s
+    FROM lagd
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flag
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + {SESSION_GAP_MIN * 60 * 1_000_000} AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, start_us
+"""
+
+
 QUERIES_STAGED = {
     "doclen_sketch_merge": q_doclen_sketch_merge,
+    "session_window_stats": q_session_window_stats,
 }
 
 ORACLES_STAGED = {
     "doclen_sketch_merge": SQL_DOCLEN_SKETCH_MERGE,
+    "session_window_stats": SQL_SESSION_WINDOW_STATS,
 }

@@ -707,3 +707,80 @@ def test_price_histogram_bins_stream_matches_batch(spark, tmp_path):
     b = sorted(tuple(r) for r in batch.collect())
     s = sorted(tuple(r) for r in result.collect())
     assert b == s and len(b) > 0
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The round-10 staged session_window query's plan is
+    streaming-native: the same groupBy(session_window) under
+    availableNow + a 0s watermark must emit exactly the batch
+    sessions.  Append mode only flushes sessions the watermark has
+    passed and the watermark only advances at batch boundaries, so the
+    input splits into two files (maxFilesPerTrigger=1) with a
+    far-future sentinel event per user in the second — the sentinel
+    batch pushes the watermark past every real session; sentinel
+    sessions are excluded from the compare by their start time."""
+    import datetime as dt
+    import time
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    from pyspark_pipelining_spark.streaming.windows import run_stream_to_memory
+
+    base = dt.datetime(2024, 1, 1)
+    real = []
+    for u in (1, 2, 3):
+        # one 5-event session with 20-min gaps, then an isolated event
+        for k in range(5):
+            real.append((u, base + dt.timedelta(minutes=20 * k + u), float(k)))
+        real.append((u, base + dt.timedelta(hours=5, minutes=u), 9.0))
+    sentinel = [(u, dt.datetime(2100, 1, 1), 0.0) for u in (1, 2, 3)]
+    d = tmp_path / "sw_src"
+    d.mkdir()
+
+    def write(rows, name):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / name)
+
+    write(real, "a_real.parquet")
+    time.sleep(1.1)  # the file source orders batches by mod time
+    write(sentinel, "b_sentinel.parquet")
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.expr("unix_micros(session_window.start)").alias("start_us"),
+                F.expr("unix_micros(session_window.end)").alias("end_us"),
+                "n_events",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "0 seconds")
+    )
+    streamed = sorted(
+        map(tuple, run_stream_to_memory(sessions(stream), "sw_sessions", output_mode="append").collect())
+    )
+    cut = int(dt.datetime(2099, 1, 1).timestamp() * 1e6)
+    batch = sorted(
+        tuple(r)
+        for r in sessions(spark.read.schema(schema).parquet(str(d))).collect()
+        if r["start_us"] < cut
+    )
+    assert [r for r in streamed if r[1] < cut] == batch
+    assert len(batch) == 6  # 2 sessions per user, none dropped

@@ -55,8 +55,10 @@ SENSITIVE = [
     "sparse_cosine_pairs",
     "price_quantile_sketch",
     "trend_by_segment",
-    # r10 staging: integer rank arithmetic over merged partial bins
+    # r10 staging: integer rank arithmetic over merged partial bins;
+    # µs-exact session boundaries at 100x more events
     "doclen_sketch_merge",
+    "session_window_stats",
     # r09 sweep: n·v residuals widened to decimal(38,0) (silent-wrap class)
     "cusum_changepoint",
 ]
