@@ -1673,3 +1673,65 @@ def test_wav_pcm_decode_roundtrip_random_samples(spark, samples, ws, tmp_path_fa
             )
         )
     assert got == want
+
+
+@given(
+    gaps_min=st.lists(
+        st.sampled_from([1, 29, 30, 31, 45, 90]),  # exact-boundary planted
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_session_window_boundary_matches_python_model(spark, gaps_min, tmp_path_factory):
+    """Pin the native session_window boundary semantics the round-10
+    staged oracle encodes: events MERGE while the inter-event gap is
+    ≤ 30 min (a gap of exactly 30:00 stays in-session; 30:01 splits),
+    and window end = last event + gap.  If a Spark upgrade flips the
+    boundary to strict-less-than, this fails at pytest time instead of
+    as a driver red row."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries_staged import (
+        SESSION_GAP_MIN,
+        q_session_window_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ts = [base]
+    for g in gaps_min:
+        ts.append(ts[-1] + dt.timedelta(minutes=g))
+    sf_dir = str(tmp_path_factory.mktemp("sw_sf"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(ts)),
+            "user_id": 7,
+            "ts": pd.Series(ts).astype("datetime64[us]"),
+            "event_type": "click",
+            "value": 1.5,
+            "source": "s",
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(f"{sf_dir}/events.parquet")
+    got = [
+        (r["start_us"], r["end_us"], r["n_events"], r["total_value"])
+        for r in q_session_window_stats(spark, sf_dir).collect()
+    ]
+    # python model: merge while gap <= SESSION_GAP_MIN minutes
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    us = [int(t.timestamp() * 1_000_000) for t in ts]
+    sessions, cur = [], [us[0]]
+    for prev, nxt in zip(us, us[1:]):
+        if nxt - prev <= gap_us:
+            cur.append(nxt)
+        else:
+            sessions.append(cur)
+            cur = [nxt]
+    sessions.append(cur)
+    want = [
+        (s[0], s[-1] + gap_us, len(s), round(1.5 * len(s), 2)) for s in sessions
+    ]
+    assert got == want
