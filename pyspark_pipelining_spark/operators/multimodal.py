@@ -411,9 +411,11 @@ def wav_pcm_windows(
     ws = int(window_samples)
     hdr = files.select(
         F.element_at(F.split(F.col(path_col), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
         F.hex("content").alias("h"),
     ).select(
         "file_name",
+        "n_bytes",
         "h",
         # canonical header: RIFF @1, WAVE @9, 'fmt ' @13, chunk16 @17,
         # data @37 — hex position of byte k is 2k-1
@@ -449,6 +451,13 @@ def wav_pcm_windows(
         & (F.col("audio_fmt") == 1)
         & (F.col("channels") == 1)
         & (F.col("bits") == 16)
+        # degenerate-chunk guards (lake-scan contract: filtered, never
+        # errored or silently NULL): at least one whole sample, and the
+        # declared data chunk actually present in the payload — an
+        # empty chunk would fabricate a zero-sample window and an
+        # overstated data_bytes would decode '' into NULL samples
+        & (F.col("data_bytes") >= 2)
+        & (F.col("data_bytes") <= F.col("n_bytes") - 44)
     ).withColumn("n_total", F.expr("data_bytes div 2"))
     wins = pcm.select(
         "file_name",

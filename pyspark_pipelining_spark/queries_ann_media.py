@@ -310,11 +310,12 @@ def _sql_wav_pcm_windows(ws: int = WAV_WINDOW) -> str:
     return f"""
 WITH wav AS (
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           octet_length(content) AS n_bytes,
            hex(content) AS h
     FROM read_blob('{WAV_FIXTURE_DIR}/*.wav')
 ),
 hdr AS (
-    SELECT file_name, h,
+    SELECT file_name, n_bytes, h,
            CAST('0x' || substring(h, 43, 2) || substring(h, 41, 2) AS INT)
                AS audio_fmt,
            CAST('0x' || substring(h, 47, 2) || substring(h, 45, 2) AS INT)
@@ -326,7 +327,7 @@ hdr AS (
                AS bits,
            CAST('0x' || substring(h, 87, 2) || substring(h, 85, 2)
                 || substring(h, 83, 2) || substring(h, 81, 2) AS BIGINT)
-               // 2 AS n_total
+               AS data_bytes
     FROM wav
     WHERE substring(h, 1, 8) = '52494646'
       AND substring(h, 17, 8) = '57415645'
@@ -334,10 +335,13 @@ hdr AS (
       AND substring(h, 73, 8) = '64617461'
 ),
 wins AS (
-    SELECT file_name, sample_rate, n_total, h,
-           unnest(range(0, (n_total - 1) // {ws} + 1)) AS win
+    SELECT file_name, sample_rate, data_bytes // 2 AS n_total, h,
+           unnest(range(0, (data_bytes // 2 - 1) // {ws} + 1)) AS win
     FROM hdr
     WHERE audio_fmt = 1 AND channels = 1 AND bits = 16
+      -- degenerate-chunk guards mirroring the Spark side: at least one
+      -- whole sample, and the declared chunk present in the payload
+      AND data_bytes >= 2 AND data_bytes <= n_bytes - 44
 ),
 chunks AS (
     SELECT file_name, sample_rate, win,

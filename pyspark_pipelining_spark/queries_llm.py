@@ -1543,11 +1543,9 @@ COS_NGRAM = 4
 COS_DF_CAP = 200
 COS_THRESHOLD = 0.5
 
-_SQL_GRAM_TF = """
-words AS (
-    SELECT doc_id, string_split_regex(lower(text), ' +') AS w
-    FROM documents
-),
+# composed over the module's single words CTE (SQL_WORDS) so the
+# tokenizer convention lives in exactly one place, like SQL_BIGRAMS
+_SQL_GRAM_TF = f"""{SQL_WORDS},
 occs AS (
     SELECT doc_id,
            unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 1),

@@ -1608,6 +1608,18 @@ def test_wav_pcm_windows_filters_strays_not_errors(spark, tmp_path):
         + b"data" + struct.pack("<I", len(samples)) + samples
     )
     (d / "stereo.wav").write_bytes(stereo)
+    mono_hdr = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    )
+    # canonical header but EMPTY data chunk: must not fabricate a
+    # zero-sample window row (the oracle's per-sample unnest is empty)
+    (d / "empty_data.wav").write_bytes(mono_hdr + b"data" + struct.pack("<I", 0))
+    # data_bytes overstates the payload: must filter, not decode ''
+    # into NULL samples (the oracle would hard-error on CAST('0x'))
+    (d / "truncated.wav").write_bytes(
+        mono_hdr + b"data" + struct.pack("<I", 4096) + samples
+    )
     shutil.copy(f"{WAV_FIXTURE_DIR}/tone_ramp.wav", d / "tone_ramp.wav")
     out = wav_pcm_windows(
         load_binary_files(spark, str(d), glob="*.wav")

@@ -1720,9 +1720,15 @@ def test_session_window_boundary_matches_python_model(spark, gaps_min, tmp_path_
         (r["start_us"], r["end_us"], r["n_events"], r["total_value"])
         for r in q_session_window_stats(spark, sf_dir).collect()
     ]
-    # python model: merge while gap <= SESSION_GAP_MIN minutes
+    # python model: merge while gap <= SESSION_GAP_MIN minutes.
+    # The session pins spark.sql.session.timeZone=UTC, so the naive
+    # parquet timestamps read as UTC — mirror that explicitly (a bare
+    # .timestamp() would use the MACHINE timezone and skew every
+    # absolute micro on a non-UTC host)
     gap_us = SESSION_GAP_MIN * 60 * 1_000_000
-    us = [int(t.timestamp() * 1_000_000) for t in ts]
+    us = [
+        int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) for t in ts
+    ]
     sessions, cur = [], [us[0]]
     for prev, nxt in zip(us, us[1:]):
         if nxt - prev <= gap_us:
