@@ -504,3 +504,109 @@ def wav_pcm_windows(
             6,
         ).alias("rms"),
     )
+
+
+def png_chunk_walk(
+    files: DataFrame, max_chunks: int = 64, path_col: str = "path"
+) -> DataFrame:
+    """Variable-offset PNG chunk inventory with ZERO Python in the plan
+    — the second codec-free multimodal compute path (the WAV fold above
+    parses a FIXED-layout header; a PNG's chunk table only exists by
+    walking it, each chunk's offset a function of every prior length).
+    The walk is a bounded ``aggregate`` higher-order fold over the
+    hexed bytes whose state is ``(offset, ok, done, chunks)``: each
+    step reads the 4-byte big-endian length, the 4-ASCII-letter type,
+    and the stored CRC at the current offset, appends a chunk struct,
+    and advances ``offset += 12 + length`` until IEND.
+
+    Lake-scan contract (strays FILTERED, never errored): a file emits
+    rows only when the walk terminates CLEANLY — PNG signature, every
+    chunk in bounds with a letters-only type, IEND reached within
+    ``max_chunks``, and the final offset exactly at end-of-file (so
+    truncated chunks, trailing garbage, and walk overruns all drop the
+    whole file, mirroring the DuckDB oracle's recursive-CTE guards).
+
+    Scale: one file = one row = one task from the binaryFile source;
+    the fold is O(max_chunks) per row with only header bytes examined
+    per step (the hex string is materialized once per row — the same
+    ≲500 MB/file envelope as ``wav_pcm_windows``; huge many-IDAT
+    masters belong to an Arrow-batched path, chunked upstream).  The
+    output fans out chunk-count rows of a few dozen bytes each and
+    nothing shuffles until a downstream agg.
+
+    Output: ``file_name, idx, off, ctype, clen, crc`` (one row per
+    chunk, ``off`` = 0-based byte offset of the chunk's length field).
+    """
+    mc = int(max_chunks)
+    # signature check hexes ONLY the first 8 bytes (hexing the whole
+    # payload just to test the magic would double-scan every stray)
+    sig = files.filter(
+        F.expr("hex(substring(content, 1, 8))") == "89504E470D0A1A0A"
+    ).select(
+        F.element_at(F.split(F.col(path_col), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.hex("content").alias("h"),
+    )
+
+    # chunk fields at the CURRENT offset (hex pos of byte k is 2k+1 for
+    # 0-based k); length/type live in the 8 bytes the fits-guard checks
+    ln = "CAST(conv(substring(h, 2 * acc.off + 1, 8), 16, 10) AS BIGINT)"
+    bs = [
+        f"CAST(conv(substring(h, 2 * acc.off + {9 + 2 * k}, 2), 16, 10) AS INT)"
+        for k in range(4)
+    ]
+    type_ok = " AND ".join(
+        f"(({b} BETWEEN 65 AND 90) OR ({b} BETWEEN 97 AND 122))" for b in bs
+    )
+    ctype = "concat(" + ", ".join(f"char({b})" for b in bs) + ")"
+    crc = f"CAST(conv(substring(h, 2 * (acc.off + 8 + {ln}) + 1, 8), 16, 10) AS BIGINT)"
+    fail = (
+        "named_struct('off', acc.off, 'ok', false, 'done', true,"
+        " 'chunks', acc.chunks)"
+    )
+    step = (
+        f"named_struct('off', acc.off + 12 + {ln}, 'ok', acc.ok,"
+        f" 'done', {ctype} = 'IEND',"
+        f" 'chunks', array_append(acc.chunks, named_struct("
+        f"'off', acc.off, 'clen', {ln}, 'ctype', {ctype}, 'crc', {crc})))"
+    )
+    init = (
+        "named_struct('off', CAST(8 AS BIGINT), 'ok', true, 'done', false,"
+        " 'chunks', CAST(array() AS"
+        " ARRAY<STRUCT<off: BIGINT, clen: BIGINT, ctype: STRING, crc: BIGINT>>))"
+    )
+    walked = sig.select(
+        "file_name",
+        "n_bytes",
+        F.expr(
+            f"aggregate(sequence(1, {mc}), {init}, (acc, i) -> CASE"
+            f" WHEN acc.done THEN acc"
+            f" WHEN acc.off + 8 > n_bytes OR NOT ({type_ok})"
+            f"      OR acc.off + 12 + {ln} > n_bytes THEN {fail}"
+            f" ELSE {step} END)"
+        ).alias("st"),
+    )
+    # clean-termination gate folded INTO the generator (NULL array →
+    # row vanishes under non-outer posexplode) instead of a Filter
+    # node: a filter on st would be predicate-pushed below this
+    # projection and re-evaluate the whole fold (and re-hex the
+    # payload) once per referenced field — the conditional explode
+    # keeps the walk at exactly one evaluation per row
+    return walked.select(
+        "file_name",
+        F.posexplode(
+            F.when(
+                F.col("st.ok")
+                & F.col("st.done")
+                & (F.col("st.off") == F.col("n_bytes")),
+                F.col("st.chunks"),
+            )
+        ).alias("idx", "c"),
+    ).select(
+        "file_name",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("c.off").alias("off"),
+        F.col("c.ctype").alias("ctype"),
+        F.col("c.clen").alias("clen"),
+        F.col("c.crc").alias("crc"),
+    )

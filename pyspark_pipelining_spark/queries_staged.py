@@ -5,10 +5,12 @@ plus ``wav_pcm_windows``), and late additions would defer pending
 revalidations (CLAUDE.md: registry freeze).
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into their family
-modules (sketch merge → queries_mining), delete this file, and
-regenerate VALIDATION.md.  The local gates exercise everything here
-every pytest run (oracle compare at sf0.001, the pandas-dtype gate,
-and the plan-invariant gate), so these are pytest-green now and
+modules (sketch merge → queries_mining, session windows →
+queries_analytics or queries_mining, png chunks → queries_ann_media,
+theilsen → queries_analytics), delete this file, and regenerate
+VALIDATION.md.  The local gates exercise everything here every pytest
+run (oracle compare at sf0.001, the pandas-dtype gate, and the
+plan-invariant gate), so these are pytest-green now and
 driver-validated next round.
 
 - ``doclen_sketch_merge`` — the MERGEABLE form of the histogram
@@ -20,9 +22,21 @@ driver-validated next round.
   bin counts, which is exactly the property that lets 1000 executors
   (or a streaming fold, see tests/test_streaming.py) each keep a
   constant-size histogram and merge at the end.
+- ``png_chunks`` — the second codec-free multimodal compute under the
+  hard signal: a VARIABLE-OFFSET chunk walk over real PNG bytes
+  (``wav_pcm_windows`` parsed a fixed-layout header; a PNG's chunk
+  table only exists by iterating offset += 12 + length), Spark side a
+  bounded ``aggregate`` HOF state machine, DuckDB side a recursive
+  CTE — independent formulations of the same walk.
+- ``theilsen_trend`` — the ROBUST twin of the registered
+  ``trend_by_segment`` OLS slope: Theil–Sen median-of-pairwise-slopes
+  per market segment, the quadratic pair join confined to the
+  calendar-bounded monthly table.
 """
 
 from __future__ import annotations
+
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -215,12 +229,235 @@ ORDER BY user_id, start_us
 """
 
 
+# ---------------------------------------------------------------------------
+# 3. PNG chunk walk — variable-offset multimodal compute (codec-free)
+# ---------------------------------------------------------------------------
+
+#: Committed deterministic PNG fixtures (tools/gen_png_fixtures.py) —
+#: derived from the package location at import so the oracle SQL below
+#: carries the right absolute path wherever the repo sits (the same
+#: convention as queries_ann_media.WAV_FIXTURE_DIR).
+PNG_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "fixtures",
+    "images",
+)
+
+PNG_MAX_CHUNKS = 64
+
+
+def q_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk inventory (type, length, offset, stored CRC) of REAL
+    PNG files read as raw bytes through the binaryFile source — the
+    second multimodal query doing byte-level COMPUTE under the hard
+    signal, and the first whose parse is a variable-offset walk: chunk
+    N's position is a function of every prior chunk's length, so the
+    Spark plan is a bounded ``aggregate`` HOF state machine
+    (``operators/multimodal.png_chunk_walk``) and the DuckDB oracle is
+    a recursive CTE — two independent formulations of the same walk
+    over identical committed bytes (``tools/gen_png_fixtures.py``,
+    hand-built stored-deflate, no compressor involved).
+
+    Both sides enforce the same clean-termination contract (signature,
+    in-bounds chunks, letters-only types, IEND within the chunk cap,
+    final offset exactly at EOF) so strays FILTER identically."""
+    from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, PNG_FIXTURE_DIR, glob="*.png")
+    return png_chunk_walk(files, max_chunks=PNG_MAX_CHUNKS).orderBy(
+        "file_name", "idx"
+    )
+
+
+def _sql_png_chunks(mc: int = PNG_MAX_CHUNKS) -> str:
+    t = "chr(b0) || chr(b1) || chr(b2) || chr(b3)"
+    return f"""
+WITH RECURSIVE png AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           octet_length(content) AS n_bytes,
+           hex(content) AS h
+    FROM read_blob('{PNG_FIXTURE_DIR}/*.png')
+    WHERE substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+),
+walk AS (
+    SELECT file_name, n_bytes, h,
+           CAST(8 AS BIGINT) AS nxt, CAST(-1 AS BIGINT) AS idx,
+           CAST(NULL AS BIGINT) AS coff, CAST(NULL AS BIGINT) AS clen,
+           CAST(NULL AS VARCHAR) AS ctype, CAST(NULL AS BIGINT) AS crc,
+           FALSE AS done
+    FROM png
+    UNION ALL
+    SELECT file_name, n_bytes, h,
+           nxt + 12 + len, idx + 1,
+           nxt, len,
+           {t},
+           CAST('0x' || substring(h, CAST(2 * (nxt + 8 + len) + 1 AS BIGINT), 8)
+                AS BIGINT),
+           {t} = 'IEND'
+    FROM (
+        SELECT *,
+               CAST('0x' || substring(h, CAST(2 * nxt + 1 AS BIGINT), 8)
+                    AS BIGINT) AS len,
+               CAST('0x' || substring(h, CAST(2 * nxt + 9 AS BIGINT), 2)
+                    AS INT) AS b0,
+               CAST('0x' || substring(h, CAST(2 * nxt + 11 AS BIGINT), 2)
+                    AS INT) AS b1,
+               CAST('0x' || substring(h, CAST(2 * nxt + 13 AS BIGINT), 2)
+                    AS INT) AS b2,
+               CAST('0x' || substring(h, CAST(2 * nxt + 15 AS BIGINT), 2)
+                    AS INT) AS b3
+        FROM walk
+        -- idx cap mirrors Spark's {mc}-step fold: the {mc}-th chunk
+        -- (idx {mc - 1}) may still be appended, never one more
+        WHERE NOT done AND nxt + 8 <= n_bytes AND idx <= {mc - 2}
+    ) s
+    WHERE ((b0 BETWEEN 65 AND 90) OR (b0 BETWEEN 97 AND 122))
+      AND ((b1 BETWEEN 65 AND 90) OR (b1 BETWEEN 97 AND 122))
+      AND ((b2 BETWEEN 65 AND 90) OR (b2 BETWEEN 97 AND 122))
+      AND ((b3 BETWEEN 65 AND 90) OR (b3 BETWEEN 97 AND 122))
+      AND nxt + 12 + len <= n_bytes
+),
+valid AS (
+    SELECT file_name FROM walk WHERE done AND nxt = n_bytes
+)
+SELECT w.file_name, w.idx, w.coff AS off, w.ctype, w.clen, w.crc
+FROM walk w JOIN valid v USING (file_name)
+WHERE w.idx >= 0
+ORDER BY file_name, idx
+"""
+
+
+SQL_PNG_CHUNKS = _sql_png_chunks()
+
+
+# ---------------------------------------------------------------------------
+# 4. Theil–Sen robust trend — median of pairwise slopes per segment
+# ---------------------------------------------------------------------------
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the monthly-revenue trend per market
+    segment — the ROBUST twin of the registered OLS ``trend_by_segment``
+    (median of all pairwise slopes instead of the least-squares fit;
+    up to ~29% contaminated months cannot move it).
+
+    Exactness: the monthly fold is the same DECIMAL(38,0) cent sum as
+    the OLS query; each pairwise slope is one IEEE division of two
+    exactly-represented operands (Δcents fits well inside 2⁵³ at any
+    tested sf; Δmonth is a small int), so both engines compute the
+    bit-identical double.  The median is taken EXPLICITLY as order
+    statistics — rows ranked by (slope, month tiebreaks), ranks
+    ⌈n/2⌉ and ⌊n/2⌋+1 averaged with the same sum/count/100 expression
+    chain on both sides — no engine-specific quantile interpolation.
+
+    Scale shape: the pair join is quadratic ONLY in the calendar —
+    monthly is |segments|×|months| regardless of row count, so the
+    self-join (broadcast, m-ordered predicate) and the rank window run
+    over a few-thousand-row bounded table; the one data-sized shuffle
+    is the month fold, which combines map-side and is persisted once
+    (``cache.keep``) so the self-join's two branches don't each rescan
+    orders."""
+    from pyspark_pipelining_spark import cache
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT) AS DECIMAL(38,0))"
+                )
+            ).alias("rev")
+        )
+    )
+    monthly = cache.keep(monthly)
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.c_mktsegment").alias("seg"),
+        F.col("a.m").alias("am"),
+        F.col("b.m").alias("bm"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.m") - F.col("a.m")).cast("double")
+        ).alias("slope"),
+    )
+    wseg = Window.partitionBy("seg")
+    ranked = pairs.select(
+        "seg",
+        "slope",
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("slope", "am", "bm"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    mids = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mids.groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("slope") / F.count(F.lit(1)) / F.lit(100.0), 6
+            ).alias("theilsen_dollars_per_month"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_THEILSEN_TREND = """
+WITH monthly AS (
+    SELECT c_mktsegment AS seg,
+           year(o_orderdate) * 12 + month(o_orderdate) AS m,
+           sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS DECIMAL(38,0))) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.seg, a.m AS am, b.m AS bm,
+           CAST(b.rev - a.rev AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+    FROM monthly a JOIN monthly b ON a.seg = b.seg AND a.m < b.m
+),
+ranked AS (
+    SELECT seg, slope,
+           row_number() OVER (PARTITION BY seg ORDER BY slope, am, bm) AS rn,
+           count(*) OVER (PARTITION BY seg) AS n
+    FROM pairs
+)
+SELECT seg AS c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_pairs,
+       round(sum(slope) / count(*) / 100.0, 6) AS theilsen_dollars_per_month
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY seg
+ORDER BY seg
+"""
+
+
 QUERIES_STAGED = {
     "doclen_sketch_merge": q_doclen_sketch_merge,
     "session_window_stats": q_session_window_stats,
+    "png_chunks": q_png_chunks,
+    "theilsen_trend": q_theilsen_trend,
 }
 
 ORACLES_STAGED = {
     "doclen_sketch_merge": SQL_DOCLEN_SKETCH_MERGE,
     "session_window_stats": SQL_SESSION_WINDOW_STATS,
+    "png_chunks": SQL_PNG_CHUNKS,
+    "theilsen_trend": SQL_THEILSEN_TREND,
 }

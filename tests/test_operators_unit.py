@@ -1639,3 +1639,150 @@ def test_wav_fixture_generator_is_deterministic(tmp_path, monkeypatch):
         with open(f"{gen.HERE}/fixtures/audio/{name}", "rb") as committed:
             with open(tmp_path / name, "rb") as fresh:
                 assert committed.read() == fresh.read(), name
+
+
+def _python_png_walk(name: str, b: bytes) -> list[tuple]:
+    """Plain-struct reference walk for the PNG chunk tests (mirrors the
+    clean-termination contract: returns [] unless the walk ends at IEND
+    exactly at EOF with letters-only types)."""
+    import struct
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return []
+    off, out = 8, []
+    while True:
+        if off + 8 > len(b):
+            return []
+        ln = struct.unpack(">I", b[off : off + 4])[0]
+        ct = b[off + 4 : off + 8]
+        if not all(65 <= c <= 90 or 97 <= c <= 122 for c in ct):
+            return []
+        if off + 12 + ln > len(b):
+            return []
+        crc = struct.unpack(">I", b[off + 8 + ln : off + 12 + ln])[0]
+        out.append((name, len(out), off, ct.decode(), ln, crc))
+        off += 12 + ln
+        if ct == b"IEND":
+            return out if off == len(b) else []
+
+
+def test_png_chunk_walk_matches_python_model(spark):
+    """The JVM aggregate-HOF chunk walk over the committed fixtures must
+    equal the plain-struct reference walk row-for-row — offsets, types,
+    lengths, and stored CRCs, including the multi-IDAT file and the
+    zero-length IDAT chunk."""
+    import glob
+
+    from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
+    from pyspark_pipelining_spark.queries_staged import PNG_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, PNG_FIXTURE_DIR, glob="*.png")
+    got = [
+        tuple(r) for r in png_chunk_walk(files).orderBy("file_name", "idx").collect()
+    ]
+    want = []
+    for p in sorted(glob.glob(f"{PNG_FIXTURE_DIR}/*.png")):
+        with open(p, "rb") as fh:
+            want += _python_png_walk(p.rsplit("/", 1)[-1], fh.read())
+    assert len(want) >= 17  # 3 + 8 + 6 chunks across the three fixtures
+    assert got == want
+
+
+def test_png_chunk_walk_filters_strays_not_errors(spark, tmp_path):
+    """Lake-scan convention: non-PNG bytes, a length that overruns EOF,
+    trailing garbage after IEND, a non-letter chunk type, and a file
+    with more chunks than the fold cap are all FILTERED (never an
+    exception); a valid file alongside still walks."""
+    import shutil
+
+    from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
+    from pyspark_pipelining_spark.queries_staged import PNG_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, ihdr
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "not_png.png").write_bytes(b"GIF89a definitely not a png")
+    base = SIG + ihdr(4, 4, 0)
+    # declared length overruns the payload: walk must stop, not decode ''
+    (d / "truncated.png").write_bytes(
+        base + b"\x00\x00\x10\x00IDATxx"
+    )
+    (d / "trailing.png").write_bytes(
+        base + chunk(b"IDAT", b"xx") + chunk(b"IEND", b"") + b"GARBAGE"
+    )
+    # chunk type with a non-letter byte: stray, filtered
+    (d / "badtype.png").write_bytes(
+        base + chunk(b"tE\x01t", b"k\x00v") + chunk(b"IEND", b"")
+    )
+    # 6 chunks walked with max_chunks=4: IEND never reached -> filtered
+    many = base + b"".join(chunk(b"teXt", bytes([i])) for i in range(4))
+    many += chunk(b"IEND", b"")
+    (d / "toomany.png").write_bytes(many)
+    shutil.copy(f"{PNG_FIXTURE_DIR}/gradient_gray.png", d / "gradient_gray.png")
+
+    files = load_binary_files(spark, str(d), glob="*.png")
+    out = png_chunk_walk(files, max_chunks=4).collect()
+    assert {r["file_name"] for r in out} == {"gradient_gray.png"}
+    assert len(out) == 3
+    # the same 6-chunk file IS clean under the default cap
+    out64 = png_chunk_walk(files).collect()
+    assert {r["file_name"] for r in out64} == {"gradient_gray.png", "toomany.png"}
+    assert [r["ctype"] for r in out64 if r["file_name"] == "toomany.png"] == [
+        "IHDR", "teXt", "teXt", "teXt", "teXt", "IEND",
+    ]
+
+
+def test_png_fixture_generator_is_deterministic(tmp_path, monkeypatch):
+    """Re-running tools/gen_png_fixtures.py must reproduce the committed
+    bytes exactly — the stored-deflate construction means no zlib
+    version can change the output (the cross-engine byte contract)."""
+    import tools.gen_png_fixtures as gen
+
+    monkeypatch.setattr(gen, "OUT_DIR", str(tmp_path))
+    gen.main()
+    for name in ("gradient_gray.png", "bands_rgb.png", "palette_dots.png"):
+        with open(f"{gen.HERE}/fixtures/images/{name}", "rb") as committed:
+            with open(tmp_path / name, "rb") as fresh:
+                assert committed.read() == fresh.read(), name
+
+
+def test_theilsen_trend_matches_python_model(spark):
+    """The staged Theil–Sen query must equal an independent pandas +
+    statistics.median model of median-of-pairwise-slopes computed from
+    the raw parquet (not just match DuckDB determinism: this pins the
+    SEMANTICS — pair enumeration, slope arithmetic, explicit median)."""
+    import statistics
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries_staged import q_theilsen_trend
+
+    sf = "/root/testdata/sf0.001"
+    o = pd.read_parquet(f"{sf}/orders.parquet")
+    c = pd.read_parquet(f"{sf}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    d = pd.to_datetime(j["o_orderdate"])
+    j["m"] = d.dt.year * 12 + d.dt.month
+    j["cents"] = (
+        j["o_totalprice"].astype("float64").round(2).mul(100).round().astype("int64")
+    )
+    monthly = j.groupby(["c_mktsegment", "m"])["cents"].sum().reset_index()
+    want = {}
+    for seg, g in monthly.groupby("c_mktsegment"):
+        rows = sorted(zip(g["m"], g["cents"]))
+        slopes = [
+            (float(y2 - y1)) / float(m2 - m1)
+            for i, (m1, y1) in enumerate(rows)
+            for (m2, y2) in rows[i + 1 :]
+        ]
+        want[seg] = (
+            len(slopes),
+            round(statistics.median(slopes) / 100.0, 6),
+        )
+    got = {
+        r["c_mktsegment"]: (r["n_pairs"], r["theilsen_dollars_per_month"])
+        for r in q_theilsen_trend(spark, sf).collect()
+    }
+    assert got == want

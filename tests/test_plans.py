@@ -786,3 +786,53 @@ def test_prefix_joins_have_no_token_keyed_window(spark):
         keys = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
         assert keys and keys <= {"doc_id"}, (name, keys)
         assert "SortMergeJoin" not in plan, name
+
+
+def test_png_chunk_walk_fold_evaluates_once_per_row(spark):
+    """The chunk-walk state machine must appear EXACTLY once in the
+    executed plan: the clean-termination gate is folded into the
+    posexplode generator (NULL → row dropped), because a Filter on the
+    state struct gets predicate-pushed below the projection and
+    re-evaluates the whole fold (and re-hexes the payload) once per
+    referenced field — the shape this test guards against measured 4
+    fold instances.  The signature pre-filter must hex only the first
+    8 bytes, never the payload."""
+    from pyspark_pipelining_spark.queries_staged import q_png_chunks
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        q_png_chunks(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the fold's init-state literal is a stable single-instance marker
+    assert plan.count("[8,true,false,[]]") == 1, plan.count("[8,true,false,[]]")
+    assert "hex(substring(content" in plan  # 8-byte signature probe
+    # exactly one full-payload hex (the h column), none in a filter
+    assert sum(
+        line.count("hex(content")
+        for line in plan.split("\n")
+        if line.strip().startswith("+- Filter") or line.strip().startswith(":- Filter")
+    ) == 0
+
+
+def test_theilsen_monthly_table_is_cached_for_self_join(spark):
+    """The (segment, month) revenue table feeds BOTH sides of the
+    pairwise-slope self-join — it must come from the persisted handle
+    (InMemoryTableScan ×2), not two re-executions of the
+    orders-scan + month fold."""
+    from pyspark_pipelining_spark.queries_staged import q_theilsen_trend
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        q_theilsen_trend(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan

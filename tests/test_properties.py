@@ -1741,3 +1741,53 @@ def test_session_window_boundary_matches_python_model(spark, gaps_min, tmp_path_
         (s[0], s[-1] + gap_us, len(s), round(1.5 * len(s), 2)) for s in sessions
     ]
     assert got == want
+
+
+@given(
+    layout=st.lists(
+        st.tuples(
+            st.text(
+                alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz",
+                min_size=4,
+                max_size=4,
+            ),
+            st.binary(max_size=40),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_png_chunk_walk_roundtrip_random_layouts(
+    spark, layout, data, tmp_path_factory
+):
+    """The JVM chunk walk must inventory ARBITRARY chunk layouts —
+    random letters-only types (including ones that merely CONTAIN
+    'IEND' as no full type match), random payload bytes, zero-length
+    chunks — exactly like the plain-struct model, and an optional
+    planted corruption (garbage tail or an early-truncating length)
+    must drop the file on both."""
+    from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tests.test_operators_unit import _python_png_walk
+    from tools.gen_png_fixtures import SIG, chunk
+
+    body = b"".join(
+        chunk(t.encode(), payload) for t, payload in layout if t != "IEND"
+    )
+    raw = SIG + body + chunk(b"IEND", b"")
+    corrupt = data.draw(st.sampled_from(["none", "tail", "truncate"]))
+    if corrupt == "tail":
+        raw += b"\x00"
+    elif corrupt == "truncate":
+        raw = raw[:-1]
+    d = tmp_path_factory.mktemp("png_rt")
+    (d / "t.png").write_bytes(raw)
+    got = [
+        tuple(r)
+        for r in png_chunk_walk(load_binary_files(spark, str(d), glob="*.png"))
+        .orderBy("idx")
+        .collect()
+    ]
+    assert got == _python_png_walk("t.png", raw)

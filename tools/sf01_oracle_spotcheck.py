@@ -59,6 +59,10 @@ SENSITIVE = [
     # µs-exact session boundaries at 100x more events
     "doclen_sketch_merge",
     "session_window_stats",
+    # r10 staging (late additions): Δcents-in-double pairwise slopes
+    # over 100x larger monthly sums (png_chunks reads committed
+    # fixtures, so sf does not scale it — the oracle gates cover it)
+    "theilsen_trend",
     # r09 sweep: n·v residuals widened to decimal(38,0) (silent-wrap class)
     "cusum_changepoint",
 ]
