@@ -809,12 +809,9 @@ def test_png_chunk_walk_fold_evaluates_once_per_row(spark):
     # the fold's init-state literal is a stable single-instance marker
     assert plan.count("[8,true,false,[]]") == 1, plan.count("[8,true,false,[]]")
     assert "hex(substring(content" in plan  # 8-byte signature probe
-    # exactly one full-payload hex (the h column), none in a filter
-    assert sum(
-        line.count("hex(content")
-        for line in plan.split("\n")
-        if line.strip().startswith("+- Filter") or line.strip().startswith(":- Filter")
-    ) == 0
+    # the walk reads per-step binary slices: a full-payload hex would
+    # make the inventory O(file size) instead of O(chunks · 12 bytes)
+    assert "hex(content" not in plan
 
 
 def test_theilsen_monthly_table_is_cached_for_self_join(spark):
