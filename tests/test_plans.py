@@ -833,3 +833,69 @@ def test_theilsen_monthly_table_is_cached_for_self_join(spark):
     )
     assert plan.count("InMemoryTableScan") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """EVIDENCE for the skew claims the operator docstrings lean on
+    (prefix joins: 'join-back is AQE-skew-splittable'): plant a hot key
+    carrying ~90% of an incompressible fact and assert the final
+    adaptive plan actually split it — SortMergeJoin(skew=true) with an
+    'AQEShuffleRead skewed' on the fact side.
+
+    Two mechanics this pins: (1) the skew decision happens on
+    COMPRESSED map-output sizes, so the pad must be incompressible
+    (sha2 per row) — a repeat('x', n) pad compresses below the
+    threshold and AQE correctly declines to split; (2) only the final
+    EXECUTED plan shows the reader (a fresh count() builds a different
+    QueryExecution)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", "8")
+        fact = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 40 + 1)
+            .alias("k"),
+            F.expr(
+                "concat(sha2(cast(id AS string), 256),"
+                " sha2(cast(id + 7 AS string), 256))"
+            ).alias("pad"),
+        )
+        dim = spark.range(0, 41).select(
+            F.col("id").alias("k"), F.lit("d").alias("attr")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 120_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                conf.set(k, v)
