@@ -129,3 +129,56 @@ def test_staged_names_do_not_collide_with_registry(spark):
     from pyspark_pipelining_spark.queries import QUERIES
 
     assert not set(QUERIES_STAGED) & set(QUERIES)
+
+
+def test_compare_gate_detects_perturbations(spark):
+    """Mutation meta-test of the correctness gate itself: every class of
+    divergence the driver could see (value drift, dropped row, extra
+    row, renamed column, NULL swap) must FAIL compare(), while the two
+    insensitivities compare() promises (row order, column order) must
+    PASS — so a future refactor cannot silently weaken the gate all
+    192+ oracle tests stand on."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_utils import compare
+
+    def spark_fn(rows):
+        def fn(s, _sf):
+            return s.createDataFrame(rows, "a bigint, b double")
+
+        return fn
+
+    base = [(0, 0.5), (1, 2.5), (2, 4.5)]
+    sql = "SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0.5), (1, 2.5), (2, 4.5)) t(a, b)"
+
+    compare(spark, SF_SMOKE, spark_fn(base), sql)  # sanity: green on equal
+
+    # row order and column order are declared insensitive — must pass
+    compare(spark, SF_SMOKE, spark_fn(list(reversed(base))), sql)
+    compare(
+        spark,
+        SF_SMOKE,
+        lambda s, _sf: s.createDataFrame(
+            [(b, a) for a, b in base], "b double, a bigint"
+        ),
+        sql,
+    )
+
+    for label, bad_rows in [
+        ("value drift", [(0, 0.5), (1, 2.5), (2, 4.6)]),
+        ("null swap", [(0, 0.5), (1, None), (2, 4.5)]),
+        ("nan swap", [(0, 0.5), (1, float("nan")), (2, 4.5)]),
+        ("dropped row", base[:2]),
+        ("extra row", base + [(3, 6.5)]),
+    ]:
+        with pytest.raises(AssertionError):
+            compare(spark, SF_SMOKE, spark_fn(bad_rows), sql)
+            pytest.fail(f"gate passed on {label}")
+
+    with pytest.raises(AssertionError):  # renamed column
+        compare(
+            spark,
+            SF_SMOKE,
+            lambda s, _sf: s.createDataFrame(base, "a bigint, c double"),
+            sql,
+        )
