@@ -397,14 +397,22 @@ def wav_pcm_windows(
 
     Scale: one file = one row = one task from the binaryFile source;
     window rows are a ×(seconds·rate/window) fanout of file rows with
-    ~2·window_samples bytes each — far smaller than the input; metrics
-    fold inside the row (no shuffle at all until a downstream agg).
-    SIZE ENVELOPE: the per-file hex string doubles the payload, so
-    this expression path is for clip-sized audio (≲500 MB/file; the
-    binaryFile source itself caps a row at 2 GB) — hour-long masters
-    belong to the Arrow-batched ``audio_window_plan`` path, chunked
-    upstream.  Gate with ``load_binary_files(..., max_bytes=...)``,
-    which skips oversized payloads at the format level.
+    ~2·window_samples bytes each — far smaller than the input.  The
+    window rows are REPARTITIONED on (file, win) before the sample
+    fold: Generate preserves the source partitioning, so without the
+    spread every window of a file decodes serially on one core —
+    measured on a 1M-sample WAV (local[32]): 65.2 s single-task vs
+    1.46 s spread (45×); the shuffled chunk slices are ~2× PCM bytes,
+    trivially worth it.  The fold itself decodes each sample ONCE into
+    a (peak, sum-of-squares) struct accumulator (a separate fold per
+    metric measured the same within noise — interpretation overhead
+    dominates — but decode-once is the honest shape).  THROUGHPUT
+    ENVELOPE (measured): the interpreted HOF decodes ~16k samples/s
+    per core, so this expression path is for clip-sized audio —
+    minutes of PCM, not masters; hour-long files belong to the
+    Arrow-batched ``audio_window_plan`` path, chunked upstream.  Gate
+    with ``load_binary_files(..., max_bytes=...)``, which skips
+    oversized payloads at the format level.
 
     Output: ``file_name, win, sample_rate, n_samples, peak, rms``.
     """
@@ -478,6 +486,18 @@ def wav_pcm_windows(
             f" 4 * least({ws}, n_total - win * {ws}))"
         ).alias("chunk"),
     )
+    # spread the window rows across cores before the per-sample fold:
+    # Generate preserved the one-row-per-file partitioning, which would
+    # decode every window of a file serially on one task (45× measured).
+    # The partition COUNT must be explicit: a bare repartition(cols) is
+    # REPARTITION_BY_COL, which AQE coalesces back down by BYTE size
+    # (observed: 3 tasks for 4 MB of chunk rows) — bytes are the wrong
+    # cost model for a compute-bound fold at ~16k samples/s/core, and
+    # an explicit REPARTITION_BY_NUM is exempt from coalescing.
+    n_spread = int(
+        files.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    wins = wins.repartition(n_spread, F.col("file_name"), F.col("win"))
     # little-endian signed int16 sample j of the chunk (0-based)
     u = (
         "CAST(conv(concat(substring(chunk, 4 * j + 3, 2),"
@@ -489,18 +509,21 @@ def wav_pcm_windows(
         "win",
         "sample_rate",
         F.col("n_samples").cast("long").alias("n_samples"),
+        # one decode per sample: both metrics accumulate in one struct
         F.expr(
-            "aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L,"
-            f" (acc, j) -> greatest(acc, abs({v})))"
-        ).alias("peak"),
+            "aggregate(sequence(0, CAST(n_samples AS INT) - 1),"
+            " named_struct('peak', 0L, 'ss', 0L),"
+            f" (acc, j) -> named_struct('peak', greatest(acc.peak, abs({v})),"
+            f" 'ss', acc.ss + {v} * {v}))"
+        ).alias("st"),
+    ).select(
+        "file_name",
+        "win",
+        "sample_rate",
+        "n_samples",
+        F.col("st.peak").alias("peak"),
         F.round(
-            F.sqrt(
-                F.expr(
-                    "aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L,"
-                    f" (acc, j) -> acc + {v} * {v})"
-                ).cast("double")
-                / F.col("n_samples").cast("double")
-            ),
+            F.sqrt(F.col("st.ss").cast("double") / F.col("n_samples").cast("double")),
             6,
         ).alias("rms"),
     )
