@@ -373,8 +373,19 @@ def resize_stub(media_df: DataFrame, target: int = 224) -> DataFrame:
     )
 
 
+#: Largest data chunk the hex-string decode can address: every
+#: substring position is ≤ 2·data_bytes + 89 and Spark's substring
+#: takes an INT — beyond this the ANSI CAST_OVERFLOW would ABORT the
+#: whole scan on one oversized file, so the operator filters instead
+#: (lake-scan contract: strays filtered, never errored).
+WAV_INT32_SAFE_DATA_BYTES = (2**31 - 1 - 89) // 2
+
+
 def wav_pcm_windows(
-    files: DataFrame, window_samples: int = 256, path_col: str = "path"
+    files: DataFrame,
+    window_samples: int = 256,
+    path_col: str = "path",
+    max_data_bytes: int = WAV_INT32_SAFE_DATA_BYTES,
 ) -> DataFrame:
     """Sample-level PCM math on real WAV bytes with ZERO Python in the
     plan — the codec-free multimodal compute path: parse the canonical
@@ -466,6 +477,11 @@ def wav_pcm_windows(
         # overstated data_bytes would decode '' into NULL samples
         & (F.col("data_bytes") >= 2)
         & (F.col("data_bytes") <= F.col("n_bytes") - 44)
+        # int32 addressing envelope: a chunk the hex positions cannot
+        # reach would raise ANSI CAST_OVERFLOW and abort the scan —
+        # filter it like any other stray (≈1 GiB PCM; masters belong
+        # to the Arrow path regardless, see throughput envelope above)
+        & (F.col("data_bytes") <= int(max_data_bytes))
     ).withColumn("n_total", F.expr("data_bytes div 2"))
     wins = pcm.select(
         "file_name",

@@ -303,6 +303,10 @@ def q_wav_pcm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_wav_pcm_windows(ws: int = WAV_WINDOW) -> str:
+    from pyspark_pipelining_spark.operators.multimodal import (
+        WAV_INT32_SAFE_DATA_BYTES as max_data_bytes,
+    )
+
     u = (
         "CAST('0x' || substring(chunk, 4 * j + 3, 2)"
         " || substring(chunk, 4 * j + 1, 2) AS BIGINT)"
@@ -340,8 +344,12 @@ wins AS (
     FROM hdr
     WHERE audio_fmt = 1 AND channels = 1 AND bits = 16
       -- degenerate-chunk guards mirroring the Spark side: at least one
-      -- whole sample, and the declared chunk present in the payload
+      -- whole sample, the declared chunk present in the payload, and
+      -- the int32 hex-addressing envelope (Spark filters oversized
+      -- chunks instead of CAST_OVERFLOW-aborting; DuckDB's BIGINT
+      -- positions don't overflow, so only the FILTER needs mirroring)
       AND data_bytes >= 2 AND data_bytes <= n_bytes - 44
+      AND data_bytes <= {max_data_bytes}
 ),
 chunks AS (
     SELECT file_name, sample_rate, win,

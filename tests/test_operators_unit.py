@@ -1786,3 +1786,23 @@ def test_theilsen_trend_matches_python_model(spark):
         for r in q_theilsen_trend(spark, sf).collect()
     }
     assert got == want
+
+
+def test_wav_pcm_windows_filters_oversized_chunks_not_overflows(spark):
+    """The int32 hex-addressing envelope is a FILTER, not a crash: a
+    data chunk the positions cannot reach would raise ANSI
+    CAST_OVERFLOW and abort the whole scan, so the operator drops the
+    file like any other stray.  Exercised by lowering the cap under
+    the committed 4096-byte fixtures (a real >1 GiB file is the same
+    predicate on the same column)."""
+    from pyspark_pipelining_spark.operators.multimodal import (
+        WAV_INT32_SAFE_DATA_BYTES,
+        wav_pcm_windows,
+    )
+    from pyspark_pipelining_spark.queries_ann_media import WAV_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    assert WAV_INT32_SAFE_DATA_BYTES == (2**31 - 1 - 89) // 2
+    files = load_binary_files(spark, WAV_FIXTURE_DIR, glob="*.wav")
+    assert wav_pcm_windows(files, max_data_bytes=1000).count() == 0
+    assert wav_pcm_windows(files, max_data_bytes=4096).count() == 24
