@@ -553,10 +553,11 @@ def png_chunk_walk(
     parses a FIXED-layout header; a PNG's chunk table only exists by
     walking it, each chunk's offset a function of every prior length).
     The walk is a bounded ``aggregate`` higher-order fold over the
-    hexed bytes whose state is ``(offset, ok, done, chunks)``: each
-    step reads the 4-byte big-endian length, the 4-ASCII-letter type,
-    and the stored CRC at the current offset, appends a chunk struct,
-    and advances ``offset += 12 + length`` until IEND.
+    raw bytes whose state is ``(offset, ok, done, chunks)``: each
+    step hex-decodes the 4-byte big-endian length, the 4-ASCII-letter
+    type, and the stored CRC from tiny binary slices at the current
+    offset, appends a chunk struct, and advances
+    ``offset += 12 + length`` until IEND.
 
     Lake-scan contract (strays FILTERED, never errored): a file emits
     rows only when the walk terminates CLEANLY — PNG signature, every
