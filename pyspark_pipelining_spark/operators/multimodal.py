@@ -414,12 +414,13 @@ def wav_pcm_windows(
     spread every window of a file decodes serially on one core —
     measured on a 1M-sample WAV (local[32]): 65.2 s single-task vs
     1.46 s spread (45×); the shuffled chunk slices are ~2× PCM bytes,
-    trivially worth it.  The fold itself decodes each sample ONCE into
-    a (peak, sum-of-squares) struct accumulator (a separate fold per
-    metric measured the same within noise — interpretation overhead
-    dominates — but decode-once is the honest shape).  THROUGHPUT
-    ENVELOPE (measured): the interpreted HOF decodes ~16k samples/s
-    per core, so this expression path is for clip-sized audio —
+    trivially worth it.  The fold decodes each sample ONCE via a
+    ``transform`` into an int array and folds plain ints into a
+    (peak, sum-of-squares) struct — evaluating the hex/conv decode
+    inside the metric fold re-ran it per reference, and transform-
+    first measured another 2.3× (0.61 s vs 1.41 s on the spread
+    plan).  THROUGHPUT ENVELOPE (measured): ~37k samples/s per core
+    interpreted, so this expression path is for clip-sized audio —
     minutes of PCM, not masters; hour-long files belong to the
     Arrow-batched ``audio_window_plan`` path, chunked upstream.  Gate
     with ``load_binary_files(..., max_bytes=...)``, which skips
@@ -525,12 +526,17 @@ def wav_pcm_windows(
         "win",
         "sample_rate",
         F.col("n_samples").cast("long").alias("n_samples"),
-        # one decode per sample: both metrics accumulate in one struct
+        # decode ONCE per sample into an int array (transform), then
+        # fold plain ints: evaluating the hex/conv decode inside the
+        # metric fold re-ran it per reference — transform-first
+        # measured 0.61 s vs 1.41 s decode-in-fold on a 1M-sample WAV
+        # (both on the spread plan), i.e. ~37k samples/s/core
         F.expr(
-            "aggregate(sequence(0, CAST(n_samples AS INT) - 1),"
+            f"aggregate(transform(sequence(0, CAST(n_samples AS INT) - 1),"
+            f" j -> {v}),"
             " named_struct('peak', 0L, 'ss', 0L),"
-            f" (acc, j) -> named_struct('peak', greatest(acc.peak, abs({v})),"
-            f" 'ss', acc.ss + {v} * {v}))"
+            " (acc, x) -> named_struct('peak', greatest(acc.peak, abs(x)),"
+            " 'ss', acc.ss + x * x))"
         ).alias("st"),
     ).select(
         "file_name",
