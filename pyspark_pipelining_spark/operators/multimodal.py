@@ -380,6 +380,13 @@ def resize_stub(media_df: DataFrame, target: int = 224) -> DataFrame:
 #: (lake-scan contract: strays filtered, never errored).
 WAV_INT32_SAFE_DATA_BYTES = (2**31 - 1 - 89) // 2
 
+#: Largest FILE the decode may even hex: ``hex(content)`` allocates a
+#: 2·n_bytes array, and the JVM array ceiling is Integer.MAX_VALUE−8 —
+#: a ~1.1 GiB file would abort inside hex() BEFORE any data_bytes
+#: predicate could run, so the size gate must test the cheap
+#: ``length`` metadata column UPSTREAM of the hex projection.
+WAV_HEX_SAFE_FILE_BYTES = (2**31 - 16) // 2
+
 
 def wav_pcm_windows(
     files: DataFrame,
@@ -429,7 +436,14 @@ def wav_pcm_windows(
     Output: ``file_name, win, sample_rate, n_samples, peak, rms``.
     """
     ws = int(window_samples)
-    hdr = files.select(
+    # size gate BEFORE the hex projection, on the cheap length column:
+    # an oversized file would abort inside hex() itself (2x-payload
+    # array > JVM ceiling) before any data_bytes predicate could run —
+    # filtering length here is the only placement that actually
+    # delivers "filtered, never errored".  length <= cap also implies
+    # data_bytes <= n_bytes - 44 <= max_data_bytes, int32-safe slices.
+    cap = min(int(max_data_bytes) + 44, WAV_HEX_SAFE_FILE_BYTES)
+    hdr = files.filter(F.col("length") <= cap).select(
         F.element_at(F.split(F.col(path_col), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.hex("content").alias("h"),
@@ -478,11 +492,6 @@ def wav_pcm_windows(
         # overstated data_bytes would decode '' into NULL samples
         & (F.col("data_bytes") >= 2)
         & (F.col("data_bytes") <= F.col("n_bytes") - 44)
-        # int32 addressing envelope: a chunk the hex positions cannot
-        # reach would raise ANSI CAST_OVERFLOW and abort the scan —
-        # filter it like any other stray (≈1 GiB PCM; masters belong
-        # to the Arrow path regardless, see throughput envelope above)
-        & (F.col("data_bytes") <= int(max_data_bytes))
     ).withColumn("n_total", F.expr("data_bytes div 2"))
     wins = pcm.select(
         "file_name",
@@ -511,9 +520,14 @@ def wav_pcm_windows(
     # (observed: 3 tasks for 4 MB of chunk rows) — bytes are the wrong
     # cost model for a compute-bound fold at ~16k samples/s/core, and
     # an explicit REPARTITION_BY_NUM is exempt from coalescing.
-    n_spread = int(
-        files.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        n_spread = int(
+            files.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        # some deployments set shuffle.partitions to a non-numeric
+        # sentinel (e.g. "auto"); fall back to the cluster's parallelism
+        n_spread = int(files.sparkSession.sparkContext.defaultParallelism)
     wins = wins.repartition(n_spread, F.col("file_name"), F.col("win"))
     # little-endian signed int16 sample j of the chunk (0-based)
     u = (

@@ -264,16 +264,13 @@ ORACLES_ANN_MEDIA = {
 # compute under the hard signal — the r08 verdict's read_blob follow-up)
 # ---------------------------------------------------------------------------
 
-import os as _os
+from pyspark_pipelining_spark.sources.registry import fixtures_dir as _fixtures_dir
 
 #: Committed deterministic PCM16 fixtures (tools/gen_wav_fixtures.py) —
-#: derived from the package location at import so the oracle SQL below
-#: carries the right absolute path wherever the repo sits.
-WAV_FIXTURE_DIR = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "fixtures",
-    "audio",
-)
+#: path derived from the package location (sources.registry.fixtures_dir)
+#: so the oracle SQL below carries the right absolute path wherever the
+#: repo sits.
+WAV_FIXTURE_DIR = _fixtures_dir("audio")
 
 WAV_WINDOW = 256
 
@@ -304,8 +301,15 @@ def q_wav_pcm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_wav_pcm_windows(ws: int = WAV_WINDOW) -> str:
     from pyspark_pipelining_spark.operators.multimodal import (
-        WAV_INT32_SAFE_DATA_BYTES as max_data_bytes,
+        WAV_HEX_SAFE_FILE_BYTES,
+        WAV_INT32_SAFE_DATA_BYTES,
     )
+
+    # mirror of the operator's pre-hex size gate (tested on the cheap
+    # length metadata column BEFORE hexing, see multimodal.py — only
+    # the resulting ROW SET needs mirroring here; DuckDB's BIGINT
+    # positions and blob handling have no int32/array-ceiling hazard)
+    cap = min(WAV_INT32_SAFE_DATA_BYTES + 44, WAV_HEX_SAFE_FILE_BYTES)
 
     u = (
         "CAST('0x' || substring(chunk, 4 * j + 3, 2)"
@@ -317,6 +321,7 @@ WITH wav AS (
            octet_length(content) AS n_bytes,
            hex(content) AS h
     FROM read_blob('{WAV_FIXTURE_DIR}/*.wav')
+    WHERE octet_length(content) <= {cap}
 ),
 hdr AS (
     SELECT file_name, n_bytes, h,
@@ -344,12 +349,8 @@ wins AS (
     FROM hdr
     WHERE audio_fmt = 1 AND channels = 1 AND bits = 16
       -- degenerate-chunk guards mirroring the Spark side: at least one
-      -- whole sample, the declared chunk present in the payload, and
-      -- the int32 hex-addressing envelope (Spark filters oversized
-      -- chunks instead of CAST_OVERFLOW-aborting; DuckDB's BIGINT
-      -- positions don't overflow, so only the FILTER needs mirroring)
+      -- whole sample, and the declared chunk present in the payload
       AND data_bytes >= 2 AND data_bytes <= n_bytes - 44
-      AND data_bytes <= {max_data_bytes}
 ),
 chunks AS (
     SELECT file_name, sample_rate, win,

@@ -36,8 +36,6 @@ driver-validated next round.
 
 from __future__ import annotations
 
-import os as _os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -234,14 +232,13 @@ ORDER BY user_id, start_us
 # ---------------------------------------------------------------------------
 
 #: Committed deterministic PNG fixtures (tools/gen_png_fixtures.py) —
-#: derived from the package location at import so the oracle SQL below
-#: carries the right absolute path wherever the repo sits (the same
-#: convention as queries_ann_media.WAV_FIXTURE_DIR).
-PNG_FIXTURE_DIR = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "fixtures",
-    "images",
-)
+#: path derived via the shared sources.registry.fixtures_dir helper
+#: (same convention as queries_ann_media.WAV_FIXTURE_DIR) so the
+#: oracle SQL below carries the right absolute path wherever the repo
+#: sits.
+from pyspark_pipelining_spark.sources.registry import fixtures_dir as _fixtures_dir
+
+PNG_FIXTURE_DIR = _fixtures_dir("images")
 
 PNG_MAX_CHUNKS = 64
 

@@ -412,6 +412,21 @@ def load_json(
     return require_columns(df, [f.name for f in schema.fields], path)
 
 
+def fixtures_dir(name: str) -> str:
+    """Absolute path of a committed fixture set (``fixtures/<name>`` at
+    the repo root), derived from the package location at import time so
+    oracle SQL built from it carries the right path wherever the repo
+    sits — the single home for the derivation ``queries_ann_media``
+    (audio) and the staged png query (images) share."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        name,
+    )
+
+
 def load_binary_files(
     spark: SparkSession,
     path: str,

@@ -1788,14 +1788,19 @@ def test_theilsen_trend_matches_python_model(spark):
     assert got == want
 
 
-def test_wav_pcm_windows_filters_oversized_chunks_not_overflows(spark):
-    """The int32 hex-addressing envelope is a FILTER, not a crash: a
-    data chunk the positions cannot reach would raise ANSI
-    CAST_OVERFLOW and abort the whole scan, so the operator drops the
-    file like any other stray.  Exercised by lowering the cap under
-    the committed 4096-byte fixtures (a real >1 GiB file is the same
-    predicate on the same column)."""
+def test_wav_pcm_windows_filters_oversized_files_not_overflows(spark):
+    """The size envelope is a FILTER, not a crash — and it must test
+    the cheap ``length`` metadata column UPSTREAM of the hex
+    projection: an oversized file would abort inside ``hex()`` itself
+    (2×-payload array beyond the JVM ceiling) before any data_bytes
+    predicate could run, and past the hex hazard the substring
+    positions would CAST_OVERFLOW under ANSI.  Exercised by lowering
+    the cap under the committed 4140-byte fixtures (a real >1 GiB file
+    is the same predicate on the same column), and the placement is
+    plan-asserted: the length gate reaches the binaryFile SCAN's
+    filters, so oversized payloads are excluded at the source."""
     from pyspark_pipelining_spark.operators.multimodal import (
+        WAV_HEX_SAFE_FILE_BYTES,
         WAV_INT32_SAFE_DATA_BYTES,
         wav_pcm_windows,
     )
@@ -1803,6 +1808,15 @@ def test_wav_pcm_windows_filters_oversized_chunks_not_overflows(spark):
     from pyspark_pipelining_spark.sources.registry import load_binary_files
 
     assert WAV_INT32_SAFE_DATA_BYTES == (2**31 - 1 - 89) // 2
+    assert WAV_HEX_SAFE_FILE_BYTES == (2**31 - 16) // 2
     files = load_binary_files(spark, WAV_FIXTURE_DIR, glob="*.wav")
     assert wav_pcm_windows(files, max_data_bytes=1000).count() == 0
     assert wav_pcm_windows(files, max_data_bytes=4096).count() == 24
+    plan = (
+        wav_pcm_windows(files)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(l for l in plan.split("\n") if "FileScan binaryFile" in l)
+    assert f"<= {WAV_HEX_SAFE_FILE_BYTES}" in scan, scan
