@@ -1412,7 +1412,11 @@ def q_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one file = one row = one task; ``pathGlobFilter`` prunes at
     listing time; content bytes stream once through hash+substring
-    (no shuffle before the 10-row sort)."""
+    (no shuffle before the 10-row sort).  SIZE ENVELOPE: ``hex()``
+    allocates a 2×-payload array (JVM ceiling ≈ 1 GiB of content) —
+    ample for the driver's fixture parquet, but a real lake scan
+    gates upstream with ``load_binary_files(..., max_bytes=...)`` on
+    the length metadata, the wav_pcm_windows pattern."""
     from pyspark_pipelining_spark.sources.registry import load_binary_files
 
     df = load_binary_files(spark, sf_dir, glob="*.parquet")
