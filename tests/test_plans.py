@@ -899,3 +899,27 @@ def test_aqe_splits_planted_skewed_join(spark):
                     pass
             else:
                 conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The flip side of the skew-split evidence test: AQE merges the
+    many near-empty post-shuffle partitions of a small aggregation
+    (session.py enables coalescing) — the executed plan's
+    AQEShuffleRead reports 'coalesced' and the output partition count
+    lands far below the configured 32.  This is the same byte-based
+    reader that silently UNDOES a bare repartition(cols) — the
+    documented reason compute-bound spreads pass an explicit count."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 10_000)
+        .groupBy((F.col("id") % 97).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # execute df ITSELF (a count() builds a separate QueryExecution
+    # whose final adaptive plan this test would not see)
+    assert len(df.collect()) == 97
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan, plan[:1500]
+    assert df.rdd.getNumPartitions() < 32
