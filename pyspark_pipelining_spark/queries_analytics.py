@@ -1430,3 +1430,196 @@ ORDER BY c_mktsegment
 
 QUERIES_ANALYTICS["trend_by_segment"] = q_trend_by_segment
 ORACLES_ANALYTICS["trend_by_segment"] = SQL_TREND_BY_SEGMENT
+
+
+# ---------------------------------------------------------------------------
+# Round-10: native session windows + Theil–Sen robust trend
+# (staged+pytest-gated in round 9, registered here per the r09 verdict)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessions via Spark's NATIVE ``session_window``
+    operator — the streaming-compatible twin of the registry's manual
+    gaps-and-islands ``sessionize``: one groupBy, no lag window, and
+    the identical plan runs under Structured Streaming with a
+    watermark (stream≡batch pinned in tests/test_streaming.py).
+
+    Boundary semantics (pinned empirically, encoded in the oracle):
+    events merge while the gap is ≤ 30 min — a new session starts only
+    when the inter-event gap EXCEEDS the gap parameter — and
+    ``session_window.end`` is the last event time + gap.  Timestamps
+    compare in unix MICROS on both engines (µs-exact feed).
+
+    Scale shape: one shuffle on user_id and the session merge happens
+    inside the aggregation operator (no per-user sort window, no lag
+    self-reference); value totals fold through decimal(18,2) cast to
+    double only at the boundary."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).alias("_v"),
+    )
+    return s.select(
+        "user_id",
+        F.expr("unix_micros(session_window.start)").alias("start_us"),
+        F.expr("unix_micros(session_window.end)").alias("end_us"),
+        "n_events",
+        F.col("_v").cast("double").alias("total_value"),
+    ).orderBy("user_id", "start_us")
+
+
+SQL_SESSION_WINDOW_STATS = f"""
+WITH lagd AS (
+    SELECT user_id, ts, event_id, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+flag AS (
+    SELECT *, CASE WHEN prev IS NULL
+                     OR ts - prev > INTERVAL {SESSION_GAP_MIN} MINUTES
+                   THEN 1 ELSE 0 END AS new_s
+    FROM lagd
+),
+sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flag
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) + {SESSION_GAP_MIN * 60 * 1_000_000} AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_no
+ORDER BY user_id, start_us
+"""
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of the monthly-revenue trend per market
+    segment — the ROBUST twin of the registered OLS ``trend_by_segment``
+    (median of all pairwise slopes instead of the least-squares fit;
+    up to ~29% contaminated months cannot move it).
+
+    Exactness: the monthly fold is the same DECIMAL(38,0) cent sum as
+    the OLS query; each pairwise slope is one IEEE division of two
+    exactly-represented operands (Δcents fits well inside 2⁵³ at any
+    tested sf; Δmonth is a small int), so both engines compute the
+    bit-identical double.  The median is taken EXPLICITLY as order
+    statistics — rows ranked by (slope, month tiebreaks), ranks
+    ⌈n/2⌉ and ⌊n/2⌋+1 averaged with the same sum/count/100 expression
+    chain on both sides — no engine-specific quantile interpolation.
+
+    PAIR-COUNT BOUND (do not generalize): the self-join is quadratic
+    in DISTINCT x per group, and it is safe here ONLY because x is the
+    calendar month — the TPC-H-ish orderdate span is ~7 years, so per
+    segment the pair table tops out at C(84,2) = 3,486 rows (~17k
+    across 5 segments) AT ANY ROW-COUNT SCALE; sf only fattens the
+    month fold, never the join.  The same pattern over an unbounded x
+    (per-user event times, say) would be |x|²/2 per group — use the
+    OLS moment form (``trend_by_segment``: one pass, no join) or
+    bucket x to a bounded grid first, exactly as the cosine join caps
+    fanout with df_cap².
+
+    Scale shape: the one data-sized shuffle is the month fold, which
+    combines map-side and is persisted once (``cache.keep``) so the
+    self-join's two branches don't each rescan orders; the broadcast
+    self-join and rank window run over the bounded monthly table."""
+    from pyspark_pipelining_spark import cache
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT) AS DECIMAL(38,0))"
+                )
+            ).alias("rev")
+        )
+    )
+    monthly = cache.keep(monthly)
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.c_mktsegment").alias("seg"),
+        F.col("a.m").alias("am"),
+        F.col("b.m").alias("bm"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.m") - F.col("a.m")).cast("double")
+        ).alias("slope"),
+    )
+    wseg = Window.partitionBy("seg")
+    ranked = pairs.select(
+        "seg",
+        "slope",
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("slope", "am", "bm"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    mids = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        mids.groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("slope") / F.count(F.lit(1)) / F.lit(100.0), 6
+            ).alias("theilsen_dollars_per_month"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_THEILSEN_TREND = """
+WITH monthly AS (
+    SELECT c_mktsegment AS seg,
+           year(o_orderdate) * 12 + month(o_orderdate) AS m,
+           sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS DECIMAL(38,0))) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.seg, a.m AS am, b.m AS bm,
+           CAST(b.rev - a.rev AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+    FROM monthly a JOIN monthly b ON a.seg = b.seg AND a.m < b.m
+),
+ranked AS (
+    SELECT seg, slope,
+           row_number() OVER (PARTITION BY seg ORDER BY slope, am, bm) AS rn,
+           count(*) OVER (PARTITION BY seg) AS n
+    FROM pairs
+)
+SELECT seg AS c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_pairs,
+       round(sum(slope) / count(*) / 100.0, 6) AS theilsen_dollars_per_month
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY seg
+ORDER BY seg
+"""
+
+QUERIES_ANALYTICS["session_window_stats"] = q_session_window_stats
+ORACLES_ANALYTICS["session_window_stats"] = SQL_SESSION_WINDOW_STATS
+QUERIES_ANALYTICS["theilsen_trend"] = q_theilsen_trend
+ORACLES_ANALYTICS["theilsen_trend"] = SQL_THEILSEN_TREND

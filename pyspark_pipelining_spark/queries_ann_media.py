@@ -265,6 +265,7 @@ ORACLES_ANN_MEDIA = {
 # ---------------------------------------------------------------------------
 
 from pyspark_pipelining_spark.sources.registry import fixtures_dir as _fixtures_dir
+from pyspark_pipelining_spark.sources.registry import sql_str_literal
 
 #: Committed deterministic PCM16 fixtures (tools/gen_wav_fixtures.py) —
 #: path derived from the package location (sources.registry.fixtures_dir)
@@ -320,7 +321,7 @@ WITH wav AS (
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
            octet_length(content) AS n_bytes,
            hex(content) AS h
-    FROM read_blob('{WAV_FIXTURE_DIR}/*.wav')
+    FROM read_blob('{sql_str_literal(WAV_FIXTURE_DIR)}/*.wav')
     WHERE octet_length(content) <= {cap}
 ),
 hdr AS (
@@ -385,3 +386,110 @@ SQL_WAV_PCM_WINDOWS = _sql_wav_pcm_windows()
 
 QUERIES_ANN_MEDIA["wav_pcm_windows"] = q_wav_pcm_windows
 ORACLES_ANN_MEDIA["wav_pcm_windows"] = SQL_WAV_PCM_WINDOWS
+
+
+# ---------------------------------------------------------------------------
+# Round-10: PNG chunk walk — variable-offset multimodal compute
+# (staged+pytest-gated in round 9, registered here per the r09 verdict)
+# ---------------------------------------------------------------------------
+
+#: Committed deterministic PNG fixtures (tools/gen_png_fixtures.py) —
+#: path derived via the shared sources.registry.fixtures_dir helper
+#: (same convention as WAV_FIXTURE_DIR above) so the oracle SQL below
+#: carries the right absolute path wherever the repo sits.
+PNG_FIXTURE_DIR = _fixtures_dir("images")
+
+PNG_MAX_CHUNKS = 64
+
+
+def q_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk inventory (type, length, offset, stored CRC) of REAL
+    PNG files read as raw bytes through the binaryFile source — the
+    second multimodal query doing byte-level COMPUTE under the hard
+    signal, and the first whose parse is a variable-offset walk: chunk
+    N's position is a function of every prior chunk's length, so the
+    Spark plan is a bounded ``aggregate`` HOF state machine
+    (``operators/multimodal.png_chunk_walk``) and the DuckDB oracle is
+    a recursive CTE — two independent formulations of the same walk
+    over identical committed bytes (``tools/gen_png_fixtures.py``,
+    hand-built stored-deflate, no compressor involved).
+
+    Both sides enforce the same clean-termination contract (signature,
+    in-bounds chunks, letters-only types, IEND within the chunk cap,
+    final offset exactly at EOF) so strays FILTER identically — pinned
+    cross-engine on a planted stray lake (truncated chunk table,
+    trailing garbage, over-cap chunk count) in
+    ``tests/test_operators_unit.py``."""
+    from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, PNG_FIXTURE_DIR, glob="*.png")
+    return png_chunk_walk(files, max_chunks=PNG_MAX_CHUNKS).orderBy(
+        "file_name", "idx"
+    )
+
+
+def _sql_png_chunks(mc: int = PNG_MAX_CHUNKS, fixture_dir: str = PNG_FIXTURE_DIR) -> str:
+    # fixture_dir is parameterized so the stray-lake parity test can run
+    # the SAME oracle over a planted tmp dir; default is the committed set
+    t = "chr(b0) || chr(b1) || chr(b2) || chr(b3)"
+    return f"""
+WITH RECURSIVE png AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           octet_length(content) AS n_bytes,
+           hex(content) AS h
+    FROM read_blob('{sql_str_literal(fixture_dir)}/*.png')
+    WHERE substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+),
+walk AS (
+    SELECT file_name, n_bytes, h,
+           CAST(8 AS BIGINT) AS nxt, CAST(-1 AS BIGINT) AS idx,
+           CAST(NULL AS BIGINT) AS coff, CAST(NULL AS BIGINT) AS clen,
+           CAST(NULL AS VARCHAR) AS ctype, CAST(NULL AS BIGINT) AS crc,
+           FALSE AS done
+    FROM png
+    UNION ALL
+    SELECT file_name, n_bytes, h,
+           nxt + 12 + len, idx + 1,
+           nxt, len,
+           {t},
+           CAST('0x' || substring(h, CAST(2 * (nxt + 8 + len) + 1 AS BIGINT), 8)
+                AS BIGINT),
+           {t} = 'IEND'
+    FROM (
+        SELECT *,
+               CAST('0x' || substring(h, CAST(2 * nxt + 1 AS BIGINT), 8)
+                    AS BIGINT) AS len,
+               CAST('0x' || substring(h, CAST(2 * nxt + 9 AS BIGINT), 2)
+                    AS INT) AS b0,
+               CAST('0x' || substring(h, CAST(2 * nxt + 11 AS BIGINT), 2)
+                    AS INT) AS b1,
+               CAST('0x' || substring(h, CAST(2 * nxt + 13 AS BIGINT), 2)
+                    AS INT) AS b2,
+               CAST('0x' || substring(h, CAST(2 * nxt + 15 AS BIGINT), 2)
+                    AS INT) AS b3
+        FROM walk
+        -- idx cap mirrors Spark's {mc}-step fold: the {mc}-th chunk
+        -- (idx {mc - 1}) may still be appended, never one more
+        WHERE NOT done AND nxt + 8 <= n_bytes AND idx <= {mc - 2}
+    ) s
+    WHERE ((b0 BETWEEN 65 AND 90) OR (b0 BETWEEN 97 AND 122))
+      AND ((b1 BETWEEN 65 AND 90) OR (b1 BETWEEN 97 AND 122))
+      AND ((b2 BETWEEN 65 AND 90) OR (b2 BETWEEN 97 AND 122))
+      AND ((b3 BETWEEN 65 AND 90) OR (b3 BETWEEN 97 AND 122))
+      AND nxt + 12 + len <= n_bytes
+),
+valid AS (
+    SELECT file_name FROM walk WHERE done AND nxt = n_bytes
+)
+SELECT w.file_name, w.idx, w.coff AS off, w.ctype, w.clen, w.crc
+FROM walk w JOIN valid v USING (file_name)
+WHERE w.idx >= 0
+ORDER BY file_name, idx
+"""
+
+
+SQL_PNG_CHUNKS = _sql_png_chunks()
+
+QUERIES_ANN_MEDIA["png_chunks"] = q_png_chunks
+ORACLES_ANN_MEDIA["png_chunks"] = SQL_PNG_CHUNKS

@@ -1415,3 +1415,127 @@ ORDER BY exact.l_returnflag
 
 QUERIES_MINING["price_quantile_sketch"] = q_price_quantile_sketch
 ORACLES_MINING["price_quantile_sketch"] = SQL_PRICE_QUANTILE_SKETCH
+
+
+# ---------------------------------------------------------------------------
+# Round-10: mergeable histogram quantile sketch — per-source partials
+# merged in-plan, side-by-side with the single-level global fold
+# (staged+pytest-gated in round 9, registered here per the r09 verdict)
+# ---------------------------------------------------------------------------
+
+DOCLEN_BIN = 200  # 200-char bins
+
+
+def q_doclen_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length (``n_chars``) from a fixed-width
+    histogram sketch, twice IN ONE PLAN: (a) per-source PARTIAL bin
+    maps merged by a second aggregate (the 1000-executor /
+    per-partition-sketch shape), and (b) the single-level global fold.
+    The two estimate sets must be bit-identical — bin counts are
+    integers and integer addition is associative, which is the
+    mergeability guarantee that makes the sketch a distributed/
+    streaming replacement for exact quantiles (merge-associativity
+    property test: tests/test_properties.py).
+
+    All rank arithmetic is integer (ceil-rank ``(p·n + 99) div 100``);
+    the only double is the final bin-midpoint estimate, the same
+    expression in both engines.
+
+    Scale shape: the partial fold combines map-side on (source, bin)
+    and its output is bounded by |sources| × |bins| regardless of row
+    count; the merge fold runs over that bounded table.  No row-count-
+    sized shuffle ever happens after the first fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    partials = docs.groupBy(
+        "source", F.expr(f"CAST(n_chars AS BIGINT) div {DOCLEN_BIN}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("ni"))
+    merged = partials.groupBy("bin").agg(F.sum("ni").alias("ni"))
+    direct = docs.groupBy(
+        F.expr(f"CAST(n_chars AS BIGINT) div {DOCLEN_BIN}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("ni"))
+
+    def estimates(bins: DataFrame, suffix: str) -> DataFrame:
+        # both windows run over the BOUNDED bin table (|bins| rows, not
+        # |docs|), so the single-partition global frame is benign
+        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ranked = bins.select(
+            "bin",
+            F.sum("ni").over(w).alias("cum"),
+            F.sum("ni").over(Window.partitionBy()).alias("n"),
+        )
+        aggs = [F.max("n").cast("long").alias(f"n_{suffix}")] + [
+            F.round(
+                (
+                    F.min(
+                        F.when(
+                            F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                            F.col("bin"),
+                        )
+                    )
+                    * DOCLEN_BIN
+                    + DOCLEN_BIN // 2
+                ).cast("double"),
+                1,
+            ).alias(f"p{p}_{suffix}")
+            for p in (50, 90, 99)
+        ]
+        return ranked.agg(*aggs)
+
+    # 1-row lazy broadcast crossJoin stitch (repo scalar convention)
+    return estimates(merged, "merged").crossJoin(
+        F.broadcast(estimates(direct, "direct"))
+    )
+
+
+SQL_DOCLEN_SKETCH_MERGE = f"""
+WITH partials AS (
+    SELECT source, CAST(n_chars AS BIGINT) // {DOCLEN_BIN} AS bin,
+           count(*) AS ni
+    FROM documents GROUP BY 1, 2
+),
+merged AS (SELECT bin, sum(ni) AS ni FROM partials GROUP BY bin),
+direct AS (
+    SELECT CAST(n_chars AS BIGINT) // {DOCLEN_BIN} AS bin, count(*) AS ni
+    FROM documents GROUP BY 1
+),
+rm AS (
+    SELECT bin,
+           CAST(sum(ni) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum,
+           CAST(sum(ni) OVER () AS BIGINT) AS n
+    FROM merged
+),
+rd AS (
+    SELECT bin,
+           CAST(sum(ni) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum,
+           CAST(sum(ni) OVER () AS BIGINT) AS n
+    FROM direct
+),
+em AS (
+    SELECT max(n) AS n_merged,
+           round(CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END)
+                 * {DOCLEN_BIN} + {DOCLEN_BIN // 2} AS DOUBLE), 1) AS p50_merged,
+           round(CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin END)
+                 * {DOCLEN_BIN} + {DOCLEN_BIN // 2} AS DOUBLE), 1) AS p90_merged,
+           round(CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END)
+                 * {DOCLEN_BIN} + {DOCLEN_BIN // 2} AS DOUBLE), 1) AS p99_merged
+    FROM rm
+),
+ed AS (
+    SELECT max(n) AS n_direct,
+           round(CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END)
+                 * {DOCLEN_BIN} + {DOCLEN_BIN // 2} AS DOUBLE), 1) AS p50_direct,
+           round(CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin END)
+                 * {DOCLEN_BIN} + {DOCLEN_BIN // 2} AS DOUBLE), 1) AS p90_direct,
+           round(CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END)
+                 * {DOCLEN_BIN} + {DOCLEN_BIN // 2} AS DOUBLE), 1) AS p99_direct
+    FROM rd
+)
+SELECT CAST(n_merged AS BIGINT) AS n_merged, p50_merged, p90_merged, p99_merged,
+       CAST(n_direct AS BIGINT) AS n_direct, p50_direct, p90_direct, p99_direct
+FROM em CROSS JOIN ed
+"""
+
+QUERIES_MINING["doclen_sketch_merge"] = q_doclen_sketch_merge
+ORACLES_MINING["doclen_sketch_merge"] = SQL_DOCLEN_SKETCH_MERGE

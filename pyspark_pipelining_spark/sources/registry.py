@@ -427,6 +427,15 @@ def fixtures_dir(name: str) -> str:
     )
 
 
+def sql_str_literal(s: str) -> str:
+    """Escape a string for embedding inside a single-quoted SQL literal
+    (ANSI doubling, understood by both DuckDB and Spark SQL).  Every
+    oracle string that interpolates a filesystem path (the fixture
+    dirs above) must pass through this — a checkout path containing a
+    quote would otherwise truncate the literal (r09 ADVICE)."""
+    return s.replace("'", "''")
+
+
 def load_binary_files(
     spark: SparkSession,
     path: str,

@@ -1674,7 +1674,7 @@ def test_png_chunk_walk_matches_python_model(spark):
     import glob
 
     from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
-    from pyspark_pipelining_spark.queries_staged import PNG_FIXTURE_DIR
+    from pyspark_pipelining_spark.queries_ann_media import PNG_FIXTURE_DIR
     from pyspark_pipelining_spark.sources.registry import load_binary_files
 
     files = load_binary_files(spark, PNG_FIXTURE_DIR, glob="*.png")
@@ -1697,7 +1697,7 @@ def test_png_chunk_walk_filters_strays_not_errors(spark, tmp_path):
     import shutil
 
     from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
-    from pyspark_pipelining_spark.queries_staged import PNG_FIXTURE_DIR
+    from pyspark_pipelining_spark.queries_ann_media import PNG_FIXTURE_DIR
     from pyspark_pipelining_spark.sources.registry import load_binary_files
     from tools.gen_png_fixtures import SIG, chunk, ihdr
 
@@ -1757,7 +1757,7 @@ def test_theilsen_trend_matches_python_model(spark):
 
     import pandas as pd
 
-    from pyspark_pipelining_spark.queries_staged import q_theilsen_trend
+    from pyspark_pipelining_spark.queries_analytics import q_theilsen_trend
 
     sf = "/root/testdata/sf0.001"
     o = pd.read_parquet(f"{sf}/orders.parquet")

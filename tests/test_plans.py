@@ -797,7 +797,7 @@ def test_png_chunk_walk_fold_evaluates_once_per_row(spark):
     referenced field — the shape this test guards against measured 4
     fold instances.  The signature pre-filter must hex only the first
     8 bytes, never the payload."""
-    from pyspark_pipelining_spark.queries_staged import q_png_chunks
+    from pyspark_pipelining_spark.queries_ann_media import q_png_chunks
     from tests.conftest import SF_SMOKE
 
     plan = (
@@ -819,7 +819,7 @@ def test_theilsen_monthly_table_is_cached_for_self_join(spark):
     pairwise-slope self-join — it must come from the persisted handle
     (InMemoryTableScan ×2), not two re-executions of the
     orders-scan + month fold."""
-    from pyspark_pipelining_spark.queries_staged import q_theilsen_trend
+    from pyspark_pipelining_spark.queries_analytics import q_theilsen_trend
     from tests.conftest import SF_SMOKE
 
     plan = (

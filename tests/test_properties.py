@@ -1543,7 +1543,7 @@ def test_doclen_sketch_merge_associativity(spark, lens, tmp_path_factory):
 
     import pandas as pd
 
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_mining import (
         DOCLEN_BIN,
         q_doclen_sketch_merge,
     )
@@ -1694,7 +1694,7 @@ def test_session_window_boundary_matches_python_model(spark, gaps_min, tmp_path_
 
     import pandas as pd
 
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_analytics import (
         SESSION_GAP_MIN,
         q_session_window_stats,
     )
