@@ -528,6 +528,13 @@ def wav_pcm_windows(
         # some deployments set shuffle.partitions to a non-numeric
         # sentinel (e.g. "auto"); fall back to the cluster's parallelism
         n_spread = int(files.sparkSession.sparkContext.defaultParallelism)
+    # cap at the cluster's core count (r09 ADVICE): the spread exists to
+    # give every CORE a task, and more partitions than cores only adds
+    # scheduling rounds — under the default 200 shuffle partitions a
+    # fixture-sized input paid a 200-task round for ~24 window rows
+    n_spread = max(
+        1, min(n_spread, int(files.sparkSession.sparkContext.defaultParallelism))
+    )
     wins = wins.repartition(n_spread, F.col("file_name"), F.col("win"))
     # little-endian signed int16 sample j of the chunk (0-based)
     u = (

@@ -1734,6 +1734,89 @@ def test_png_chunk_walk_filters_strays_not_errors(spark, tmp_path):
     ]
 
 
+def test_png_chunk_walk_stray_contract_matches_oracle(spark, tmp_path):
+    """r09 verdict item 5: pin the filtered-never-errored contract at
+    the DEFAULT ``PNG_MAX_CHUNKS`` cap on BOTH engines.  A chunk table
+    truncated MID-walk (several valid chunks, then a length field
+    pointing past EOF), a file with one chunk more than the cap, and a
+    file with exactly cap chunks (the keep side of the boundary) must
+    behave identically in the Spark HOF walk and the DuckDB
+    recursive-CTE oracle — full row parity over the planted lake, no
+    exception on either side."""
+    import shutil
+
+    import duckdb
+
+    from pyspark_pipelining_spark.operators.multimodal import png_chunk_walk
+    from pyspark_pipelining_spark.queries_ann_media import (
+        PNG_FIXTURE_DIR,
+        PNG_MAX_CHUNKS,
+        _sql_png_chunks,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, ihdr
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    base = SIG + ihdr(4, 4, 0)
+    # chunk table truncated MID-walk: two valid chunks first, then a
+    # length field pointing past EOF — the valid PREFIX must not leak
+    (d / "midtrunc.png").write_bytes(
+        base
+        + chunk(b"teXt", b"a")
+        + chunk(b"teXt", b"bb")
+        + b"\x00\x00\xff\x00IDATxxxx"
+    )
+    # exactly AT the cap: IHDR + (cap-2) teXt + IEND — IEND is chunk
+    # cap-1 (0-based), appended on the fold's final permitted step
+    at_cap = base + b"".join(
+        chunk(b"teXt", bytes([i % 251])) for i in range(PNG_MAX_CHUNKS - 2)
+    ) + chunk(b"IEND", b"")
+    (d / "at_cap.png").write_bytes(at_cap)
+    # one chunk OVER the cap: IEND exists but sits beyond the fold
+    over = base + b"".join(
+        chunk(b"teXt", bytes([i % 251])) for i in range(PNG_MAX_CHUNKS - 1)
+    ) + chunk(b"IEND", b"")
+    (d / "over_cap.png").write_bytes(over)
+    shutil.copy(f"{PNG_FIXTURE_DIR}/gradient_gray.png", d / "gradient_gray.png")
+
+    files = load_binary_files(spark, str(d), glob="*.png")
+    got = sorted(
+        tuple(r)
+        for r in png_chunk_walk(files, max_chunks=PNG_MAX_CHUNKS).collect()
+    )
+    kept = {r[0] for r in got}
+    assert kept == {"at_cap.png", "gradient_gray.png"}
+    assert sum(1 for r in got if r[0] == "at_cap.png") == PNG_MAX_CHUNKS
+
+    res = duckdb.connect().execute(_sql_png_chunks(fixture_dir=str(d)))
+    want = sorted(tuple(r) for r in res.fetchall())
+    assert got == want
+
+
+def test_png_oracle_survives_quoted_fixture_path(tmp_path):
+    """r09 ADVICE: the fixture path is interpolated into the oracle as
+    a single-quoted SQL literal — a checkout under a directory whose
+    name contains a quote must still parse and return rows (the
+    sql_str_literal doubling), not truncate the literal."""
+    import shutil
+
+    import duckdb
+
+    from pyspark_pipelining_spark.queries_ann_media import (
+        PNG_FIXTURE_DIR,
+        _sql_png_chunks,
+    )
+    from pyspark_pipelining_spark.sources.registry import sql_str_literal
+
+    assert sql_str_literal("it's a 'path'") == "it''s a ''path''"
+    d = tmp_path / "o'brien's checkout"
+    d.mkdir()
+    shutil.copy(f"{PNG_FIXTURE_DIR}/gradient_gray.png", d / "gradient_gray.png")
+    rows = duckdb.connect().execute(_sql_png_chunks(fixture_dir=str(d))).fetchall()
+    assert [r[3] for r in rows] == ["IHDR", "IDAT", "IEND"]
+
+
 def test_png_fixture_generator_is_deterministic(tmp_path, monkeypatch):
     """Re-running tools/gen_png_fixtures.py must reproduce the committed
     bytes exactly — the stored-deflate construction means no zlib
