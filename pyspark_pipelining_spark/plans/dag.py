@@ -52,6 +52,12 @@ class Stage:
     fn: Callable[[SparkSession, PipelineConfig, dict[str, DataFrame]], DataFrame]
     requires: tuple[str, ...] = ()
     materialize: bool = False
+    #: Hive-style partition columns for the materialization target —
+    #: the pruning axis (date/region) downstream readers filter on.
+    #: At 100 TB a fact materialized WITHOUT the date partitioning is a
+    #: full-scan tax on every consumer; with it, Catalyst prunes
+    #: directories before listing files (PartitionFilters in the scan).
+    partition_by: tuple[str, ...] = ()
 
 
 class PipelineError(RuntimeError):
@@ -77,13 +83,23 @@ class Pipeline:
         #:  wall_s} — what every orchestrator surfaces in its run UI.
         self.manifest: list[dict] = []
 
-    def stage(self, name: str, requires: tuple[str, ...] = (), materialize: bool = False):
+    def stage(
+        self,
+        name: str,
+        requires: tuple[str, ...] = (),
+        materialize: bool = False,
+        partition_by: tuple[str, ...] = (),
+    ):
         """Decorator registering a stage function."""
 
         def wrap(fn):
             if name in self._stages:
                 raise PipelineError(f"duplicate stage {name!r}")
-            self._stages[name] = Stage(name, fn, requires, materialize)
+            if partition_by and not materialize:
+                raise PipelineError(
+                    f"stage {name!r}: partition_by requires materialize=True"
+                )
+            self._stages[name] = Stage(name, fn, requires, materialize, partition_by)
             return fn
 
         return wrap
@@ -124,7 +140,10 @@ class Pipeline:
         try:
             df = st.fn(self.spark, self.config, upstream)
             if st.materialize:
-                df.write.mode("overwrite").parquet(self._target(name))
+                writer = df.write.mode("overwrite")
+                if st.partition_by:
+                    writer = writer.partitionBy(*st.partition_by)
+                writer.parquet(self._target(name))
                 df = self.spark.read.parquet(self._target(name))
         except Exception as exc:
             self.logger.exception("stage %s: failed", name)

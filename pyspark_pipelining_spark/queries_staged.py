@@ -1,26 +1,265 @@
 """Round-11 staging area: oracle-paired queries that are READY but
 deliberately NOT registered — the round-10 snapshot window already
 carries this round's registrations (the former round-10 staged
-quartet: ``doclen_sketch_merge`` → queries_mining,
-``session_window_stats``/``theilsen_trend`` → queries_analytics,
-``png_chunks`` → queries_ann_media), and late additions would defer
-pending revalidations (CLAUDE.md: registry freeze).
+quartet), and late additions would defer pending revalidations
+(CLAUDE.md: registry freeze).
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into their family
-modules, reset this file, and regenerate VALIDATION.md.  The local
-gates exercise everything here every pytest run (oracle compare at
-sf0.001, the pandas-dtype gate, and the plan-invariant gate), so
+modules (partition pruning → queries_coverage, hll merge →
+queries_corpus), reset this file, and regenerate VALIDATION.md.  The
+local gates exercise everything here every pytest run (oracle compare
+at sf0.001, the pandas-dtype gate, and the plan-invariant gate), so
 staged queries are pytest-green now and driver-validated next round.
+
+- ``partition_pruned_revenue`` — the end-to-end partition-layout story
+  under the hard signal (r09 verdict item 3): a date-partitioned fact
+  is MATERIALIZED through the Pipeline DAG (``Stage.partition_by``,
+  new this round) and read back with a predicate on the partition
+  column; the scan's PartitionFilters prune directories before file
+  listing (plan-asserted in tests/test_plans.py), and the oracle
+  recomputes the same rows from the raw table.
+- ``hll_register_merge`` — mergeable-sketch closure for HLL (r09
+  verdict item 4, mirroring ``doclen_sketch_merge``'s histogram
+  proof): per-source partial register tables max-merged by a second
+  aggregate give the BIT-IDENTICAL cardinality estimate as the
+  single-level global fold, side-by-side in one plan — max is
+  associative/commutative/idempotent, which is exactly what lets 1000
+  executors (or per-day streams) keep local registers and merge at
+  the end.  Merge-associativity property test vs a plain-Python HLL
+  model: tests/test_properties.py.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.sources.registry import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-QUERIES_STAGED: dict[str, QueryFn] = {}
+# ---------------------------------------------------------------------------
+# 1. Partition pruning end-to-end: DAG-materialized date-partitioned fact
+# ---------------------------------------------------------------------------
 
-ORACLES_STAGED: dict[str, str] = {}
+PRUNE_YEAR = 1995
+
+
+def _dag_cache_root() -> str:
+    """Materialization root for DAG-produced tables (``.dag_cache`` at
+    the repo root, gitignored) — derived from the package location the
+    same way ``sources.registry.fixtures_dir`` is."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".dag_cache"
+    )
+
+
+def _input_tag(sf_dir: str) -> str:
+    """Deterministic run tag for one sf input: directory basename plus
+    the orders file's (mtime_ns, size) — so a regenerated testdata set
+    invalidates the materialization instead of silently serving stale
+    partitions (the _SUCCESS skip is existence-based)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    try:
+        st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+        return f"{tag}_{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        return tag
+
+
+def q_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order count + revenue for one year, read from a
+    DATE-PARTITIONED copy of ``orders`` materialized through the
+    Pipeline DAG — the first query whose driver row exercises the
+    write-side partition layout AND the read-side directory pruning
+    end-to-end (r09 verdict item 3; SURVEY §4 "partition facts by
+    date").
+
+    The DAG stage (``Stage.partition_by=('o_year',)``) writes
+    Hive-style ``o_year=N`` directories once per input state
+    (idempotent ``_SUCCESS`` skip, input-keyed run id); the read-back
+    filters on the partition column, so Catalyst resolves the
+    predicate at the DIRECTORY level — the scan lists and reads ~1/7
+    of the files (PartitionFilters non-empty, plan-asserted in
+    tests/test_plans.py).  At 100 TB this is the difference between a
+    year query costing one year and costing the whole table.
+
+    The oracle recomputes the identical rows from the raw ``orders``
+    view — same decimal(18,2) cent discipline, month cast to BIGINT on
+    both sides (driver dtype gate)."""
+    from pyspark_pipelining_spark.plans.dag import Pipeline, PipelineConfig
+
+    cfg = PipelineConfig(
+        sf_dir=sf_dir,
+        output_path=os.path.join(_dag_cache_root(), "partitioned"),
+        run_id=_input_tag(sf_dir),
+    )
+    pipe = Pipeline(spark, cfg)
+
+    @pipe.stage("orders_by_year", materialize=True, partition_by=("o_year",))
+    def _orders_by_year(spark, config, upstream):
+        o = load_table(spark, config.sf_dir, "orders")
+        return o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.year("o_orderdate").alias("o_year"),
+        )
+
+    part = pipe.run("orders_by_year")
+    return (
+        part.filter(F.col("o_year") == PRUNE_YEAR)
+        .groupBy(F.month("o_orderdate").cast("long").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_PARTITION_PRUNED_REVENUE = f"""
+SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders
+WHERE year(o_orderdate) = {PRUNE_YEAR}
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. HLL register merge parity: per-source partials vs global fold
+# ---------------------------------------------------------------------------
+
+
+def _global_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_words(docs)
+        .select("source", F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+        .withColumn("g", F.lit("all"))
+    )
+
+
+def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct-token cardinality from HyperLogLog registers,
+    twice IN ONE PLAN: (a) per-source PARTIAL register tables
+    max-merged by a second aggregate (the per-partition /
+    per-day-stream shape), and (b) the single-level global fold.  The
+    register estimate sets must be bit-identical — ``r = max(rho)`` is
+    associative, commutative, and idempotent, so any grouping of the
+    input folds to the same register table; this is the merge
+    guarantee that makes HLL the distinct-count workhorse at 100 TB
+    (each executor keeps m=256 integer registers, the merge is one
+    bounded max-groupBy) and the HLL counterpart to
+    ``doclen_sketch_merge``'s histogram-bin proof (r09 verdict item 4).
+
+    Scale shape: the partial fold combines map-side on (source,
+    bucket) and its output is bounded by |sources| × m regardless of
+    token count; the merge fold runs over that bounded table.  The
+    direct branch is an independent single fold over the same hashed
+    tokens (bounded at m rows out).  Estimates share the exact
+    integer-register arithmetic of ``hll_distinct_tokens`` — the only
+    floats are the final shared-numerator division (and ln in the
+    small-range regime), identical in both engines."""
+    from pyspark_pipelining_spark.operators.sketch import hll_estimate, hll_registers
+
+    toks = _global_tokens(spark, sf_dir)
+    partial = hll_registers(toks, "source", "token")
+    merged_regs = (
+        partial.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .withColumn("g", F.lit("all"))
+    )
+    est_m = hll_estimate(merged_regs, "g").select(
+        F.col("est_distinct").alias("est_merged")
+    )
+    n_m = merged_regs.agg(F.count(F.lit(1)).cast("long").alias("n_regs_merged"))
+    direct_regs = hll_registers(toks, "g", "token")
+    est_d = hll_estimate(direct_regs, "g").select(
+        F.col("est_distinct").alias("est_direct")
+    )
+    n_d = direct_regs.agg(F.count(F.lit(1)).cast("long").alias("n_regs_direct"))
+    # 1-row lazy broadcast crossJoin stitches (repo scalar convention)
+    out = n_m.crossJoin(F.broadcast(est_m))
+    out = out.crossJoin(F.broadcast(n_d))
+    return out.crossJoin(F.broadcast(est_d))
+
+
+def _sql_hll_register_merge() -> str:
+    from pyspark_pipelining_spark.operators.sketch import HLL_M, HLL_NUM, HLL_W
+    from pyspark_pipelining_spark.queries_llm import SQL_WORDS
+
+    top = HLL_W + 1
+    rho = (
+        f"CASE WHEN h // {HLL_M} = 0 THEN {top} "
+        f"ELSE {top} - length(bin(h // {HLL_M})) END"
+    )
+
+    def est(agg: str) -> str:
+        raw = (
+            f"{HLL_NUM!r} / CAST(s_present + ({HLL_M} - n_present) "
+            f"* (CAST(1 AS BIGINT) << {top}) AS DOUBLE)"
+        )
+        return (
+            f"(SELECT round(CASE WHEN {raw} <= {2.5 * HLL_M!r} AND n_present < {HLL_M} "
+            f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - n_present AS DOUBLE)) "
+            f"ELSE {raw} END, 6) FROM {agg})"
+        )
+
+    return f"""
+WITH {SQL_WORDS},
+toks AS (SELECT source, unnest(w) AS token FROM words),
+hashed AS (
+    SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM toks WHERE length(token) > 0
+),
+pr AS (
+    SELECT source, h % {HLL_M} AS bucket, max({rho}) AS r
+    FROM hashed GROUP BY source, bucket
+),
+merged AS (SELECT bucket, max(r) AS r FROM pr GROUP BY bucket),
+direct AS (
+    SELECT h % {HLL_M} AS bucket, max({rho}) AS r
+    FROM hashed GROUP BY bucket
+),
+am AS (
+    SELECT sum(CAST(1 AS BIGINT) << ({top} - r)) AS s_present,
+           count(*) AS n_present
+    FROM merged
+),
+ad AS (
+    SELECT sum(CAST(1 AS BIGINT) << ({top} - r)) AS s_present,
+           count(*) AS n_present
+    FROM direct
+)
+SELECT CAST((SELECT n_present FROM am) AS BIGINT) AS n_regs_merged,
+       {est('am')} AS est_merged,
+       CAST((SELECT n_present FROM ad) AS BIGINT) AS n_regs_direct,
+       {est('ad')} AS est_direct
+"""
+
+
+SQL_HLL_REGISTER_MERGE = _sql_hll_register_merge()
+
+
+QUERIES_STAGED: dict[str, QueryFn] = {
+    "partition_pruned_revenue": q_partition_pruned_revenue,
+    "hll_register_merge": q_hll_register_merge,
+}
+
+ORACLES_STAGED: dict[str, str] = {
+    "partition_pruned_revenue": SQL_PARTITION_PRUNED_REVENUE,
+    "hll_register_merge": SQL_HLL_REGISTER_MERGE,
+}

@@ -322,3 +322,58 @@ def test_bench_contention_probe_and_flag():
 
     empty = bench._contention({}, {})  # non-Linux: no counters, no crash
     assert empty["steal_pct"] == -1.0 and empty["contended"] is False
+
+
+def test_stage_partition_by_writes_hive_layout_and_skips(spark, tmp_path):
+    """Stage.partition_by (round 10): the materialization target is
+    laid out as Hive-style partition directories, the read-back carries
+    the partition column, and the second run skips via _SUCCESS exactly
+    like an unpartitioned stage."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.plans.dag import Pipeline, PipelineConfig
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    cfg = PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path), run_id="r")
+
+    def build(pipe):
+        @pipe.stage("ord_y", materialize=True, partition_by=("o_year",))
+        def _s(spark, config, upstream):
+            return load_table(spark, config.sf_dir, "orders").select(
+                "o_orderkey", F.year("o_orderdate").alias("o_year")
+            )
+
+    p1 = Pipeline(spark, cfg)
+    build(p1)
+    df = p1.run("ord_y")
+    target = os.path.join(str(tmp_path), "r", "ord_y")
+    years = [d for d in os.listdir(target) if d.startswith("o_year=")]
+    assert len(years) >= 2, years
+    assert "o_year" in df.columns
+    p2 = Pipeline(spark, cfg)
+    build(p2)
+    p2.run("ord_y")
+    assert p2.manifest[-1]["status"] == "skipped"
+
+
+def test_stage_partition_by_requires_materialize(spark, tmp_path):
+    from pyspark_pipelining_spark.plans.dag import (
+        Pipeline,
+        PipelineConfig,
+        PipelineError,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pipe = Pipeline(
+        spark, PipelineConfig(sf_dir=SF_SMOKE, output_path=str(tmp_path))
+    )
+    import pytest
+
+    with pytest.raises(PipelineError, match="partition_by"):
+
+        @pipe.stage("bad", partition_by=("x",))
+        def _s(spark, config, upstream):
+            raise AssertionError("never runs")

@@ -1791,3 +1791,61 @@ def test_png_chunk_walk_roundtrip_random_layouts(
         .collect()
     ]
     assert got == _python_png_walk("t.png", raw)
+
+
+@given(
+    toks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # source index
+            st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hll_register_merge_associativity(spark, toks, tmp_path_factory):
+    """The mergeable-HLL guarantee behind the staged
+    ``hll_register_merge`` (r09 verdict item 4, mirroring the doclen
+    histogram proof at tests/test_properties.py:1536): for every random
+    split of tokens across sources, the per-source-partial-then-merge
+    estimate must BIT-IDENTICALLY equal the single global fold (max is
+    associative/commutative/idempotent), the register count must match
+    a plain-Python integer HLL register model computed from the raw
+    tokens, and the estimate must be sane against the true distinct
+    count."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark.operators.sketch import HLL_M
+    from pyspark_pipelining_spark.queries_staged import q_hll_register_merge
+
+    sf_dir = str(tmp_path_factory.mktemp("hllmerge_sf"))
+    by_source: dict[int, list[str]] = {}
+    for s, t in toks:
+        by_source.setdefault(s, []).append(t)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(by_source)),
+            "text": [" ".join(ts) for ts in by_source.values()],
+            "lang": "en",
+            "source": [f"s{s}" for s in by_source],
+            "n_chars": [len(" ".join(ts)) for ts in by_source.values()],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    row = q_hll_register_merge(spark, sf_dir).collect()[0]
+    assert row["n_regs_merged"] == row["n_regs_direct"]
+    assert row["est_merged"] == row["est_direct"]  # bit-identical, not approx
+    # plain-integer bucket model from the raw token set (tokens are
+    # lowercase already; with_words lowercases + whitespace-splits):
+    # the touched-register set is a pure function of the md5 hashes,
+    # independent of any engine fold order
+    distinct = {t for _s, t in toks}
+    buckets = {
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % HLL_M
+        for t in distinct
+    }
+    assert row["n_regs_merged"] == len(buckets)
+    # small cardinalities sit in the linear-counting regime: exact
+    assert abs(row["est_merged"] - len(distinct)) / max(len(distinct), 1) < 0.5
