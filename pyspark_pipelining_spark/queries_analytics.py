@@ -1457,8 +1457,22 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the aggregation operator (no per-user sort window, no lag
     self-reference); value totals fold through decimal(18,2) cast to
     double only at the boundary."""
-    e = load_table(spark, sf_dir, "events")
-    s = e.groupBy(
+    return session_windows_plan(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "start_us"
+    )
+
+
+def session_windows_plan(events: DataFrame) -> DataFrame:
+    """The registered session-window plan as a pure function of the
+    events DataFrame — shared verbatim between the batch surface
+    (``q_session_window_stats`` above, which only adds the output
+    sort) and the streaming surface: the SAME function applied to a
+    ``readStream`` input is a valid Structured Streaming query
+    (sort-free; session_window aggregation is streaming-native), and
+    ``tests/test_streaming.py`` executes it through foreachBatch and
+    asserts row identity with the registered callable — the r09
+    verdict's one-plan closure."""
+    s = events.groupBy(
         "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1470,7 +1484,7 @@ def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(session_window.end)").alias("end_us"),
         "n_events",
         F.col("_v").cast("double").alias("total_value"),
-    ).orderBy("user_id", "start_us")
+    )
 
 
 SQL_SESSION_WINDOW_STATS = f"""

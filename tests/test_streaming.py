@@ -784,3 +784,50 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     )
     assert [r for r in streamed if r[1] < cut] == batch
     assert len(batch) == 6  # 2 sessions per user, none dropped
+
+
+def test_registered_session_window_callable_streams_foreachbatch(spark, tmp_path):
+    """r09 verdict item 8: the registered surface and the streaming
+    surface are ONE plan.  ``q_session_window_stats`` (a registered
+    driver-contract query) delegates to ``session_windows_plan``; this
+    test executes that SAME function under the Structured Streaming
+    runtime — a readStream over the µs-normalized events feed, driven
+    through foreachBatch with availableNow — and asserts the streamed
+    rows are identical to the registered callable's batch rows.  One
+    source file → one micro-batch, so every session completes inside
+    the trigger (the incremental/watermark semantics of the plan are
+    pinned separately by test_session_window_stream_matches_batch)."""
+    from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.queries_analytics import session_windows_plan
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "events_us")
+    load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "value"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    got: list[tuple] = []
+
+    def sink(batch_df, _batch_id):
+        got.extend(map(tuple, session_windows_plan(batch_df).collect()))
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    sq = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination(120)
+    finally:
+        if sq.isActive:
+            sq.stop()
+
+    want = sorted(
+        map(tuple, QUERIES["session_window_stats"](spark, SF_SMOKE).collect())
+    )
+    assert sorted(got) == want
+    assert len(want) > 0
