@@ -700,9 +700,9 @@ def test_convergence_probes_are_bounded_actions_on_checkpointed_state(
 
 
 def test_staged_plans_have_no_cartesian_or_python_row_udf(spark):
-    """The repo-wide plan invariant, applied to the round-9 staging
-    area BEFORE registration (same gate the round-7/8 staged sets
-    passed): no CartesianProduct, no BatchEvalPython."""
+    """The repo-wide plan invariant, applied to the current staging
+    area BEFORE registration (same gate every staged set since round 7
+    has passed): no CartesianProduct, no BatchEvalPython."""
     from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
     from tests.conftest import SF_SMOKE
 
