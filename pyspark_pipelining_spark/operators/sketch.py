@@ -319,7 +319,9 @@ def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, group_col: str, include_registers: bool = False
+) -> DataFrame:
     """Distinct-count estimate from a :func:`hll_registers` table.
 
     The harmonic mean is computed in scaled integers — ``S = Σ
@@ -334,6 +336,13 @@ def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
     ``m·ln(m/V)`` is the better estimator.  The 2^32-range correction
     from the original paper is unnecessary here: hashes are 60-bit, so
     collisions are negligible below ~2^30 distinct values.
+
+    ``include_registers=True`` additionally emits ``n_regs`` (the
+    touched-register count, long) from the SAME aggregate — callers
+    wanting both the estimate and the register count must use this
+    instead of a second ``count()`` branch, which would duplicate the
+    whole upstream fold (measured 2× the scans in
+    ``hll_register_merge``).
     """
     per_reg = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W + 1} - r AS INT))")
     agg = registers.groupBy(group_col).agg(
@@ -347,7 +356,10 @@ def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
         (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(raw)
-    return agg.select(group_col, F.round(est, 6).alias("est_distinct"))
+    cols = [group_col, F.round(est, 6).alias("est_distinct")]
+    if include_registers:
+        cols.append(F.col("n_present").cast("long").alias("n_regs"))
+    return agg.select(*cols)
 
 
 def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
