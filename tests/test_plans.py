@@ -946,5 +946,7 @@ def test_partition_pruned_revenue_scan_prunes_directories(spark):
     assert "PartitionFilters:" in scan
     pf = scan.split("PartitionFilters:")[1]
     assert "o_year" in pf and str(PRUNE_YEAR) in pf
-    # the partition column never reaches the row-level data filters
+    # the partition predicate resolves ENTIRELY at the directory level:
+    # the scan carries zero row-level data filters
+    assert "DataFilters: []" in scan
     assert df.count() > 0
