@@ -70,6 +70,23 @@ def _input_tag(sf_dir: str) -> str:
         return tag
 
 
+def _prune_stale_runs(output_path: str, run_id: str) -> None:
+    """Best-effort removal of SUPERSEDED materializations: run dirs for
+    the same sf tag whose input key no longer matches (a regenerated
+    testdata set re-keys the run id, and without this the old
+    partitioned copies would accumulate on disk forever).  Never
+    raises — a cache janitor must not fail the query."""
+    import shutil
+
+    tag = run_id.split("_", 1)[0] + "_"
+    try:
+        for d in os.listdir(output_path):
+            if d != run_id and d.startswith(tag):
+                shutil.rmtree(os.path.join(output_path, d), ignore_errors=True)
+    except OSError:
+        pass
+
+
 def q_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly order count + revenue for one year, read from a
     DATE-PARTITIONED copy of ``orders`` materialized through the
@@ -105,6 +122,7 @@ def q_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_path=os.path.join(_dag_cache_root(), "partitioned"),
         run_id=_input_tag(sf_dir),
     )
+    _prune_stale_runs(cfg.output_path, cfg.run_id)
     pipe = Pipeline(spark, cfg)
 
     @pipe.stage("orders_by_year", materialize=True, partition_by=("o_year",))

@@ -377,3 +377,28 @@ def test_stage_partition_by_requires_materialize(spark, tmp_path):
         @pipe.stage("bad", partition_by=("x",))
         def _s(spark, config, upstream):
             raise AssertionError("never runs")
+
+
+def test_partitioned_cache_prunes_superseded_runs(spark, tmp_path, monkeypatch):
+    """A regenerated input re-keys the run id; the janitor removes the
+    superseded materialization for the same sf tag, keeps the current
+    one, and never touches other tags."""
+    import os
+
+    import pyspark_pipelining_spark.queries_staged as qs
+
+    root = tmp_path / "dag"
+    part = root / "partitioned"
+    part.mkdir(parents=True)
+    (part / "sf0.001_111_222").mkdir()   # stale key, same tag
+    (part / "sf0.01_1_2").mkdir()        # different tag: untouched
+    monkeypatch.setattr(qs, "_dag_cache_root", lambda: str(root))
+    from tests.conftest import SF_SMOKE
+
+    out = qs.q_partition_pruned_revenue(spark, SF_SMOKE)
+    assert out.count() > 0
+    kept = sorted(os.listdir(part))
+    cur = qs._input_tag(SF_SMOKE)
+    assert cur in kept
+    assert "sf0.001_111_222" not in kept
+    assert "sf0.01_1_2" in kept
