@@ -572,6 +572,72 @@ def wav_pcm_windows(
     )
 
 
+def _png_sig_select(files: DataFrame, path_col: str) -> DataFrame:
+    """PNG-signature prefilter + projection shared by the chunk walk
+    and the pixel-stats decode: the check hexes ONLY the first 8 bytes
+    (hexing the whole payload just to test the magic would double-scan
+    every stray)."""
+    return files.filter(
+        F.expr("hex(substring(content, 1, 8))") == "89504E470D0A1A0A"
+    ).select(
+        F.element_at(F.split(F.col(path_col), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )
+
+
+def _png_walk_fold(mc: int) -> str:
+    """The chunk-walk state machine as a SQL expression string over a
+    lambda-bound payload variable ``c`` (and the outer ``n_bytes``
+    column): a bounded ``aggregate`` fold whose state is ``(offset,
+    ok, done, chunks)`` — shared verbatim by :func:`png_chunk_walk`
+    (which explodes the chunk array) and :func:`png_pixel_stats`
+    (which keeps walking into the IDAT payloads).
+
+    Chunk fields at the CURRENT offset are per-step binary slices of
+    ``c`` (byte at 0-based offset o is ``substring(c, o+1, n)``) —
+    never a full-payload hex string, never a row-field re-read."""
+    ln = (
+        "CAST(conv(hex(substring(c, CAST(acc.off + 1 AS INT), 4)),"
+        " 16, 10) AS BIGINT)"
+    )
+    bs = [
+        f"CAST(conv(hex(substring(c, CAST(acc.off + {5 + k} AS INT), 1)),"
+        " 16, 10) AS INT)"
+        for k in range(4)
+    ]
+    type_ok = " AND ".join(
+        f"(({b} BETWEEN 65 AND 90) OR ({b} BETWEEN 97 AND 122))" for b in bs
+    )
+    ctype = "concat(" + ", ".join(f"char({b})" for b in bs) + ")"
+    crc = (
+        f"CAST(conv(hex(substring(c,"
+        f" CAST(acc.off + 8 + {ln} + 1 AS INT), 4)), 16, 10) AS BIGINT)"
+    )
+    fail = (
+        "named_struct('off', acc.off, 'ok', false, 'done', true,"
+        " 'chunks', acc.chunks)"
+    )
+    step = (
+        f"named_struct('off', acc.off + 12 + {ln}, 'ok', acc.ok,"
+        f" 'done', {ctype} = 'IEND',"
+        f" 'chunks', array_append(acc.chunks, named_struct("
+        f"'off', acc.off, 'clen', {ln}, 'ctype', {ctype}, 'crc', {crc})))"
+    )
+    init = (
+        "named_struct('off', CAST(8 AS BIGINT), 'ok', true, 'done', false,"
+        " 'chunks', CAST(array() AS"
+        " ARRAY<STRUCT<off: BIGINT, clen: BIGINT, ctype: STRING, crc: BIGINT>>))"
+    )
+    return (
+        f"aggregate(sequence(1, {mc}), {init}, (acc, i) -> CASE"
+        f" WHEN acc.done THEN acc"
+        f" WHEN acc.off + 8 > n_bytes OR NOT ({type_ok})"
+        f"      OR acc.off + 12 + {ln} > n_bytes THEN {fail}"
+        f" ELSE {step} END)"
+    )
+
+
 def png_chunk_walk(
     files: DataFrame, max_chunks: int = 64, path_col: str = "path"
 ) -> DataFrame:
@@ -612,51 +678,7 @@ def png_chunk_walk(
     chunk, ``off`` = 0-based byte offset of the chunk's length field).
     """
     mc = int(max_chunks)
-    # signature check hexes ONLY the first 8 bytes (hexing the whole
-    # payload just to test the magic would double-scan every stray)
-    sig = files.filter(
-        F.expr("hex(substring(content, 1, 8))") == "89504E470D0A1A0A"
-    ).select(
-        F.element_at(F.split(F.col(path_col), "/"), -1).alias("file_name"),
-        F.col("length").alias("n_bytes"),
-        F.col("content"),
-    )
-
-    # chunk fields at the CURRENT offset: per-step binary slices of the
-    # lambda variable c (byte at 0-based offset o is substring(c, o+1, n))
-    # — never a full-payload hex string, never a row-field re-read
-    ln = (
-        "CAST(conv(hex(substring(c, CAST(acc.off + 1 AS INT), 4)),"
-        " 16, 10) AS BIGINT)"
-    )
-    bs = [
-        f"CAST(conv(hex(substring(c, CAST(acc.off + {5 + k} AS INT), 1)),"
-        " 16, 10) AS INT)"
-        for k in range(4)
-    ]
-    type_ok = " AND ".join(
-        f"(({b} BETWEEN 65 AND 90) OR ({b} BETWEEN 97 AND 122))" for b in bs
-    )
-    ctype = "concat(" + ", ".join(f"char({b})" for b in bs) + ")"
-    crc = (
-        f"CAST(conv(hex(substring(c,"
-        f" CAST(acc.off + 8 + {ln} + 1 AS INT), 4)), 16, 10) AS BIGINT)"
-    )
-    fail = (
-        "named_struct('off', acc.off, 'ok', false, 'done', true,"
-        " 'chunks', acc.chunks)"
-    )
-    step = (
-        f"named_struct('off', acc.off + 12 + {ln}, 'ok', acc.ok,"
-        f" 'done', {ctype} = 'IEND',"
-        f" 'chunks', array_append(acc.chunks, named_struct("
-        f"'off', acc.off, 'clen', {ln}, 'ctype', {ctype}, 'crc', {crc})))"
-    )
-    init = (
-        "named_struct('off', CAST(8 AS BIGINT), 'ok', true, 'done', false,"
-        " 'chunks', CAST(array() AS"
-        " ARRAY<STRUCT<off: BIGINT, clen: BIGINT, ctype: STRING, crc: BIGINT>>))"
-    )
+    sig = _png_sig_select(files, path_col)
     walked = sig.select(
         "file_name",
         "n_bytes",
@@ -664,12 +686,7 @@ def png_chunk_walk(
         # lambda variable ONCE per row; the inner fold's slices then
         # read the stored object instead of re-copying the row field
         F.expr(
-            f"transform(array(content), c ->"
-            f" aggregate(sequence(1, {mc}), {init}, (acc, i) -> CASE"
-            f" WHEN acc.done THEN acc"
-            f" WHEN acc.off + 8 > n_bytes OR NOT ({type_ok})"
-            f"      OR acc.off + 12 + {ln} > n_bytes THEN {fail}"
-            f" ELSE {step} END))[0]"
+            f"transform(array(content), c -> {_png_walk_fold(mc)})[0]"
         ).alias("st"),
     )
     # clean-termination gate folded INTO the generator (NULL array →
@@ -695,4 +712,206 @@ def png_chunk_walk(
         F.col("c.ctype").alias("ctype"),
         F.col("c.clen").alias("clen"),
         F.col("c.crc").alias("crc"),
+    )
+
+
+#: Pixel budget for the in-row PNG decode fold: the per-pixel hex loop
+#: is interpreted (same envelope family as the WAV fold's ~37k
+#: samples/s/core) — thumbnails and icons, not photographs.  Larger
+#: images belong to a real codec behind the gated Arrow path.
+PNG_PIXEL_MAX = 1 << 16
+
+#: Stored-deflate block budget: 64 KiB per block bounds raw output at
+#: ~2.6 MB, far above PNG_PIXEL_MAX · 4 channels — the fold can never
+#: need more blocks than this before a size gate fails it.
+PNG_ZLIB_MAX_BLOCKS = 40
+
+
+def png_pixel_stats(
+    files: DataFrame,
+    max_chunks: int = 64,
+    max_px: int = PNG_PIXEL_MAX,
+    max_blocks: int = PNG_ZLIB_MAX_BLOCKS,
+    path_col: str = "path",
+) -> DataFrame:
+    """PIXEL-level statistics (per-channel sum/min/max/mean) over real
+    PNG bytes with ZERO Python in the plan — the image counterpart of
+    :func:`wav_pcm_windows`' sample-level audio math: the full decode
+    chain runs as one JVM expression per file — chunk walk (the shared
+    :func:`_png_walk_fold` state machine) → in-order IDAT
+    concatenation → zlib STORED-block inflation (another bounded
+    ``aggregate`` fold over the stream: 5-byte block headers, LEN/NLEN
+    complement check, payload splice) → filter-0 scanline validation →
+    per-channel byte folds.
+
+    Scope is the codec-free corner of the format, gated structurally
+    (lake-scan contract — anything else FILTERS, never errors): bit
+    depth 8, color type 0/2/3 (gray / RGB / palette-index), no
+    interlace, zlib CM=8 without a preset dictionary, only stored
+    (BTYPE=0) deflate blocks, every scanline filter byte 0, raw length
+    exactly ``h·(1+w·ch)``, and ``w·h ≤ max_px``.  Real compressed
+    PNGs need a real inflate — they stay behind the gated codec path;
+    the committed fixtures (``tools/gen_png_fixtures.py``) are exactly
+    this stored-deflate subset, byte-reproducible with no compressor.
+    The Adler-32 trailer is bounds-checked but not recomputed (a
+    checksum pass would double the byte work for no semantic gain
+    here; CRC words are already surfaced per chunk by the walk).
+
+    Expression discipline (the measured multimodal lessons): every
+    intermediate — payload, walk state, header meta, concatenated
+    stream hex, inflate state, per-channel fold — is bound exactly
+    once via a ``transform(array(…), x -> …)`` let-binding, so the
+    whole decode evaluates once per row no matter how many downstream
+    fields reference it (the round-9 filter-pushdown duplication
+    class); per-pixel bytes decode ONCE into an int array
+    (``transform``) before the metric fold (the WAV 2.3× lesson); the
+    validity gate folds into the generator (NULL → row vanishes), and
+    out-of-range chunk access uses NULL-returning ``get()`` (ANSI-safe
+    on strays).
+
+    Scale: one file = one row = one task; per-file work is
+    O(pixels) bounded by ``max_px``; output is ``ch`` rows per file.
+    Unlike the WAV windows there is no in-file spread: the decode is a
+    sequential state machine (block N's offset depends on block N-1),
+    so parallelism comes from the file dimension — the right unit for
+    a thumbnail/icon lake.
+
+    Output: ``file_name, channel, w, h, n_px, sum_val, min_val,
+    max_val, mean_val`` (one row per channel; palette stats are over
+    PLTE indices by design).
+    """
+    mc, mpx, mb = int(max_chunks), int(max_px), int(max_blocks)
+    sig = _png_sig_select(files, path_col)
+
+    def b1(pos: str) -> str:  # 1-byte big-endian int at 1-based pos of c
+        return f"CAST(conv(hex(substring(c, CAST({pos} AS INT), 1)), 16, 10) AS INT)"
+
+    def b4(pos: str) -> str:  # 4-byte big-endian int at 1-based pos of c
+        return f"CAST(conv(hex(substring(c, CAST({pos} AS INT), 4)), 16, 10) AS BIGINT)"
+
+    # --- layer 3: IHDR meta (w, h, channels) from the walked chunks ----
+    ih = "get(st.chunks, 0)"  # NULL (not an error) when the walk failed early
+    ihdr_ok = (
+        f"st.ok AND st.done AND st.off = n_bytes"
+        f" AND {ih}.ctype = 'IHDR' AND {ih}.clen = 13"
+        f" AND {b1(f'{ih}.off + 17')} = 8"          # bit depth
+        f" AND {b1(f'{ih}.off + 18')} IN (0, 2, 3)"  # color type
+        f" AND {b1(f'{ih}.off + 19')} = 0"          # compression method
+        f" AND {b1(f'{ih}.off + 20')} = 0"          # filter method
+        f" AND {b1(f'{ih}.off + 21')} = 0"          # no interlace
+    )
+    meta = (
+        f"CASE WHEN {ihdr_ok} THEN named_struct("
+        f"'w', {b4(f'{ih}.off + 9')},"
+        f" 'h', {b4(f'{ih}.off + 13')},"
+        f" 'ch', CASE WHEN {b1(f'{ih}.off + 18')} = 2 THEN 3 ELSE 1 END)"
+        f" END"
+    )
+
+    # --- layer 4: in-order IDAT payload as ONE hex string --------------
+    idat_hex = (
+        "aggregate(filter(st.chunks, ck -> ck.ctype = 'IDAT'), '',"
+        " (a, ck) -> concat(a, hex(substring(c,"
+        " CAST(ck.off + 9 AS INT), CAST(ck.clen AS INT)))))"
+    )
+    zlib_hdr_ok = (
+        # CM=8 (deflate), no preset dictionary (FDICT bit clear); the
+        # 22-hex floor = header + one empty stored block + Adler
+        "length(zh) >= 22"
+        " AND CAST(conv(substring(zh, 1, 2), 16, 10) AS INT) % 16 = 8"
+        " AND (CAST(conv(substring(zh, 3, 2), 16, 10) AS INT) div 32) % 2 = 0"
+    )
+
+    # --- layer 5: stored-deflate block walk over the stream hex --------
+    lz = "(length(zh) div 2)"  # stream length in bytes
+    zb = (  # little-endian LEN of the block at acc.off
+        "(CAST(conv(substring(zh, CAST(2 * acc.off + 3 AS INT), 2), 16, 10) AS BIGINT)"
+        " + 256 * CAST(conv(substring(zh, CAST(2 * acc.off + 5 AS INT), 2), 16, 10) AS BIGINT))"
+    )
+    znl = (  # little-endian NLEN (must be LEN's complement)
+        "(CAST(conv(substring(zh, CAST(2 * acc.off + 7 AS INT), 2), 16, 10) AS BIGINT)"
+        " + 256 * CAST(conv(substring(zh, CAST(2 * acc.off + 9 AS INT), 2), 16, 10) AS BIGINT))"
+    )
+    zbf = "CAST(conv(substring(zh, CAST(2 * acc.off + 1 AS INT), 2), 16, 10) AS INT)"
+    zfail = (
+        "named_struct('off', acc.off, 'outh', acc.outh, 'ok', false, 'done', true)"
+    )
+    zstep = (
+        f"named_struct('off', acc.off + 5 + {zb},"
+        f" 'outh', concat(acc.outh, substring(zh,"
+        f" CAST(2 * (acc.off + 5) + 1 AS INT), CAST(2 * {zb} AS INT))),"
+        f" 'ok', acc.ok, 'done', {zbf} = 1)"
+    )
+    zinit = (
+        "named_struct('off', CAST(2 AS BIGINT), 'outh', '',"
+        " 'ok', true, 'done', false)"
+    )
+    zfold = (
+        f"aggregate(sequence(1, {mb}), {zinit}, (acc, i) -> CASE"
+        f" WHEN acc.done THEN acc"
+        f" WHEN NOT acc.ok THEN acc"
+        f" WHEN {zbf} NOT IN (0, 1) OR {znl} != 65535 - {zb}"
+        f"      OR acc.off + 5 + {zb} + 4 > {lz} THEN {zfail}"
+        f" ELSE {zstep} END)"
+    )
+
+    # --- layer 6: scanline + size validation, per-channel stats --------
+    stride = "(1 + m.w * m.ch)"
+    raw_ok = (
+        f"zs.ok AND zs.done AND zs.off + 4 = {lz}"
+        f" AND length(zs.outh) = 2 * m.h * {stride}"
+        # every scanline's filter byte must be 0 (None): the only
+        # filter the codec-free path decodes
+        f" AND aggregate(sequence(0, CAST(m.h - 1 AS INT)), true, (a, r) ->"
+        f" a AND substring(zs.outh, CAST(2 * r * {stride} + 1 AS INT), 2) = '00')"
+    )
+    px_byte = (  # pixel i, channel ci: hex pos of the sample byte
+        f"CAST(conv(substring(zs.outh, CAST(2 * ((i div m.w) * {stride}"
+        f" + 1 + (i % m.w) * m.ch + ci) + 1 AS INT), 2), 16, 10) AS BIGINT)"
+    )
+    chan_stats = (
+        # decode each sample once into an int array, then fold plain
+        # ints (transform-first, the WAV 2.3x lesson); bind the fold
+        # result so the three field reads don't re-fold
+        f"transform(sequence(0, CAST(m.ch - 1 AS INT)), ci ->"
+        f" transform(array(aggregate("
+        f"   transform(sequence(0, CAST(m.w * m.h - 1 AS INT)), i -> {px_byte}),"
+        f"   named_struct('s', CAST(0 AS BIGINT), 'mn', CAST(256 AS BIGINT),"
+        f"                'mx', CAST(-1 AS BIGINT)),"
+        f"   (a, v) -> named_struct('s', a.s + v, 'mn', least(a.mn, v),"
+        f"                          'mx', greatest(a.mx, v)))), f ->"
+        f" named_struct('w', m.w, 'h', m.h, 's', f.s, 'mn', f.mn, 'mx', f.mx))[0])"
+    )
+
+    mega = (
+        f"transform(array(content), c ->"
+        f" transform(array({_png_walk_fold(mc)}), st ->"
+        f"  transform(array({meta}), m ->"
+        f"   CASE WHEN m IS NOT NULL AND m.w >= 1 AND m.h >= 1"
+        f"             AND m.w * m.h <= {mpx} THEN"
+        f"    transform(array({idat_hex}), zh ->"
+        f"     CASE WHEN {zlib_hdr_ok} THEN"
+        f"      transform(array({zfold}), zs ->"
+        f"       CASE WHEN {raw_ok} THEN {chan_stats} END)[0]"
+        f"     END)[0]"
+        f"   END)[0])[0])[0]"
+    )
+    decoded = sig.select("file_name", F.expr(mega).alias("px"))
+    return decoded.select(
+        "file_name",
+        F.posexplode(F.col("px")).alias("channel", "s"),
+    ).select(
+        "file_name",
+        F.col("channel").cast("long").alias("channel"),
+        F.col("s.w").alias("w"),
+        F.col("s.h").alias("h"),
+        (F.col("s.w") * F.col("s.h")).alias("n_px"),
+        F.col("s.s").alias("sum_val"),
+        F.col("s.mn").alias("min_val"),
+        F.col("s.mx").alias("max_val"),
+        F.round(
+            F.col("s.s").cast("double")
+            / (F.col("s.w") * F.col("s.h")).cast("double"),
+            6,
+        ).alias("mean_val"),
     )

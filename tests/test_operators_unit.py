@@ -1903,3 +1903,137 @@ def test_wav_pcm_windows_filters_oversized_files_not_overflows(spark):
     )
     scan = next(l for l in plan.split("\n") if "FileScan binaryFile" in l)
     assert f"<= {WAV_HEX_SAFE_FILE_BYTES}" in scan, scan
+
+
+def test_png_pixel_stats_matches_stdlib_model(spark):
+    """The one-expression JVM decode chain (chunk walk → IDAT concat →
+    stored-deflate inflation → filter-0 strip → channel folds) must
+    reproduce stdlib zlib.decompress + a plain-Python filter-0 pixel
+    walk exactly, on all three committed fixtures (gray, RGB with
+    multi-IDAT, palette with a zero-length IDAT)."""
+    import glob
+    import struct
+    import zlib
+
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import PNG_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, PNG_FIXTURE_DIR, glob="*.png")
+    got = [
+        tuple(r)
+        for r in png_pixel_stats(files).orderBy("file_name", "channel").collect()
+    ]
+    want = []
+    for p in sorted(glob.glob(f"{PNG_FIXTURE_DIR}/*.png")):
+        b = open(p, "rb").read()
+        off, idat = 8, b""
+        w = h = ctype = None
+        while True:
+            ln = struct.unpack(">I", b[off : off + 4])[0]
+            ct4 = b[off + 4 : off + 8]
+            if ct4 == b"IHDR":
+                w, h, _bd, ctype = struct.unpack(">IIBB", b[off + 8 : off + 18])
+            if ct4 == b"IDAT":
+                idat += b[off + 8 : off + 8 + ln]
+            off += 12 + ln
+            if ct4 == b"IEND":
+                break
+        raw = zlib.decompress(idat)
+        ch = 3 if ctype == 2 else 1
+        stride = 1 + w * ch
+        rows = [raw[r * stride : (r + 1) * stride] for r in range(h)]
+        assert all(r[0] == 0 for r in rows)
+        name = p.rsplit("/", 1)[-1]
+        for c in range(ch):
+            vals = [row[1 + x * ch + c] for row in rows for x in range(w)]
+            want.append(
+                (
+                    name, c, w, h, w * h,
+                    sum(vals), min(vals), max(vals),
+                    round(sum(vals) / (w * h), 6),
+                )
+            )
+    assert got == want
+
+
+def test_png_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
+    """Filtered-never-errored, cross-engine, for the DECODE gates the
+    chunk walk cannot see: a really-compressed PNG (dynamic-Huffman
+    deflate — a structurally perfect chunk table), a corrupted NLEN
+    complement, a non-zero scanline filter byte, an image over the
+    pixel cap, and a stream with more stored blocks than the fold cap
+    all vanish identically from the Spark plan and the DuckDB
+    recursive-CTE oracle; the committed fixtures alongside still
+    decode with full row parity."""
+    import shutil
+    import struct
+    import zlib
+
+    import duckdb
+
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import PNG_FIXTURE_DIR
+    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    w, h = 4, 3
+    raw = b"".join(b"\x00" + bytes((x * 7 + y) % 256 for x in range(w)) for y in range(h))
+    # really compressed: valid PNG, BTYPE != 0 -> outside the codec-free scope
+    (d / "compressed.png").write_bytes(
+        SIG + ihdr(w, h, 0) + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b"")
+    )
+    # corrupted NLEN complement in an otherwise stored stream
+    z = bytearray(deflate_stored(raw))
+    z[5] ^= 0xFF  # NLEN low byte
+    (d / "badnlen.png").write_bytes(
+        SIG + ihdr(w, h, 0) + chunk(b"IDAT", bytes(z)) + chunk(b"IEND", b"")
+    )
+    # non-zero scanline filter byte (Sub): decodable by real codecs, not here
+    fraw = b"\x01" + raw[1 : 1 + w] + raw[1 + w :]
+    (d / "subfilter.png").write_bytes(
+        SIG + ihdr(w, h, 0) + chunk(b"IDAT", deflate_stored(fraw)) + chunk(b"IEND", b"")
+    )
+    # over the pixel cap (exercised by lowering the cap to w*h - 1)
+    (d / "valid_small.png").write_bytes(
+        SIG + ihdr(w, h, 0) + chunk(b"IDAT", deflate_stored(raw)) + chunk(b"IEND", b"")
+    )
+    # more stored blocks than the fold cap (1-byte blocks)
+    many = b"\x78\x01"
+    for k, byte in enumerate(raw):
+        fin = 1 if k == len(raw) - 1 else 0
+        many += bytes([fin]) + struct.pack("<HH", 1, 1 ^ 0xFFFF) + bytes([byte])
+    many += struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
+    (d / "manyblocks.png").write_bytes(
+        SIG + ihdr(w, h, 0) + chunk(b"IDAT", many) + chunk(b"IEND", b"")
+    )
+    shutil.copy(f"{PNG_FIXTURE_DIR}/gradient_gray.png", d / "gradient_gray.png")
+    shutil.copy(f"{PNG_FIXTURE_DIR}/bands_rgb.png", d / "bands_rgb.png")
+
+    files = load_binary_files(spark, str(d), glob="*.png")
+    got = sorted(
+        tuple(r)
+        for r in png_pixel_stats(files, max_blocks=8).collect()
+    )
+    assert {r[0] for r in got} == {
+        "gradient_gray.png", "bands_rgb.png", "valid_small.png",
+    }
+    res = duckdb.connect().execute(
+        _sql_png_pixel_stats(fixture_dir=str(d), max_blocks=8)
+    )
+    want = sorted(tuple(r) for r in res.fetchall())
+    assert got == want
+
+    # pixel cap at exactly w*h = 12: valid_small stays, the larger
+    # fixtures (128 px / 64 px) drop — identically on both engines
+    capped = sorted(
+        tuple(r) for r in png_pixel_stats(files, max_px=12, max_blocks=8).collect()
+    )
+    assert {r[0] for r in capped} == {"valid_small.png"}
+    res2 = duckdb.connect().execute(
+        _sql_png_pixel_stats(fixture_dir=str(d), max_px=12, max_blocks=8)
+    )
+    assert capped == sorted(tuple(r) for r in res2.fetchall())

@@ -950,3 +950,24 @@ def test_partition_pruned_revenue_scan_prunes_directories(spark):
     # the scan carries zero row-level data filters
     assert "DataFilters: []" in scan
     assert df.count() > 0
+
+
+def test_png_pixel_stats_decode_evaluates_once_per_row(spark):
+    """The whole decode chain is one let-bound expression: the chunk
+    walk's init-state literal must appear EXACTLY once in the executed
+    plan (every downstream layer references lambda-bound values, never
+    re-derives the fold — the filter-pushdown duplication class), the
+    signature probe hexes only the first 8 bytes, and the payload is
+    never hexed whole."""
+    from pyspark_pipelining_spark.queries_staged import q_png_pixel_stats
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        q_png_pixel_stats(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("[8,true,false,[]]") == 1, plan.count("[8,true,false,[]]")
+    assert "hex(substring(content" in plan
+    assert "hex(content" not in plan
