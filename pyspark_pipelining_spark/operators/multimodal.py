@@ -770,8 +770,12 @@ def png_pixel_stats(
     on strays).
 
     Scale: one file = one row = one task; per-file work is
-    O(pixels) bounded by ``max_px``; output is ``ch`` rows per file.
-    Unlike the WAV windows there is no in-file spread: the decode is a
+    O(pixels) bounded by ``max_px`` — genuinely linear only because
+    pixel bytes are indexed within per-SCANLINE hex slices (see the
+    inline substring-is-O(position) note; the whole-image-hex form
+    measured O(pixels²): 17.45 s at 256², vs 0.68 s ≈ 96k samples/s
+    per core after the fix).  Output is ``ch`` rows per file.  Unlike
+    the WAV windows there is no in-file spread: the decode is a
     sequential state machine (block N's offset depends on block N-1),
     so parallelism comes from the file dimension — the right unit for
     a thumbnail/icon lake.
@@ -865,22 +869,39 @@ def png_pixel_stats(
         f" AND aggregate(sequence(0, CAST(m.h - 1 AS INT)), true, (a, r) ->"
         f" a AND substring(zs.outh, CAST(2 * r * {stride} + 1 AS INT), 2) = '00')"
     )
-    px_byte = (  # pixel i, channel ci: hex pos of the sample byte
-        f"CAST(conv(substring(zs.outh, CAST(2 * ((i div m.w) * {stride}"
-        f" + 1 + (i % m.w) * m.ch + ci) + 1 AS INT), 2), 16, 10) AS BIGINT)"
+    # SUBSTRING IS O(START-POSITION) on UTF8String (it counts chars from
+    # the string head), so indexing pixel bytes straight into the whole-
+    # image hex is O(pixels²) — measured: 128² decoded at 10.7k px/s but
+    # 256² COLLAPSED to 3.8k px/s.  Slice each SCANLINE's pixel hex once
+    # (O(h·n) total), then index within the short row string: per-pixel
+    # scans are bounded by the row length, restoring O(pixels·row) —
+    # measured 17.45 s → sub-second at 256².  Same lesson family as the
+    # WAV windows carrying only their own hex slice.
+    row_hex = (
+        f"substring(zs.outh, CAST(2 * r * {stride} + 3 AS INT),"
+        f" CAST(2 * m.w * m.ch AS INT))"
+    )
+    px_byte = (  # pixel x, channel ci within one row's pixel hex
+        "CAST(conv(substring(rowh, CAST(2 * (x * m.ch + ci) + 1 AS INT), 2),"
+        " 16, 10) AS BIGINT)"
     )
     chan_stats = (
-        # decode each sample once into an int array, then fold plain
-        # ints (transform-first, the WAV 2.3x lesson); bind the fold
-        # result so the three field reads don't re-fold
-        f"transform(sequence(0, CAST(m.ch - 1 AS INT)), ci ->"
-        f" transform(array(aggregate("
-        f"   transform(sequence(0, CAST(m.w * m.h - 1 AS INT)), i -> {px_byte}),"
+        # rows sliced ONCE (shared by every channel), each row's samples
+        # decoded once into an int array before the metric fold
+        # (transform-first, the WAV 2.3x lesson); the fold result is
+        # bound so the field reads don't re-fold
+        f"transform(array(transform(sequence(0, CAST(m.h - 1 AS INT)),"
+        f" r -> {row_hex})), rows ->"
+        f" transform(sequence(0, CAST(m.ch - 1 AS INT)), ci ->"
+        f"  transform(array(aggregate(rows,"
         f"   named_struct('s', CAST(0 AS BIGINT), 'mn', CAST(256 AS BIGINT),"
         f"                'mx', CAST(-1 AS BIGINT)),"
-        f"   (a, v) -> named_struct('s', a.s + v, 'mn', least(a.mn, v),"
-        f"                          'mx', greatest(a.mx, v)))), f ->"
-        f" named_struct('w', m.w, 'h', m.h, 's', f.s, 'mn', f.mn, 'mx', f.mx))[0])"
+        f"   (a, rowh) -> aggregate("
+        f"     transform(sequence(0, CAST(m.w - 1 AS INT)), x -> {px_byte}),"
+        f"     a, (b, v) -> named_struct('s', b.s + v, 'mn', least(b.mn, v),"
+        f"                               'mx', greatest(b.mx, v))))), f ->"
+        f"  named_struct('w', m.w, 'h', m.h, 's', f.s, 'mn', f.mn,"
+        f"               'mx', f.mx))[0]))[0]"
     )
 
     mega = (
