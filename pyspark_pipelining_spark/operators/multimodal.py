@@ -373,18 +373,22 @@ def resize_stub(media_df: DataFrame, target: int = 224) -> DataFrame:
     )
 
 
-#: Largest data chunk the hex-string decode can address: every
-#: substring position is ≤ 2·data_bytes + 89 and Spark's substring
-#: takes an INT — beyond this the ANSI CAST_OVERFLOW would ABORT the
-#: whole scan on one oversized file, so the operator filters instead
-#: (lake-scan contract: strays filtered, never errored).
+#: Largest data chunk the decode can address: every binary-slice
+#: position is ≤ data_bytes + 44 and Spark's substring takes an INT —
+#: beyond this the ANSI CAST_OVERFLOW would ABORT the whole scan on
+#: one oversized file, so the operator filters instead (lake-scan
+#: contract: strays filtered, never errored).  The historical 2·+89
+#: hex-position form is kept (strictly tighter than the binary-slice
+#: bound) so the gate constant is stable across the r10 rewrite.
 WAV_INT32_SAFE_DATA_BYTES = (2**31 - 1 - 89) // 2
 
-#: Largest FILE the decode may even hex: ``hex(content)`` allocates a
-#: 2·n_bytes array, and the JVM array ceiling is Integer.MAX_VALUE−8 —
-#: a ~1.1 GiB file would abort inside hex() BEFORE any data_bytes
-#: predicate could run, so the size gate must test the cheap
-#: ``length`` metadata column UPSTREAM of the hex projection.
+#: Belt-and-braces FILE cap on the cheap ``length`` metadata column,
+#: tested UPSTREAM at the binaryFile scan (plan-asserted).  Since the
+#: r10 rewrite the operator hexes only 44 header bytes and per-window
+#: slices, so the historical whole-file ``hex(content)`` JVM-array
+#: hazard this bound was sized for no longer applies — the constant
+#: stays as the conservative envelope (any larger file still exceeds
+#: WAV_INT32_SAFE_DATA_BYTES anyway).
 WAV_HEX_SAFE_FILE_BYTES = (2**31 - 16) // 2
 
 
@@ -405,13 +409,18 @@ def wav_pcm_windows(
     not errored — the lake-scan convention (a 100 TB media lake always
     contains strays); real codecs stay behind ``decode_real``.
 
-    Decode discipline (cross-engine exact): the file hexes ONCE per
-    row; each output row carries only its own window's hex slice, so
-    the explode fans out window-count rows (not sample-count) and the
-    per-sample loop is an ``aggregate`` HOF over the slice — integer
-    accumulators only (sum of squares ≤ n·2³⁰ per window, easy int64),
-    and the only doubles are the final ``sqrt(ss/n)`` — IEEE
-    exactly-rounded from exact integers in any engine.
+    Decode discipline (cross-engine exact): the header hexes ONLY its
+    44 canonical bytes; window chunks are cut in one pass over the
+    lambda-bound BINARY payload (byte-addressed, O(slice) — see the
+    inline substring-is-O(position) note: slicing a whole-file HEX
+    string instead measured O(file²/window), 36.4 s for a 1M-sample
+    file) and each output row carries only its own window's hex
+    slice, so the explode fans out window-count rows (not
+    sample-count) and the per-sample loop is an ``aggregate`` HOF over
+    the slice — integer accumulators only (sum of squares ≤ n·2³⁰ per
+    window, easy int64), and the only doubles are the final
+    ``sqrt(ss/n)`` — IEEE exactly-rounded from exact integers in any
+    engine.
 
     Scale: one file = one row = one task from the binaryFile source;
     window rows are a ×(seconds·rate/window) fanout of file rows with
@@ -426,22 +435,22 @@ def wav_pcm_windows(
     (peak, sum-of-squares) struct — evaluating the hex/conv decode
     inside the metric fold re-ran it per reference, and transform-
     first measured another 2.3× (0.61 s vs 1.41 s on the spread
-    plan).  THROUGHPUT ENVELOPE (measured): ~37k samples/s per core
-    interpreted, so this expression path is for clip-sized audio —
-    minutes of PCM, not masters; hour-long files belong to the
-    Arrow-batched ``audio_window_plan`` path, chunked upstream.  Gate
-    with ``load_binary_files(..., max_bytes=...)``, which skips
-    oversized payloads at the format level.
+    plan).  THROUGHPUT ENVELOPE (measured, post-r10-slicing-fix):
+    linear and fold-bound at ~58k samples/s per core interpreted
+    (1M samples 1.06 s, 4M samples 2.24 s on local[32]) — clip-sized
+    audio; hour-long masters belong to the Arrow-batched
+    ``audio_window_plan`` path, chunked upstream.  Gate with
+    ``load_binary_files(..., max_bytes=...)``, which skips oversized
+    payloads at the format level.
 
     Output: ``file_name, win, sample_rate, n_samples, peak, rms``.
     """
     ws = int(window_samples)
-    # size gate BEFORE the hex projection, on the cheap length column:
-    # an oversized file would abort inside hex() itself (2x-payload
-    # array > JVM ceiling) before any data_bytes predicate could run —
-    # filtering length here is the only placement that actually
-    # delivers "filtered, never errored".  length <= cap also implies
-    # data_bytes <= n_bytes - 44 <= max_data_bytes, int32-safe slices.
+    # size gate on the cheap length metadata column, pushed to the
+    # binaryFile scan (plan-asserted): filtering length here is the
+    # placement that delivers "filtered, never errored" — length <=
+    # cap implies data_bytes <= n_bytes - 44 <= max_data_bytes, so
+    # every downstream CAST(pos AS INT) is in int32 range under ANSI.
     cap = min(int(max_data_bytes) + 44, WAV_HEX_SAFE_FILE_BYTES)
     # header fields come from hexing ONLY the 44 canonical bytes —
     # hexing the whole payload just to read the header was an O(file)
