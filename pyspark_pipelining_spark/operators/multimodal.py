@@ -751,12 +751,21 @@ PNG_PIXEL_MAX = 1 << 16
 #: need more blocks than this before a size gate fails it.
 PNG_ZLIB_MAX_BLOCKS = 40
 
+#: Scanline budget: the per-row hex slicing and filter-byte checks are
+#: O(rows · raw) because string substring is O(start-position) — a
+#: pathological 1×65536 image inside the pixel cap would make that
+#: pass quadratic on one task, so extreme aspect ratios are filtered
+#: like every other out-of-scope shape (2048 rows ≥ any sane
+#: thumbnail at the 65536-px cap).
+PNG_MAX_ROWS = 2048
+
 
 def png_pixel_stats(
     files: DataFrame,
     max_chunks: int = 64,
     max_px: int = PNG_PIXEL_MAX,
     max_blocks: int = PNG_ZLIB_MAX_BLOCKS,
+    max_rows: int = PNG_MAX_ROWS,
     path_col: str = "path",
 ) -> DataFrame:
     """PIXEL-level statistics (per-channel sum/min/max/mean) over real
@@ -810,6 +819,7 @@ def png_pixel_stats(
     PLTE indices by design).
     """
     mc, mpx, mb = int(max_chunks), int(max_px), int(max_blocks)
+    mrows = int(max_rows)
     sig = _png_sig_select(files, path_col)
 
     def b1(pos: str) -> str:  # 1-byte big-endian int at 1-based pos of c
@@ -934,7 +944,7 @@ def png_pixel_stats(
         f" transform(array({_png_walk_fold(mc)}), st ->"
         f"  transform(array({meta}), m ->"
         f"   CASE WHEN m IS NOT NULL AND m.w >= 1 AND m.h >= 1"
-        f"             AND m.w * m.h <= {mpx} THEN"
+        f"             AND m.w * m.h <= {mpx} AND m.h <= {mrows} THEN"
         f"    transform(array({idat_hex}), zh ->"
         f"     CASE WHEN {zlib_hdr_ok} THEN"
         f"      transform(array({zfold}), zs ->"

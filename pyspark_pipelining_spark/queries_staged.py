@@ -327,14 +327,17 @@ def _sql_png_pixel_stats(
     fixture_dir: str = PNG_FIXTURE_DIR,
     max_px: int | None = None,
     max_blocks: int | None = None,
+    max_rows: int | None = None,
 ) -> str:
     from pyspark_pipelining_spark.operators.multimodal import (
+        PNG_MAX_ROWS,
         PNG_PIXEL_MAX,
         PNG_ZLIB_MAX_BLOCKS,
     )
 
     mpx = PNG_PIXEL_MAX if max_px is None else int(max_px)
     mb = PNG_ZLIB_MAX_BLOCKS if max_blocks is None else int(max_blocks)
+    mrows = PNG_MAX_ROWS if max_rows is None else int(max_rows)
     t = "chr(b0) || chr(b1) || chr(b2) || chr(b3)"
     return f"""
 WITH RECURSIVE png AS (
@@ -411,6 +414,7 @@ meta AS (
     FROM ihdr i JOIN idat d USING (file_name)
     WHERE i.bd = 8 AND i.ct IN (0, 2, 3) AND i.cm = 0 AND i.fm = 0
       AND i.il = 0 AND i.w >= 1 AND i.h >= 1 AND i.w * i.h <= {mpx}
+      AND i.h <= {mrows}
       AND length(d.zh) >= 22
       AND CAST('0x' || substring(d.zh, 1, 2) AS INT) % 16 = 8
       AND (CAST('0x' || substring(d.zh, 3, 2) AS INT) // 32) % 2 = 0

@@ -2037,3 +2037,35 @@ def test_png_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
         _sql_png_pixel_stats(fixture_dir=str(d), max_px=12, max_blocks=8)
     )
     assert capped == sorted(tuple(r) for r in res2.fetchall())
+
+
+def test_png_pixel_stats_row_cap_filters_tall_images_both_engines(spark, tmp_path):
+    """The scanline budget (PNG_MAX_ROWS): per-row hex slicing is
+    O(rows · raw), so a pathological tall-and-thin image inside the
+    pixel cap would re-quadratize the decode on one task — such shapes
+    FILTER (never error), identically on Spark and the oracle, while
+    the same image passes under the default cap."""
+    import duckdb
+
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    w, h = 2, 8
+    raw = b"".join(
+        b"\x00" + bytes((x + y) % 256 for x in range(w)) for y in range(h)
+    )
+    (d / "tall.png").write_bytes(
+        SIG + ihdr(w, h, 0) + chunk(b"IDAT", deflate_stored(raw)) + chunk(b"IEND", b"")
+    )
+    files = load_binary_files(spark, str(d), glob="*.png")
+    assert len(png_pixel_stats(files).collect()) == 1
+    assert png_pixel_stats(files, max_rows=4).collect() == []
+    con = duckdb.connect()
+    assert len(con.execute(_sql_png_pixel_stats(fixture_dir=str(d))).fetchall()) == 1
+    assert con.execute(
+        _sql_png_pixel_stats(fixture_dir=str(d), max_rows=4)
+    ).fetchall() == []
