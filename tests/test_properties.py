@@ -1849,3 +1849,73 @@ def test_hll_register_merge_associativity(spark, toks, tmp_path_factory):
     assert row["n_regs_merged"] == len(buckets)
     # small cardinalities sit in the linear-counting regime: exact
     assert abs(row["est_merged"] - len(distinct)) / max(len(distinct), 1) < 0.5
+
+
+@given(
+    shape=st.tuples(
+        st.integers(min_value=1, max_value=6),   # width
+        st.integers(min_value=1, max_value=5),   # height
+        st.sampled_from([0, 2, 3]),              # color type
+    ),
+    data=st.data(),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_png_pixel_stats_roundtrip_random_images(
+    spark, shape, data, tmp_path_factory
+):
+    """The full decode chain must reproduce a plain-Python
+    zlib.decompress + filter-0 pixel model for ARBITRARY image shapes
+    and pixel bytes across all three supported color types — and a
+    drawn perturbation (a non-zero filter byte, or a corrupted stored
+    block LEN) must drop the file entirely instead of emitting partial
+    or wrong stats."""
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
+
+    w, h, ct = shape
+    ch = 3 if ct == 2 else 1
+    pix = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=w * h * ch,
+            max_size=w * h * ch,
+        )
+    )
+    corrupt = data.draw(st.sampled_from(["none", "filter", "blocklen"]))
+    rows = [
+        bytes([0]) + bytes(pix[r * w * ch : (r + 1) * w * ch]) for r in range(h)
+    ]
+    if corrupt == "filter":
+        rows[data.draw(st.integers(min_value=0, max_value=h - 1))] = (
+            b"\x01" + rows[0][1:]
+        )
+    raw = b"".join(rows)
+    z = bytearray(deflate_stored(raw))
+    if corrupt == "blocklen":
+        z[3] ^= 0x01  # LEN low byte: breaks the NLEN complement
+    body = SIG + ihdr(w, h, ct) + chunk(b"IDAT", bytes(z)) + chunk(b"IEND", b"")
+    d = tmp_path_factory.mktemp("pxrt")
+    (d / "t.png").write_bytes(body)
+    got = sorted(
+        tuple(r)
+        for r in png_pixel_stats(
+            load_binary_files(spark, str(d), glob="*.png")
+        ).collect()
+    )
+    if corrupt != "none":
+        assert got == []
+        return
+    want = []
+    for c in range(ch):
+        vals = [
+            pix[(r * w + x) * ch + c] for r in range(h) for x in range(w)
+        ]
+        want.append(
+            (
+                "t.png", c, w, h, w * h,
+                sum(vals), min(vals), max(vals),
+                round(sum(vals) / (w * h), 6),
+            )
+        )
+    assert got == want
