@@ -55,16 +55,21 @@ SENSITIVE = [
     "sparse_cosine_pairs",
     "price_quantile_sketch",
     "trend_by_segment",
-    # r10 staging: integer rank arithmetic over merged partial bins;
-    # µs-exact session boundaries at 100x more events
+    # r10 registrations: integer rank arithmetic over merged partial
+    # bins; µs-exact session boundaries at 100x more events;
+    # Δcents-in-double pairwise slopes over 100x larger monthly sums
+    # (png_chunks reads committed fixtures, so sf does not scale it —
+    # the oracle gates cover it)
     "doclen_sketch_merge",
     "session_window_stats",
-    # r10 staging (late additions): Δcents-in-double pairwise slopes
-    # over 100x larger monthly sums (png_chunks reads committed
-    # fixtures, so sf does not scale it — the oracle gates cover it)
     "theilsen_trend",
     # r09 sweep: n·v residuals widened to decimal(38,0) (silent-wrap class)
     "cusum_changepoint",
+    # r11 staging: register estimates in the linear-counting/raw
+    # crossover regime at 100x more tokens; decimal month sums behind
+    # the pruned read (png_pixel_stats is fixture-fed, like png_chunks)
+    "hll_register_merge",
+    "partition_pruned_revenue",
 ]
 
 
