@@ -943,8 +943,13 @@ def png_pixel_stats(
         f"transform(array(content), c ->"
         f" transform(array({_png_walk_fold(mc)}), st ->"
         f"  transform(array({meta}), m ->"
-        f"   CASE WHEN m IS NOT NULL AND m.w >= 1 AND m.h >= 1"
-        f"             AND m.w * m.h <= {mpx} AND m.h <= {mrows} THEN"
+        # dimensions bound INDIVIDUALLY before the product: a malicious
+        # IHDR can declare w = h = 0xFFFFFFFF, and w*h would overflow
+        # int64 — an ANSI ERROR, not a filter — unless the conjunction
+        # short-circuits on the per-dimension caps first
+        f"   CASE WHEN m IS NOT NULL AND m.w BETWEEN 1 AND {mpx}"
+        f"             AND m.h BETWEEN 1 AND {mrows}"
+        f"             AND m.w * m.h <= {mpx} THEN"
         f"    transform(array({idat_hex}), zh ->"
         f"     CASE WHEN {zlib_hdr_ok} THEN"
         f"      transform(array({zfold}), zs ->"

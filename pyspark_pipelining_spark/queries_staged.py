@@ -413,8 +413,11 @@ meta AS (
            length(d.zh) // 2 AS lz
     FROM ihdr i JOIN idat d USING (file_name)
     WHERE i.bd = 8 AND i.ct IN (0, 2, 3) AND i.cm = 0 AND i.fm = 0
-      AND i.il = 0 AND i.w >= 1 AND i.h >= 1 AND i.w * i.h <= {mpx}
-      AND i.h <= {mrows}
+      -- per-dimension caps BEFORE the product (progressive AND
+      -- filtering): w = h = 0xFFFFFFFF from a malicious IHDR would
+      -- overflow BIGINT in w*h and error instead of filtering
+      AND i.w BETWEEN 1 AND {mpx} AND i.h BETWEEN 1 AND {mrows}
+      AND i.w * i.h <= {mpx}
       AND length(d.zh) >= 22
       AND CAST('0x' || substring(d.zh, 1, 2) AS INT) % 16 = 8
       AND (CAST('0x' || substring(d.zh, 3, 2) AS INT) // 32) % 2 = 0

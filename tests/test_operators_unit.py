@@ -2069,3 +2069,37 @@ def test_png_pixel_stats_row_cap_filters_tall_images_both_engines(spark, tmp_pat
     assert con.execute(
         _sql_png_pixel_stats(fixture_dir=str(d), max_rows=4)
     ).fetchall() == []
+
+
+def test_png_pixel_stats_huge_ihdr_dimensions_filter_not_error(spark, tmp_path):
+    """A malicious IHDR declaring w = h = 0xFFFFFFFF must FILTER, not
+    raise: the naive ``w*h <= cap`` gate would overflow int64 (ANSI
+    error on Spark, BIGINT overflow on DuckDB) before the comparison —
+    the per-dimension caps must short-circuit first, identically on
+    both engines."""
+    import duckdb
+
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, deflate_stored
+
+    import struct
+
+    huge_ihdr = chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 0xFFFFFFFF, 0xFFFFFFFF, 8, 0, 0, 0, 0)
+    )
+    body = SIG + huge_ihdr + chunk(b"IDAT", deflate_stored(b"\x00\x01")) + chunk(
+        b"IEND", b""
+    )
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "huge.png").write_bytes(body)
+    files = load_binary_files(spark, str(d), glob="*.png")
+    assert png_pixel_stats(files).collect() == []
+    assert (
+        duckdb.connect()
+        .execute(_sql_png_pixel_stats(fixture_dir=str(d)))
+        .fetchall()
+        == []
+    )
