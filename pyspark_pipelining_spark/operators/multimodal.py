@@ -853,10 +853,17 @@ def png_pixel_stats(
         " (a, ck) -> concat(a, hex(substring(c,"
         " CAST(ck.off + 9 AS INT), CAST(ck.clen AS INT)))))"
     )
+    # a VALID in-scope stream is bounded by the raw size it must
+    # decode to (raw <= max_rows + 3*max_px, plus 5 bytes/block + 6
+    # framing) — any longer stream cannot satisfy the final raw-length
+    # check, and WOULD overflow the walk's CAST(2*off AS INT)
+    # positions under ANSI (error, not filter) past ~512 MB of IDAT,
+    # so the ceiling is enforced up front on both engines
+    zcap_hex = 2 * (3 * mpx + mrows + 5 * mb + 64)
     zlib_hdr_ok = (
         # CM=8 (deflate), no preset dictionary (FDICT bit clear); the
         # 22-hex floor = header + one empty stored block + Adler
-        "length(zh) >= 22"
+        f"length(zh) >= 22 AND length(zh) <= {zcap_hex}"
         " AND CAST(conv(substring(zh, 1, 2), 16, 10) AS INT) % 16 = 8"
         " AND (CAST(conv(substring(zh, 3, 2), 16, 10) AS INT) div 32) % 2 = 0"
     )

@@ -419,6 +419,9 @@ meta AS (
       AND i.w BETWEEN 1 AND {mpx} AND i.h BETWEEN 1 AND {mrows}
       AND i.w * i.h <= {mpx}
       AND length(d.zh) >= 22
+      -- stream ceiling mirrors Spark's int32-position envelope: any
+      -- longer stream cannot decode to an in-scope raw size anyway
+      AND length(d.zh) <= {2 * (3 * mpx + mrows + 5 * mb + 64)}
       AND CAST('0x' || substring(d.zh, 1, 2) AS INT) % 16 = 8
       AND (CAST('0x' || substring(d.zh, 3, 2) AS INT) // 32) % 2 = 0
 ),

@@ -2103,3 +2103,33 @@ def test_png_pixel_stats_huge_ihdr_dimensions_filter_not_error(spark, tmp_path):
         .fetchall()
         == []
     )
+
+
+def test_png_pixel_stats_oversized_stream_filters_both_engines(spark, tmp_path):
+    """A small-dims PNG carrying a zlib stream far larger than any
+    in-scope raw size must FILTER at the stream ceiling (past ~512 MB
+    the walk's int32 hex positions would error under ANSI; the ceiling
+    also refuses the wasted walk) — identically on both engines."""
+    import duckdb
+
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
+
+    w, h = 2, 2
+    # a structurally valid stored stream whose raw payload (256 KB) is
+    # far beyond what 2x2 pixels could need — over the stream ceiling
+    big = deflate_stored(b"\x00" * (256 * 1024))
+    body = SIG + ihdr(w, h, 0) + chunk(b"IDAT", big) + chunk(b"IEND", b"")
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "bigstream.png").write_bytes(body)
+    files = load_binary_files(spark, str(d), glob="*.png")
+    assert png_pixel_stats(files).collect() == []
+    assert (
+        duckdb.connect()
+        .execute(_sql_png_pixel_stats(fixture_dir=str(d)))
+        .fetchall()
+        == []
+    )
