@@ -815,8 +815,11 @@ def png_pixel_stats(
     a thumbnail/icon lake.
 
     Output: ``file_name, channel, w, h, n_px, sum_val, min_val,
-    max_val, mean_val`` (one row per channel; palette stats are over
-    PLTE indices by design).
+    max_val, mean_val`` — one row per OUTPUT channel: 1 for grayscale,
+    3 for RGB, and 3 for palette images, whose 1-byte indices RESOLVE
+    through the PLTE chunk to true RGB (exactly one well-formed PLTE
+    required; an index past the palette end drops the file — a real
+    decoder errors there).
     """
     mc, mpx, mb = int(max_chunks), int(max_px), int(max_blocks)
     mrows = int(max_rows)
@@ -828,22 +831,36 @@ def png_pixel_stats(
     def b4(pos: str) -> str:  # 4-byte big-endian int at 1-based pos of c
         return f"CAST(conv(hex(substring(c, CAST({pos} AS INT), 4)), 16, 10) AS BIGINT)"
 
-    # --- layer 3: IHDR meta (w, h, channels) from the walked chunks ----
+    # --- layer 3: IHDR meta (w, h, layout) from the walked chunks ------
     ih = "get(st.chunks, 0)"  # NULL (not an error) when the walk failed early
+    ct = b1(f"{ih}.off + 18")
+    plte = "get(filter(st.chunks, ck -> ck.ctype = 'PLTE'), 0)"
     ihdr_ok = (
         f"st.ok AND st.done AND st.off = n_bytes"
         f" AND {ih}.ctype = 'IHDR' AND {ih}.clen = 13"
         f" AND {b1(f'{ih}.off + 17')} = 8"          # bit depth
-        f" AND {b1(f'{ih}.off + 18')} IN (0, 2, 3)"  # color type
+        f" AND {ct} IN (0, 2, 3)"                   # color type
         f" AND {b1(f'{ih}.off + 19')} = 0"          # compression method
         f" AND {b1(f'{ih}.off + 20')} = 0"          # filter method
         f" AND {b1(f'{ih}.off + 21')} = 0"          # no interlace
+        # palette images need exactly one well-formed PLTE to resolve
+        f" AND ({ct} != 3 OR ("
+        f"  size(filter(st.chunks, ck -> ck.ctype = 'PLTE')) = 1"
+        f"  AND {plte}.clen % 3 = 0"
+        f"  AND {plte}.clen BETWEEN 3 AND 768))"
     )
+    # bpp = RAW bytes per pixel (palette rows carry 1 index byte);
+    # ch = OUTPUT channels (palette resolves through PLTE to RGB)
     meta = (
         f"CASE WHEN {ihdr_ok} THEN named_struct("
         f"'w', {b4(f'{ih}.off + 9')},"
         f" 'h', {b4(f'{ih}.off + 13')},"
-        f" 'ch', CASE WHEN {b1(f'{ih}.off + 18')} = 2 THEN 3 ELSE 1 END)"
+        f" 'ct', {ct},"
+        f" 'bpp', CASE WHEN {ct} = 2 THEN 3 ELSE 1 END,"
+        f" 'ch', CASE WHEN {ct} = 0 THEN 1 ELSE 3 END,"
+        f" 'plte', CASE WHEN {ct} = 3 THEN hex(substring(c,"
+        f" CAST({plte}.off + 9 AS INT), CAST({plte}.clen AS INT)))"
+        f" ELSE '' END)"
         f" END"
     )
 
@@ -902,7 +919,7 @@ def png_pixel_stats(
     )
 
     # --- layer 6: scanline + size validation, per-channel stats --------
-    stride = "(1 + m.w * m.ch)"
+    stride = "(1 + m.w * m.bpp)"
     raw_ok = (
         f"zs.ok AND zs.done AND zs.off + 4 = {lz}"
         f" AND length(zs.outh) = 2 * m.h * {stride}"
@@ -910,6 +927,19 @@ def png_pixel_stats(
         # filter the codec-free path decodes
         f" AND aggregate(sequence(0, CAST(m.h - 1 AS INT)), true, (a, r) ->"
         f" a AND substring(zs.outh, CAST(2 * r * {stride} + 1 AS INT), 2) = '00')"
+        # palette indices must all resolve inside the PLTE (an
+        # out-of-range index is a stray, filtered — a real decoder
+        # errors there); one extra O(pixels) pass, ct=3 only, with the
+        # same row-sliced indexing discipline as the stats fold
+        f" AND (m.ct != 3 OR aggregate("
+        f" transform(sequence(0, CAST(m.h - 1 AS INT)), r ->"
+        f"  substring(zs.outh, CAST(2 * r * {stride} + 3 AS INT),"
+        f"  CAST(2 * m.w AS INT))),"
+        f" true, (a, rowh) -> a AND aggregate("
+        f"  transform(sequence(0, CAST(m.w - 1 AS INT)), x ->"
+        f"   CAST(conv(substring(rowh, CAST(2 * x + 1 AS INT), 2),"
+        f"   16, 10) AS INT)),"
+        f"  true, (b, ix) -> b AND 6 * ix < length(m.plte))))"
     )
     # SUBSTRING IS O(START-POSITION) on UTF8String (it counts chars from
     # the string head), so indexing pixel bytes straight into the whole-
@@ -921,11 +951,21 @@ def png_pixel_stats(
     # WAV windows carrying only their own hex slice.
     row_hex = (
         f"substring(zs.outh, CAST(2 * r * {stride} + 3 AS INT),"
-        f" CAST(2 * m.w * m.ch AS INT))"
+        f" CAST(2 * m.w * m.bpp AS INT))"
     )
-    px_byte = (  # pixel x, channel ci within one row's pixel hex
-        "CAST(conv(substring(rowh, CAST(2 * (x * m.ch + ci) + 1 AS INT), 2),"
+    # pixel x, channel ci: gray/RGB read the sample straight from the
+    # row hex; palette reads the 1-byte index then resolves channel ci
+    # through the PLTE hex (positions ≤ 768·2 — short-string indexing)
+    raw_sample = (
+        "CAST(conv(substring(rowh, CAST(2 * (x * m.bpp"
+        " + CASE WHEN m.ct = 2 THEN ci ELSE 0 END) + 1 AS INT), 2),"
         " 16, 10) AS BIGINT)"
+    )
+    px_byte = (
+        f"CASE WHEN m.ct = 3 THEN"
+        f" CAST(conv(substring(m.plte, CAST(6 * CAST({raw_sample} AS INT)"
+        f" + 2 * ci + 1 AS INT), 2), 16, 10) AS BIGINT)"
+        f" ELSE {raw_sample} END"
     )
     chan_stats = (
         # rows sliced ONCE (shared by every channel), each row's samples

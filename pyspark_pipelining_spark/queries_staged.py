@@ -31,7 +31,8 @@ staged queries are pytest-green now and driver-validated next round.
   the hard signal, completing the multimodal ladder container-sniff →
   chunk-walk → full decode: chunk walk, IDAT concatenation, zlib
   STORED-block inflation, filter-0 scanline validation, and
-  per-channel byte folds as ONE let-bound JVM expression per file,
+  per-channel byte folds (palette indices resolved through PLTE to
+  true RGB) as ONE let-bound JVM expression per file,
   vs a DuckDB double-recursive-CTE decoder — matched bit-for-bit and
   cross-checked against stdlib ``zlib.decompress``.
 """
@@ -407,17 +408,31 @@ idat AS (
                       ORDER BY idx) AS zh
     FROM chunks WHERE ctype = 'IDAT' GROUP BY file_name
 ),
+plte AS (
+    SELECT file_name, count(*) AS n_plte, min(clen) AS plen,
+           min(substring(hx, CAST(2 * (coff + 8) + 1 AS BIGINT),
+                         CAST(2 * clen AS BIGINT))) AS phex
+    FROM chunks WHERE ctype = 'PLTE' GROUP BY file_name
+),
 meta AS (
-    SELECT i.file_name, i.w, i.h,
-           CASE WHEN i.ct = 2 THEN 3 ELSE 1 END AS ch, d.zh,
+    SELECT i.file_name, i.w, i.h, i.ct,
+           -- bpp = RAW bytes/pixel (palette rows carry 1 index byte);
+           -- ch = OUTPUT channels (palette resolves through PLTE)
+           CASE WHEN i.ct = 2 THEN 3 ELSE 1 END AS bpp,
+           CASE WHEN i.ct = 0 THEN 1 ELSE 3 END AS ch,
+           COALESCE(p.phex, '') AS phex, d.zh,
            length(d.zh) // 2 AS lz
     FROM ihdr i JOIN idat d USING (file_name)
+    LEFT JOIN plte p USING (file_name)
     WHERE i.bd = 8 AND i.ct IN (0, 2, 3) AND i.cm = 0 AND i.fm = 0
       -- per-dimension caps BEFORE the product (progressive AND
       -- filtering): w = h = 0xFFFFFFFF from a malicious IHDR would
       -- overflow BIGINT in w*h and error instead of filtering
       AND i.w BETWEEN 1 AND {mpx} AND i.h BETWEEN 1 AND {mrows}
       AND i.w * i.h <= {mpx}
+      -- palette images need exactly one well-formed PLTE to resolve
+      AND (i.ct != 3 OR (p.n_plte = 1 AND p.plen % 3 = 0
+                         AND p.plen BETWEEN 3 AND 768))
       AND length(d.zh) >= 22
       -- stream ceiling mirrors Spark's int32-position envelope: any
       -- longer stream cannot decode to an in-scope raw size anyway
@@ -426,12 +441,12 @@ meta AS (
       AND (CAST('0x' || substring(d.zh, 3, 2) AS INT) // 32) % 2 = 0
 ),
 zwalk AS (
-    SELECT file_name, w, h, ch, zh, lz,
+    SELECT file_name, w, h, ct, bpp, ch, phex, zh, lz,
            CAST(2 AS BIGINT) AS zoff, CAST('' AS VARCHAR) AS outh,
            CAST(0 AS BIGINT) AS zi, FALSE AS done
     FROM meta
     UNION ALL
-    SELECT file_name, w, h, ch, zh, lz,
+    SELECT file_name, w, h, ct, bpp, ch, phex, zh, lz,
            zoff + 5 + blen,
            outh || substring(zh, CAST(2 * (zoff + 5) + 1 AS BIGINT),
                              CAST(2 * blen AS BIGINT)),
@@ -455,30 +470,50 @@ zwalk AS (
     WHERE bf IN (0, 1) AND nlen = 65535 - blen AND zoff + 5 + blen + 4 <= lz
 ),
 rawimg AS (
-    SELECT file_name, w, h, ch, outh
+    SELECT file_name, w, h, ct, bpp, ch, phex, outh
     FROM zwalk
-    WHERE done AND zoff + 4 = lz AND length(outh) = 2 * h * (1 + w * ch)
+    WHERE done AND zoff + 4 = lz AND length(outh) = 2 * h * (1 + w * bpp)
 ),
 badfilter AS (
     SELECT DISTINCT file_name FROM (
-        SELECT file_name, outh, w, ch, unnest(range(h)) AS rr FROM rawimg
+        SELECT file_name, outh, w, bpp, unnest(range(h)) AS rr FROM rawimg
     )
-    WHERE substring(outh, CAST(2 * rr * (1 + w * ch) + 1 AS BIGINT), 2) <> '00'
+    WHERE substring(outh, CAST(2 * rr * (1 + w * bpp) + 1 AS BIGINT), 2) <> '00'
 ),
 good AS (
     SELECT * FROM rawimg
     WHERE file_name NOT IN (SELECT file_name FROM badfilter)
 ),
 chx AS (
-    SELECT file_name, w, h, ch, outh, unnest(range(ch)) AS channel FROM good
+    SELECT file_name, w, h, ct, bpp, ch, phex, outh,
+           unnest(range(ch)) AS channel
+    FROM good
+),
+pxraw AS (
+    -- the RAW sample byte per (pixel, output channel): gray/RGB read
+    -- it directly; palette reads the 1-byte index (channel-invariant)
+    SELECT file_name, w, h, ct, phex, channel,
+           CAST('0x' || substring(outh,
+                CAST(2 * ((i // w) * (1 + w * bpp) + 1 + (i % w) * bpp
+                          + CASE WHEN ct = 2 THEN channel ELSE 0 END)
+                     + 1 AS BIGINT), 2)
+                AS BIGINT) AS rawv
+    FROM (SELECT *, unnest(range(w * h)) AS i FROM chx)
+),
+badidx AS (
+    -- an index past the palette end is a stray: the whole file drops
+    SELECT DISTINCT file_name FROM pxraw
+    WHERE ct = 3 AND 6 * rawv >= length(phex)
 ),
 px AS (
     SELECT file_name, w, h, channel,
-           CAST('0x' || substring(outh,
-                CAST(2 * ((i // w) * (1 + w * ch) + 1
-                          + (i % w) * ch + channel) + 1 AS BIGINT), 2)
-                AS BIGINT) AS v
-    FROM (SELECT *, unnest(range(w * h)) AS i FROM chx)
+           CASE WHEN ct = 3 THEN
+                TRY_CAST('0x' || substring(phex,
+                     CAST(6 * rawv + 2 * channel + 1 AS BIGINT), 2)
+                     AS BIGINT)
+                ELSE rawv END AS v
+    FROM pxraw
+    WHERE file_name NOT IN (SELECT file_name FROM badidx)
 )
 SELECT file_name, CAST(channel AS BIGINT) AS channel,
        CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,

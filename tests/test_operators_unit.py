@@ -1907,10 +1907,11 @@ def test_wav_pcm_windows_filters_oversized_files_not_overflows(spark):
 
 def test_png_pixel_stats_matches_stdlib_model(spark):
     """The one-expression JVM decode chain (chunk walk → IDAT concat →
-    stored-deflate inflation → filter-0 strip → channel folds) must
-    reproduce stdlib zlib.decompress + a plain-Python filter-0 pixel
-    walk exactly, on all three committed fixtures (gray, RGB with
-    multi-IDAT, palette with a zero-length IDAT)."""
+    stored-deflate inflation → filter-0 strip → channel folds, with
+    palette indices resolved through PLTE) must reproduce stdlib
+    zlib.decompress + a plain-Python pixel walk exactly, on all three
+    committed fixtures (gray, RGB with multi-IDAT, palette with a
+    zero-length IDAT — emitting TRUE RGB channels)."""
     import glob
     import struct
     import zlib
@@ -1927,7 +1928,7 @@ def test_png_pixel_stats_matches_stdlib_model(spark):
     want = []
     for p in sorted(glob.glob(f"{PNG_FIXTURE_DIR}/*.png")):
         b = open(p, "rb").read()
-        off, idat = 8, b""
+        off, idat, plte = 8, b"", b""
         w = h = ctype = None
         while True:
             ln = struct.unpack(">I", b[off : off + 4])[0]
@@ -1936,17 +1937,25 @@ def test_png_pixel_stats_matches_stdlib_model(spark):
                 w, h, _bd, ctype = struct.unpack(">IIBB", b[off + 8 : off + 18])
             if ct4 == b"IDAT":
                 idat += b[off + 8 : off + 8 + ln]
+            if ct4 == b"PLTE":
+                plte = b[off + 8 : off + 8 + ln]
             off += 12 + ln
             if ct4 == b"IEND":
                 break
         raw = zlib.decompress(idat)
-        ch = 3 if ctype == 2 else 1
-        stride = 1 + w * ch
+        bpp = 3 if ctype == 2 else 1
+        nch = 1 if ctype == 0 else 3
+        stride = 1 + w * bpp
         rows = [raw[r * stride : (r + 1) * stride] for r in range(h)]
         assert all(r[0] == 0 for r in rows)
         name = p.rsplit("/", 1)[-1]
-        for c in range(ch):
-            vals = [row[1 + x * ch + c] for row in rows for x in range(w)]
+        for c in range(nch):
+            if ctype == 3:
+                vals = [
+                    plte[3 * row[1 + x] + c] for row in rows for x in range(w)
+                ]
+            else:
+                vals = [row[1 + x * bpp + c] for row in rows for x in range(w)]
             want.append(
                 (
                     name, c, w, h, w * h,
@@ -2133,3 +2142,53 @@ def test_png_pixel_stats_oversized_stream_filters_both_engines(spark, tmp_path):
         .fetchall()
         == []
     )
+
+
+def test_png_pixel_stats_palette_strays_filter_both_engines(spark, tmp_path):
+    """Palette-specific stray contract, cross-engine: a color-type-3
+    PNG with NO PLTE, one with a PLTE whose length is not a multiple
+    of 3, and one whose pixel indices point past the palette end all
+    FILTER identically on Spark and the oracle, while a valid palette
+    sibling resolves to three RGB channels on both."""
+    import duckdb
+
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    w, h = 3, 2
+    raw = b"".join(b"\x00" + bytes([0, 1, 2]) for _ in range(h))
+    idat = chunk(b"IDAT", deflate_stored(raw))
+    pal4 = bytes(range(12))  # 4 entries
+    (d / "no_plte.png").write_bytes(SIG + ihdr(w, h, 3) + idat + chunk(b"IEND", b""))
+    (d / "bad_plte.png").write_bytes(
+        SIG + ihdr(w, h, 3) + chunk(b"PLTE", pal4 + b"\x00") + idat + chunk(b"IEND", b"")
+    )
+    oob = b"".join(b"\x00" + bytes([0, 1, 9]) for _ in range(h))  # index 9 > 3
+    (d / "oob_idx.png").write_bytes(
+        SIG + ihdr(w, h, 3) + chunk(b"PLTE", pal4)
+        + chunk(b"IDAT", deflate_stored(oob)) + chunk(b"IEND", b"")
+    )
+    (d / "ok_pal.png").write_bytes(
+        SIG + ihdr(w, h, 3) + chunk(b"PLTE", pal4) + idat + chunk(b"IEND", b"")
+    )
+
+    files = load_binary_files(spark, str(d), glob="*.png")
+    got = sorted(tuple(r) for r in png_pixel_stats(files).collect())
+    assert {r[0] for r in got} == {"ok_pal.png"}
+    assert len(got) == 3  # resolved RGB channels
+    # channel c values: palette rows are (0,1,2),(3,4,5),(6,7,8); the
+    # image uses indices 0,1,2 per row -> values {c, 3+c, 6+c} twice
+    for c in range(3):
+        assert got[c][5] == 2 * (c + 3 + c + 6 + c)  # sum
+        assert got[c][6] == c and got[c][7] == 6 + c  # min, max
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(_sql_png_pixel_stats(fixture_dir=str(d)))
+        .fetchall()
+    )
+    assert got == want

@@ -1865,26 +1865,47 @@ def test_png_pixel_stats_roundtrip_random_images(
 ):
     """The full decode chain must reproduce a plain-Python
     zlib.decompress + filter-0 pixel model for ARBITRARY image shapes
-    and pixel bytes across all three supported color types — and a
-    drawn perturbation (a non-zero filter byte, or a corrupted stored
-    block LEN) must drop the file entirely instead of emitting partial
-    or wrong stats."""
+    and pixel bytes across all three supported color types (palette
+    indices resolved through a drawn random PLTE) — and a drawn
+    perturbation (a non-zero filter byte, or a corrupted stored block
+    LEN) must drop the file entirely instead of emitting partial or
+    wrong stats."""
     from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
     from pyspark_pipelining_spark.sources.registry import load_binary_files
     from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
 
     w, h, ct = shape
-    ch = 3 if ct == 2 else 1
-    pix = data.draw(
-        st.lists(
-            st.integers(min_value=0, max_value=255),
-            min_size=w * h * ch,
-            max_size=w * h * ch,
+    bpp = 3 if ct == 2 else 1
+    nch = 1 if ct == 0 else 3
+    if ct == 3:
+        n_pal = data.draw(st.integers(min_value=1, max_value=8))
+        pal = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * n_pal,
+                max_size=3 * n_pal,
+            )
         )
-    )
+        pix = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_pal - 1),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    else:
+        pal = []
+        pix = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * bpp,
+                max_size=w * h * bpp,
+            )
+        )
     corrupt = data.draw(st.sampled_from(["none", "filter", "blocklen"]))
     rows = [
-        bytes([0]) + bytes(pix[r * w * ch : (r + 1) * w * ch]) for r in range(h)
+        bytes([0]) + bytes(pix[r * w * bpp : (r + 1) * w * bpp])
+        for r in range(h)
     ]
     if corrupt == "filter":
         rows[data.draw(st.integers(min_value=0, max_value=h - 1))] = (
@@ -1894,7 +1915,10 @@ def test_png_pixel_stats_roundtrip_random_images(
     z = bytearray(deflate_stored(raw))
     if corrupt == "blocklen":
         z[3] ^= 0x01  # LEN low byte: breaks the NLEN complement
-    body = SIG + ihdr(w, h, ct) + chunk(b"IDAT", bytes(z)) + chunk(b"IEND", b"")
+    body = SIG + ihdr(w, h, ct)
+    if ct == 3:
+        body += chunk(b"PLTE", bytes(pal))
+    body += chunk(b"IDAT", bytes(z)) + chunk(b"IEND", b"")
     d = tmp_path_factory.mktemp("pxrt")
     (d / "t.png").write_bytes(body)
     got = sorted(
@@ -1907,10 +1931,13 @@ def test_png_pixel_stats_roundtrip_random_images(
         assert got == []
         return
     want = []
-    for c in range(ch):
-        vals = [
-            pix[(r * w + x) * ch + c] for r in range(h) for x in range(w)
-        ]
+    for c in range(nch):
+        if ct == 3:
+            vals = [pal[3 * ix + c] for ix in pix]
+        else:
+            vals = [
+                pix[(r * w + x) * bpp + c] for r in range(h) for x in range(w)
+            ]
         want.append(
             (
                 "t.png", c, w, h, w * h,
