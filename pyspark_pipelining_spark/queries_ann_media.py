@@ -493,3 +493,248 @@ SQL_PNG_CHUNKS = _sql_png_chunks()
 
 QUERIES_ANN_MEDIA["png_chunks"] = q_png_chunks
 ORACLES_ANN_MEDIA["png_chunks"] = SQL_PNG_CHUNKS
+
+
+# --- Round-11 registration (formerly queries_staged.py): PNG pixel
+# statistics — full codec-free decode to per-channel stats -------------
+
+
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel pixel statistics (sum/min/max/mean) of REAL PNG
+    files — the first PIXEL-level image computation under the hard
+    signal, completing the multimodal ladder container-sniff →
+    chunk-walk → full decode: the Spark side runs the whole chain
+    (chunk walk → IDAT concat → zlib stored-block inflation →
+    filter-0 scanline validation → per-channel byte folds) as ONE
+    JVM expression per file (``operators/multimodal.png_pixel_stats``;
+    see its docstring for the structural gates and the let-binding
+    discipline), and the DuckDB oracle re-derives the identical
+    numbers through recursive CTEs (chunk walk, stored-block walk)
+    plus ``range`` unnests over the raw scanline hex — two independent
+    decoders over identical committed bytes, matched bit-for-bit and
+    cross-checked against stdlib ``zlib.decompress`` in unit tests."""
+    from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, PNG_FIXTURE_DIR, glob="*.png")
+    return png_pixel_stats(files, max_chunks=PNG_MAX_CHUNKS).orderBy(
+        "file_name", "channel"
+    )
+
+
+def _sql_png_pixel_stats(
+    mc: int = PNG_MAX_CHUNKS,
+    fixture_dir: str = PNG_FIXTURE_DIR,
+    max_px: int | None = None,
+    max_blocks: int | None = None,
+    max_rows: int | None = None,
+) -> str:
+    from pyspark_pipelining_spark.operators.multimodal import (
+        PNG_MAX_ROWS,
+        PNG_PIXEL_MAX,
+        PNG_ZLIB_MAX_BLOCKS,
+    )
+
+    mpx = PNG_PIXEL_MAX if max_px is None else int(max_px)
+    mb = PNG_ZLIB_MAX_BLOCKS if max_blocks is None else int(max_blocks)
+    mrows = PNG_MAX_ROWS if max_rows is None else int(max_rows)
+    t = "chr(b0) || chr(b1) || chr(b2) || chr(b3)"
+    return f"""
+WITH RECURSIVE png AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           octet_length(content) AS n_bytes,
+           hex(content) AS hx
+    FROM read_blob('{sql_str_literal(fixture_dir)}/*.png')
+    WHERE substring(hex(content), 1, 16) = '89504E470D0A1A0A'
+),
+walk AS (
+    SELECT file_name, n_bytes, hx,
+           CAST(8 AS BIGINT) AS nxt, CAST(-1 AS BIGINT) AS idx,
+           CAST(NULL AS BIGINT) AS coff, CAST(NULL AS BIGINT) AS clen,
+           CAST(NULL AS VARCHAR) AS ctype, FALSE AS done
+    FROM png
+    UNION ALL
+    SELECT file_name, n_bytes, hx,
+           nxt + 12 + len, idx + 1, nxt, len, {t}, {t} = 'IEND'
+    FROM (
+        SELECT *,
+               CAST('0x' || substring(hx, CAST(2 * nxt + 1 AS BIGINT), 8)
+                    AS BIGINT) AS len,
+               CAST('0x' || substring(hx, CAST(2 * nxt + 9 AS BIGINT), 2)
+                    AS INT) AS b0,
+               CAST('0x' || substring(hx, CAST(2 * nxt + 11 AS BIGINT), 2)
+                    AS INT) AS b1,
+               CAST('0x' || substring(hx, CAST(2 * nxt + 13 AS BIGINT), 2)
+                    AS INT) AS b2,
+               CAST('0x' || substring(hx, CAST(2 * nxt + 15 AS BIGINT), 2)
+                    AS INT) AS b3
+        FROM walk
+        WHERE NOT done AND nxt + 8 <= n_bytes AND idx <= {mc - 2}
+    ) s
+    WHERE ((b0 BETWEEN 65 AND 90) OR (b0 BETWEEN 97 AND 122))
+      AND ((b1 BETWEEN 65 AND 90) OR (b1 BETWEEN 97 AND 122))
+      AND ((b2 BETWEEN 65 AND 90) OR (b2 BETWEEN 97 AND 122))
+      AND ((b3 BETWEEN 65 AND 90) OR (b3 BETWEEN 97 AND 122))
+      AND nxt + 12 + len <= n_bytes
+),
+valid AS (SELECT file_name FROM walk WHERE done AND nxt = n_bytes),
+chunks AS (
+    SELECT w.file_name, w.idx, w.coff, w.clen, w.ctype, w.hx
+    FROM walk w JOIN valid v USING (file_name) WHERE w.idx >= 0
+),
+ihdr AS (
+    SELECT file_name,
+           CAST('0x' || substring(hx, CAST(2 * (coff + 8) + 1 AS BIGINT), 8)
+                AS BIGINT) AS w,
+           CAST('0x' || substring(hx, CAST(2 * (coff + 12) + 1 AS BIGINT), 8)
+                AS BIGINT) AS h,
+           CAST('0x' || substring(hx, CAST(2 * (coff + 16) + 1 AS BIGINT), 2)
+                AS INT) AS bd,
+           CAST('0x' || substring(hx, CAST(2 * (coff + 17) + 1 AS BIGINT), 2)
+                AS INT) AS ct,
+           CAST('0x' || substring(hx, CAST(2 * (coff + 18) + 1 AS BIGINT), 2)
+                AS INT) AS cm,
+           CAST('0x' || substring(hx, CAST(2 * (coff + 19) + 1 AS BIGINT), 2)
+                AS INT) AS fm,
+           CAST('0x' || substring(hx, CAST(2 * (coff + 20) + 1 AS BIGINT), 2)
+                AS INT) AS il
+    FROM chunks WHERE idx = 0 AND ctype = 'IHDR' AND clen = 13
+),
+idat AS (
+    SELECT file_name,
+           string_agg(substring(hx, CAST(2 * (coff + 8) + 1 AS BIGINT),
+                                CAST(2 * clen AS BIGINT)), ''
+                      ORDER BY idx) AS zh
+    FROM chunks WHERE ctype = 'IDAT' GROUP BY file_name
+),
+plte AS (
+    SELECT file_name, count(*) AS n_plte, min(clen) AS plen,
+           min(substring(hx, CAST(2 * (coff + 8) + 1 AS BIGINT),
+                         CAST(2 * clen AS BIGINT)))  AS phex
+    FROM chunks WHERE ctype = 'PLTE' GROUP BY file_name
+),
+meta AS (
+    SELECT i.file_name, i.w, i.h, i.ct,
+           -- bpp = RAW bytes/pixel (palette rows carry 1 index byte);
+           -- ch = OUTPUT channels (palette resolves through PLTE)
+           CASE WHEN i.ct = 2 THEN 3 ELSE 1 END AS bpp,
+           CASE WHEN i.ct = 0 THEN 1 ELSE 3 END AS ch,
+           COALESCE(p.phex, '') AS phex, d.zh,
+           length(d.zh) // 2 AS lz
+    FROM ihdr i JOIN idat d USING (file_name)
+    LEFT JOIN plte p USING (file_name)
+    -- il = 0: the Spark decoder requires non-interlaced images
+    -- (multimodal.py filter chain); an Adam7 stream whose raw size
+    -- happens to equal the linear layout (any 1x1 image) would pass
+    -- every byte-level gate below, so the stray must be filtered HERE
+    -- to keep the two decoders row-identical (r10 ADVICE item 1)
+    WHERE i.bd = 8 AND i.ct IN (0, 2, 3) AND i.cm = 0 AND i.fm = 0
+      AND i.il = 0
+      -- per-dimension caps guard the pixel product INSIDE the CASE so
+      -- the bound is evaluation-order independent: DuckDB may reorder
+      -- conjuncts, and a malicious 0xFFFFFFFF x 0xFFFFFFFF IHDR must
+      -- filter, never overflow BIGINT (r10 ADVICE item 2)
+      AND i.w BETWEEN 1 AND {mpx} AND i.h BETWEEN 1 AND {mrows}
+      AND CASE WHEN i.w BETWEEN 1 AND {mpx} AND i.h BETWEEN 1 AND {mrows}
+               THEN i.w * i.h ELSE {mpx} + 1 END <= {mpx}
+      -- palette images need exactly one well-formed PLTE to resolve
+      AND (i.ct != 3 OR (p.n_plte = 1 AND p.plen % 3 = 0
+                         AND p.plen BETWEEN 3 AND 768))
+      AND length(d.zh) >= 22
+      -- stream ceiling mirrors Spark's int32-position envelope: any
+      -- longer stream cannot decode to an in-scope raw size anyway
+      AND length(d.zh) <= {2 * (3 * mpx + mrows + 5 * mb + 64)}
+      AND CAST('0x' || substring(d.zh, 1, 2) AS INT) % 16 = 8
+      AND (CAST('0x' || substring(d.zh, 3, 2) AS INT) // 32) % 2 = 0
+),
+zwalk AS (
+    SELECT file_name, w, h, ct, bpp, ch, phex, zh, lz,
+           CAST(2 AS BIGINT) AS zoff, CAST('' AS VARCHAR) AS outh,
+           CAST(0 AS BIGINT) AS zi, FALSE AS done
+    FROM meta
+    UNION ALL
+    SELECT file_name, w, h, ct, bpp, ch, phex, zh, lz,
+           zoff + 5 + blen,
+           outh || substring(zh, CAST(2 * (zoff + 5) + 1 AS BIGINT),
+                             CAST(2 * blen AS BIGINT)),
+           zi + 1, bf = 1
+    FROM (
+        SELECT *,
+               CAST('0x' || substring(zh, CAST(2 * zoff + 1 AS BIGINT), 2)
+                    AS INT) AS bf,
+               CAST('0x' || substring(zh, CAST(2 * zoff + 3 AS BIGINT), 2)
+                    AS BIGINT)
+               + 256 * CAST('0x' || substring(zh, CAST(2 * zoff + 5 AS BIGINT), 2)
+                    AS BIGINT) AS blen,
+               CAST('0x' || substring(zh, CAST(2 * zoff + 7 AS BIGINT), 2)
+                    AS BIGINT)
+               + 256 * CAST('0x' || substring(zh, CAST(2 * zoff + 9 AS BIGINT), 2)
+                    AS BIGINT) AS nlen
+        FROM zwalk
+        -- zi cap mirrors Spark's {mb}-step fold
+        WHERE NOT done AND zi < {mb}
+    ) s
+    WHERE bf IN (0, 1) AND nlen = 65535 - blen AND zoff + 5 + blen + 4 <= lz
+),
+rawimg AS (
+    SELECT file_name, w, h, ct, bpp, ch, phex, outh
+    FROM zwalk
+    WHERE done AND zoff + 4 = lz AND length(outh) = 2 * h * (1 + w * bpp)
+),
+badfilter AS (
+    SELECT DISTINCT file_name FROM (
+        SELECT file_name, outh, w, bpp, unnest(range(h)) AS rr FROM rawimg
+    )
+    WHERE substring(outh, CAST(2 * rr * (1 + w * bpp) + 1 AS BIGINT), 2) <> '00'
+),
+good AS (
+    SELECT * FROM rawimg
+    WHERE file_name NOT IN (SELECT file_name FROM badfilter)
+),
+chx AS (
+    SELECT file_name, w, h, ct, bpp, ch, phex, outh,
+           unnest(range(ch)) AS channel
+    FROM good
+),
+pxraw AS (
+    -- the RAW sample byte per (pixel, output channel): gray/RGB read
+    -- it directly; palette reads the 1-byte index (channel-invariant)
+    SELECT file_name, w, h, ct, phex, channel,
+           CAST('0x' || substring(outh,
+                CAST(2 * ((i // w) * (1 + w * bpp) + 1 + (i % w) * bpp
+                          + CASE WHEN ct = 2 THEN channel ELSE 0 END)
+                     + 1 AS BIGINT), 2)
+                AS BIGINT) AS rawv
+    FROM (SELECT *, unnest(range(w * h)) AS i FROM chx)
+),
+badidx AS (
+    -- an index past the palette end is a stray: the whole file drops
+    SELECT DISTINCT file_name FROM pxraw
+    WHERE ct = 3 AND 6 * rawv >= length(phex)
+),
+px AS (
+    SELECT file_name, w, h, channel,
+           CASE WHEN ct = 3 THEN
+                TRY_CAST('0x' || substring(phex,
+                     CAST(6 * rawv + 2 * channel + 1 AS BIGINT), 2)
+                     AS BIGINT)
+                ELSE rawv END AS v
+    FROM pxraw
+    WHERE file_name NOT IN (SELECT file_name FROM badidx)
+)
+SELECT file_name, CAST(channel AS BIGINT) AS channel,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(min(v) AS BIGINT) AS min_val,
+       CAST(max(v) AS BIGINT) AS max_val,
+       round(CAST(sum(v) AS DOUBLE) / CAST(w * h AS DOUBLE), 6) AS mean_val
+FROM px GROUP BY file_name, channel, w, h
+ORDER BY file_name, channel
+"""
+
+
+SQL_PNG_PIXEL_STATS = _sql_png_pixel_stats()
+
+QUERIES_ANN_MEDIA["png_pixel_stats"] = q_png_pixel_stats
+ORACLES_ANN_MEDIA["png_pixel_stats"] = SQL_PNG_PIXEL_STATS

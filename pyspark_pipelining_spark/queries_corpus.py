@@ -1165,3 +1165,127 @@ ORACLES_CORPUS = {
     "dataset_split": SQL_DATASET_SPLIT,
     "kmv_vocab_overlap": SQL_KMV_VOCAB_OVERLAP,
 }
+
+
+# --- Round-11 registration (formerly queries_staged.py): HLL register
+# merge parity — per-source partials vs global fold -------------------
+
+
+def _hll_global_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_words(docs)
+        .select("source", F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+        .withColumn("g", F.lit("all"))
+    )
+
+
+def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct-token cardinality from HyperLogLog registers,
+    twice IN ONE PLAN: (a) per-source PARTIAL register tables
+    max-merged by a second aggregate (the per-partition /
+    per-day-stream shape), and (b) the single-level global fold.  The
+    register estimate sets must be bit-identical — ``r = max(rho)`` is
+    associative, commutative, and idempotent, so any grouping of the
+    input folds to the same register table; this is the merge
+    guarantee that makes HLL the distinct-count workhorse at 100 TB
+    (each executor keeps m=256 integer registers, the merge is one
+    bounded max-groupBy) and the HLL counterpart to
+    ``doclen_sketch_merge``'s histogram-bin proof (r09 verdict item 4).
+
+    Scale shape: the partial fold combines map-side on (source,
+    bucket) and its output is bounded by |sources| × m regardless of
+    token count; the merge fold runs over that bounded table.  The
+    direct branch is an independent single fold over the same hashed
+    tokens (bounded at m rows out).  Estimates share the exact
+    integer-register arithmetic of ``hll_distinct_tokens`` — the only
+    floats are the final shared-numerator division (and ln in the
+    small-range regime), identical in both engines."""
+    from pyspark_pipelining_spark.operators.sketch import hll_estimate, hll_registers
+
+    toks = _hll_global_tokens(spark, sf_dir)
+    partial = hll_registers(toks, "source", "token")
+    merged_regs = (
+        partial.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .withColumn("g", F.lit("all"))
+    )
+    # estimate + register count come from ONE aggregate per branch
+    # (include_registers) — a separate count() branch duplicated the
+    # whole token fold: measured 4 documents scans → 2 after the fix;
+    # wall clock at sf0.1 is parity (the local[32] parallel slack
+    # absorbed the duplicates: 1.37 → 1.31 s median-of-5) but the
+    # scan/CPU work halves, which is what survives a 100× scale-up
+    est_m = hll_estimate(merged_regs, "g", include_registers=True).select(
+        F.col("n_regs").alias("n_regs_merged"),
+        F.col("est_distinct").alias("est_merged"),
+    )
+    direct_regs = hll_registers(toks, "g", "token")
+    est_d = hll_estimate(direct_regs, "g", include_registers=True).select(
+        F.col("n_regs").alias("n_regs_direct"),
+        F.col("est_distinct").alias("est_direct"),
+    )
+    # 1-row lazy broadcast crossJoin stitch (repo scalar convention)
+    return est_m.crossJoin(F.broadcast(est_d))
+
+
+def _sql_hll_register_merge() -> str:
+    from pyspark_pipelining_spark.operators.sketch import HLL_M, HLL_NUM, HLL_W
+
+    top = HLL_W + 1
+    rho = (
+        f"CASE WHEN h // {HLL_M} = 0 THEN {top} "
+        f"ELSE {top} - length(bin(h // {HLL_M})) END"
+    )
+
+    def est(agg: str) -> str:
+        raw = (
+            f"{HLL_NUM!r} / CAST(s_present + ({HLL_M} - n_present) "
+            f"* (CAST(1 AS BIGINT) << {top}) AS DOUBLE)"
+        )
+        return (
+            f"(SELECT round(CASE WHEN {raw} <= {2.5 * HLL_M!r} AND n_present < {HLL_M} "
+            f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({HLL_M} - n_present AS DOUBLE)) "
+            f"ELSE {raw} END, 6) FROM {agg})"
+        )
+
+    return f"""
+WITH {SQL_WORDS},
+toks AS (SELECT source, unnest(w) AS token FROM words),
+hashed AS (
+    SELECT source, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM toks WHERE length(token) > 0
+),
+pr AS (
+    SELECT source, h % {HLL_M} AS bucket, max({rho}) AS r
+    FROM hashed GROUP BY source, bucket
+),
+merged AS (SELECT bucket, max(r) AS r FROM pr GROUP BY bucket),
+direct AS (
+    SELECT h % {HLL_M} AS bucket, max({rho}) AS r
+    FROM hashed GROUP BY bucket
+),
+am AS (
+    SELECT sum(CAST(1 AS BIGINT) << ({top} - r)) AS s_present,
+           count(*) AS n_present
+    FROM merged
+),
+ad AS (
+    SELECT sum(CAST(1 AS BIGINT) << ({top} - r)) AS s_present,
+           count(*) AS n_present
+    FROM direct
+)
+SELECT CAST((SELECT n_present FROM am) AS BIGINT) AS n_regs_merged,
+       {est('am')} AS est_merged,
+       CAST((SELECT n_present FROM ad) AS BIGINT) AS n_regs_direct,
+       {est('ad')} AS est_direct
+"""
+
+
+SQL_HLL_REGISTER_MERGE = _sql_hll_register_merge()
+
+QUERIES_CORPUS["hll_register_merge"] = q_hll_register_merge
+ORACLES_CORPUS["hll_register_merge"] = SQL_HLL_REGISTER_MERGE

@@ -1456,3 +1456,147 @@ ORDER BY file_name
 
 QUERIES_COVERAGE["blob_stats"] = q_blob_stats
 ORACLES_COVERAGE["blob_stats"] = SQL_BLOB_STATS
+
+
+# --- Round-11 registration (formerly queries_staged.py): partition
+# pruning end-to-end — DAG-materialized date-partitioned fact ----------
+
+PRUNE_YEAR = 1995
+
+
+def _dag_cache_root() -> str:
+    """Materialization root for DAG-produced tables (``.dag_cache`` at
+    the repo root, gitignored) — derived from the package location the
+    same way ``sources.registry.fixtures_dir`` is."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".dag_cache"
+    )
+
+
+def _input_key(sf_dir: str) -> str:
+    """Deterministic run key for one sf input: the orders file's
+    (mtime_ns, size) — so a regenerated testdata set invalidates the
+    materialization instead of silently serving stale partitions (the
+    ``_SUCCESS`` skip is existence-based)."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+        return f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        return "nokey"
+
+
+def _prune_stale_runs(output_path: str, run_id: str) -> None:
+    """Best-effort removal of SUPERSEDED materializations: every run
+    dir under this input's OWN cache directory whose key no longer
+    matches (a regenerated testdata set re-keys the run id, and
+    without this the old partitioned copies would accumulate on disk
+    forever).  ``output_path`` is already namespaced by the input's
+    directory basename (one subdirectory per sf tag), so distinct
+    inputs can never collide here no matter what characters their
+    basenames contain — the r10 ADVICE prefix-parsing hazard
+    (``sf_big`` vs ``sf_small`` collapsing to one ``sf_`` prefix) is
+    structurally impossible.  Never raises — a cache janitor must not
+    fail the query.
+
+    Concurrency contract (SINGLE WRITER): the ``_SUCCESS``
+    existence-skip in ``plans/dag.py`` and this janitor together
+    assume one session materializes a given sf tag at a time — a
+    concurrent reader of a run dir being rmtree'd here would see a
+    partial listing.  That invariant already holds repo-wide (the
+    CLAUDE.md no-concurrent-pytest rule, for Derby metastore reasons),
+    and the cache is a gitignored local artifact; do NOT copy this
+    existence-check-then-write pattern into a multi-writer context —
+    there it needs a lock file or an atomic rename commit protocol."""
+    import os
+    import shutil
+
+    try:
+        for d in os.listdir(output_path):
+            if d != run_id:
+                shutil.rmtree(os.path.join(output_path, d), ignore_errors=True)
+    except OSError:
+        pass
+
+
+def q_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order count + revenue for one year, read from a
+    DATE-PARTITIONED copy of ``orders`` materialized through the
+    Pipeline DAG — the first query whose driver row exercises the
+    write-side partition layout AND the read-side directory pruning
+    end-to-end (r09 verdict item 3; SURVEY §4 "partition facts by
+    date").
+
+    The DAG stage (``Stage.partition_by=('o_year',)``) writes
+    Hive-style ``o_year=N`` directories once per input state
+    (idempotent ``_SUCCESS`` skip, input-keyed run id); the read-back
+    filters on the partition column, so Catalyst resolves the
+    predicate at the DIRECTORY level — MEASURED at sf0.1: the layout
+    produces 7 ``o_year=N`` dirs (one file each) and the pruned scan's
+    executed plan carries ``PartitionFilters: [isnotnull(o_year),
+    (o_year = 1995)]`` with empty DataFilters — 1 of 7 files listed
+    and read, zero row-level filtering work.  The wall-clock delta at
+    this scale is small (0.198 vs 0.227 s median-of-5 against the
+    same aggregate over ``year(o_orderdate)`` on the raw table, which
+    cannot prune because the function call defeats stats pushdown)
+    because the whole table is 7 small files; the structural win is
+    the file-count ratio, which at 100 TB with daily partitions is
+    the difference between a year query costing one year and costing
+    the whole table.
+
+    The oracle recomputes the identical rows from the raw ``orders``
+    view — same decimal(18,2) cent discipline, month cast to BIGINT on
+    both sides (driver dtype gate)."""
+    import os
+
+    from pyspark_pipelining_spark.plans.dag import Pipeline, PipelineConfig
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    cfg = PipelineConfig(
+        sf_dir=sf_dir,
+        output_path=os.path.join(_dag_cache_root(), "partitioned", tag),
+        run_id=_input_key(sf_dir),
+    )
+    _prune_stale_runs(cfg.output_path, cfg.run_id)
+    pipe = Pipeline(spark, cfg)
+
+    @pipe.stage("orders_by_year", materialize=True, partition_by=("o_year",))
+    def _orders_by_year(spark, config, upstream):
+        o = load_table(spark, config.sf_dir, "orders")
+        return o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.year("o_orderdate").alias("o_year"),
+        )
+
+    part = pipe.run("orders_by_year")
+    return (
+        part.filter(F.col("o_year") == PRUNE_YEAR)
+        .groupBy(F.month("o_orderdate").cast("long").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_PARTITION_PRUNED_REVENUE = f"""
+SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders
+WHERE year(o_orderdate) = {PRUNE_YEAR}
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES_COVERAGE["partition_pruned_revenue"] = q_partition_pruned_revenue
+ORACLES_COVERAGE["partition_pruned_revenue"] = SQL_PARTITION_PRUNED_REVENUE

@@ -1971,8 +1971,9 @@ def test_png_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
     chunk walk cannot see: a really-compressed PNG (dynamic-Huffman
     deflate — a structurally perfect chunk table), a corrupted NLEN
     complement, a non-zero scanline filter byte, an image over the
-    pixel cap, and a stream with more stored blocks than the fold cap
-    all vanish identically from the Spark plan and the DuckDB
+    pixel cap, a stream with more stored blocks than the fold cap, and
+    an interlaced 1×1 (whose Adam7 raw layout coincides with the linear
+    one) all vanish identically from the Spark plan and the DuckDB
     recursive-CTE oracle; the committed fixtures alongside still
     decode with full row parity."""
     import shutil
@@ -1983,7 +1984,7 @@ def test_png_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
 
     from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
     from pyspark_pipelining_spark.queries_ann_media import PNG_FIXTURE_DIR
-    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import _sql_png_pixel_stats
     from pyspark_pipelining_spark.sources.registry import load_binary_files
     from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
 
@@ -2018,6 +2019,17 @@ def test_png_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
     many += struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
     (d / "manyblocks.png").write_bytes(
         SIG + ihdr(w, h, 0) + chunk(b"IDAT", many) + chunk(b"IEND", b"")
+    )
+    # interlaced (Adam7) 1×1: the single pass's raw layout COINCIDES
+    # with the linear one (one filter byte + one sample), so every
+    # byte-level gate downstream passes — only the IHDR interlace flag
+    # separates it, and both decoders must filter on it (r10 ADVICE
+    # item 1: the oracle used to omit il from its WHERE clause)
+    (d / "interlaced_1x1.png").write_bytes(
+        SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", deflate_stored(b"\x00\x2a"))
+        + chunk(b"IEND", b"")
     )
     shutil.copy(f"{PNG_FIXTURE_DIR}/gradient_gray.png", d / "gradient_gray.png")
     shutil.copy(f"{PNG_FIXTURE_DIR}/bands_rgb.png", d / "bands_rgb.png")
@@ -2057,7 +2069,7 @@ def test_png_pixel_stats_row_cap_filters_tall_images_both_engines(spark, tmp_pat
     import duckdb
 
     from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
-    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import _sql_png_pixel_stats
     from pyspark_pipelining_spark.sources.registry import load_binary_files
     from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
 
@@ -2089,7 +2101,7 @@ def test_png_pixel_stats_huge_ihdr_dimensions_filter_not_error(spark, tmp_path):
     import duckdb
 
     from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
-    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import _sql_png_pixel_stats
     from pyspark_pipelining_spark.sources.registry import load_binary_files
     from tools.gen_png_fixtures import SIG, chunk, deflate_stored
 
@@ -2122,7 +2134,7 @@ def test_png_pixel_stats_oversized_stream_filters_both_engines(spark, tmp_path):
     import duckdb
 
     from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
-    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import _sql_png_pixel_stats
     from pyspark_pipelining_spark.sources.registry import load_binary_files
     from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
 
@@ -2153,7 +2165,7 @@ def test_png_pixel_stats_palette_strays_filter_both_engines(spark, tmp_path):
     import duckdb
 
     from pyspark_pipelining_spark.operators.multimodal import png_pixel_stats
-    from pyspark_pipelining_spark.queries_staged import _sql_png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import _sql_png_pixel_stats
     from pyspark_pipelining_spark.sources.registry import load_binary_files
     from tools.gen_png_fixtures import SIG, chunk, deflate_stored, ihdr
 

@@ -381,24 +381,32 @@ def test_stage_partition_by_requires_materialize(spark, tmp_path):
 
 def test_partitioned_cache_prunes_superseded_runs(spark, tmp_path, monkeypatch):
     """A regenerated input re-keys the run id; the janitor removes the
-    superseded materialization for the same sf tag, keeps the current
-    one, and never touches other tags."""
+    superseded materialization under the same sf tag's OWN directory,
+    keeps the current one, and structurally cannot touch other tags —
+    each tag owns a whole subdirectory (r10 ADVICE item 3: the former
+    flat prefix-parsed layout collapsed underscore-bearing basenames
+    like sf_big/sf_small onto one prefix)."""
     import os
 
-    import pyspark_pipelining_spark.queries_staged as qs
+    import pyspark_pipelining_spark.queries_coverage as qc
 
     root = tmp_path / "dag"
     part = root / "partitioned"
-    part.mkdir(parents=True)
-    (part / "sf0.001_111_222").mkdir()   # stale key, same tag
-    (part / "sf0.01_1_2").mkdir()        # different tag: untouched
-    monkeypatch.setattr(qs, "_dag_cache_root", lambda: str(root))
+    # stale key under the same tag dir: pruned
+    (part / "sf0.001" / "111_222").mkdir(parents=True)
+    # different tags — including one whose name is a PREFIX of the
+    # current tag plus an underscore (the r10 ADVICE collision case):
+    # both untouched
+    (part / "sf0.01" / "1_2").mkdir(parents=True)
+    (part / "sf0.001_extra" / "3_4").mkdir(parents=True)
+    monkeypatch.setattr(qc, "_dag_cache_root", lambda: str(root))
     from tests.conftest import SF_SMOKE
 
-    out = qs.q_partition_pruned_revenue(spark, SF_SMOKE)
+    out = qc.q_partition_pruned_revenue(spark, SF_SMOKE)
     assert out.count() > 0
-    kept = sorted(os.listdir(part))
-    cur = qs._input_tag(SF_SMOKE)
+    kept = sorted(os.listdir(part / "sf0.001"))
+    cur = qc._input_key(SF_SMOKE)
     assert cur in kept
-    assert "sf0.001_111_222" not in kept
-    assert "sf0.01_1_2" in kept
+    assert "111_222" not in kept
+    assert sorted(os.listdir(part / "sf0.01")) == ["1_2"]
+    assert sorted(os.listdir(part / "sf0.001_extra")) == ["3_4"]

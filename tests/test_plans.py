@@ -926,13 +926,13 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
 
 
 def test_partition_pruned_revenue_scan_prunes_directories(spark):
-    """The staged partition_pruned_revenue query's OWN scan (the
+    """The registered partition_pruned_revenue query's OWN scan (the
     DAG-materialized o_year layout) must carry a PartitionFilters
     predicate on the partition column — the end-to-end pruning story
     under the hard signal (r09 verdict item 3): directories for other
     years are eliminated before file listing, so the year query costs
     one year, not the table."""
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_coverage import (
         PRUNE_YEAR,
         q_partition_pruned_revenue,
     )
@@ -959,7 +959,7 @@ def test_png_pixel_stats_decode_evaluates_once_per_row(spark):
     re-derives the fold — the filter-pushdown duplication class), the
     signature probe hexes only the first 8 bytes, and the payload is
     never hexed whole."""
-    from pyspark_pipelining_spark.queries_staged import q_png_pixel_stats
+    from pyspark_pipelining_spark.queries_ann_media import q_png_pixel_stats
     from tests.conftest import SF_SMOKE
 
     plan = (

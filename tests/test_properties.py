@@ -1819,7 +1819,7 @@ def test_hll_register_merge_associativity(spark, toks, tmp_path_factory):
     import pandas as pd
 
     from pyspark_pipelining_spark.operators.sketch import HLL_M
-    from pyspark_pipelining_spark.queries_staged import q_hll_register_merge
+    from pyspark_pipelining_spark.queries_corpus import q_hll_register_merge
 
     sf_dir = str(tmp_path_factory.mktemp("hllmerge_sf"))
     by_source: dict[int, list[str]] = {}
