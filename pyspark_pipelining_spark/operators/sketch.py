@@ -129,6 +129,7 @@ def cms_sketch(
     weight_col: str | None = None,
     depth: int = 4,
     width: int = 1024,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Count-min sketch counter table: ``(d, bucket, c)`` with ``depth``
     independent md5-derived hash rows of ``width`` buckets each.
@@ -138,24 +139,32 @@ def cms_sketch(
     commutative function of the input multiset — so a DuckDB oracle
     reproduces both the sketch and every estimate bit-for-bit.
 
+    ``group_cols`` builds one independent sketch per group in the same
+    fold (``(*group_cols, d, bucket, c)``) — the per-source /
+    per-day-partial shape whose ADDITIVE merge :func:`cms_merge`
+    collapses back to the global table.
+
     Scale shape: the ``depth``-way explode inflates rows before the
     aggregation, but partial aggregation combines map-side down to
     ≤ depth × width rows per task, and the final table is bounded at
-    depth × width rows total — a broadcastable dim by construction,
-    mergeable across partitions/days by simple addition.
+    |groups| × depth × width rows total — a broadcastable dim by
+    construction, mergeable across partitions/days by simple addition.
     """
     from pyspark_pipelining_spark.operators.dedup import portable_hash_id
 
     w = F.lit(1).alias("c") if weight_col is None else F.col(weight_col).alias("c")
     exploded = df.select(
-        F.col(key_col), w, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+        *[F.col(g) for g in group_cols],
+        F.col(key_col),
+        w,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
     )
     bucket = portable_hash_id(
         F.concat(F.col("d").cast("string"), F.lit(":"), F.col(key_col)), width
     )
     return (
-        exploded.select("d", bucket.alias("bucket"), "c")
-        .groupBy("d", "bucket")
+        exploded.select(*group_cols, "d", bucket.alias("bucket"), "c")
+        .groupBy(*group_cols, "d", "bucket")
         .agg(F.sum("c").alias("c"))
     )
 

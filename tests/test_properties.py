@@ -1852,6 +1852,90 @@ def test_hll_register_merge_associativity(spark, toks, tmp_path_factory):
 
 
 @given(
+    toks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # source index
+            st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cms_merge_associativity(spark, toks, tmp_path_factory):
+    """The mergeable-CMS guarantee behind the staged
+    ``cms_merge_parity`` (r10 verdict item 2, completing the trio with
+    the doclen-histogram and HLL-register models above): for every
+    random split of tokens across sources, the per-source-partial-
+    then-ADD merge must produce the BIT-IDENTICAL counter table as the
+    single global fold (integer addition is associative/commutative —
+    but NOT idempotent, which is why the disjoint-partition form is
+    the one worth pinning), every top-k point estimate must match
+    between the two tables AND equal a plain-Python dict CMS model
+    built from the raw token multiset, and every estimate must respect
+    the CMS upper-bound law ``est >= true count``."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries_staged import (
+        CMSM_DEPTH,
+        CMSM_WIDTH,
+        q_cms_merge_parity,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("cmsmerge_sf"))
+    by_source: dict[int, list[str]] = {}
+    for s, t in toks:
+        by_source.setdefault(s, []).append(t)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(by_source)),
+            "text": [" ".join(ts) for ts in by_source.values()],
+            "lang": "en",
+            "source": [f"s{s}" for s in by_source],
+            "n_chars": [len(" ".join(ts)) for ts in by_source.values()],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    rows = q_cms_merge_parity(spark, sf_dir).collect()
+    assert rows
+    # (a) cell-level: merged table ≡ direct table, bit-identical
+    assert all(r["n_cell_mismatch"] == 0 for r in rows)
+    # plain-Python CMS model from the raw token multiset (with_words
+    # lowercases + whitespace-splits; drawn tokens are lowercase)
+    true_n = Counter(t for _s, t in toks)
+    model: Counter = Counter()
+    for t, n in true_n.items():
+        for d in range(CMSM_DEPTH):
+            b = int(hashlib.md5(f"{d}:{t}".encode()).hexdigest()[:15], 16) % CMSM_WIDTH
+            model[(d, b)] += n
+    for r in rows:
+        est_model = min(
+            model.get(
+                (
+                    d,
+                    int(
+                        hashlib.md5(f"{d}:{r['token']}".encode()).hexdigest()[:15], 16
+                    )
+                    % CMSM_WIDTH,
+                ),
+                0,
+            )
+            for d in range(CMSM_DEPTH)
+        )
+        # (b) consumer-level: both estimates equal the model exactly
+        assert r["est_merged"] == r["est_direct"] == est_model
+        # (c) the CMS law: never below the true count
+        assert r["n"] == true_n[r["token"]]
+        assert r["est_merged"] >= r["n"]
+    # the counter table the model predicts is exactly the one both
+    # folds produced (n_cells pins size; mismatch=0 pins contents
+    # against each other, so size+consumer-estimates pin vs the model)
+    assert rows[0]["n_cells"] == len(model)
+
+
+@given(
     shape=st.tuples(
         st.integers(min_value=1, max_value=6),   # width
         st.integers(min_value=1, max_value=5),   # height
