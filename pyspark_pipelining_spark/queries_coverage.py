@@ -1522,6 +1522,40 @@ def _prune_stale_runs(output_path: str, run_id: str) -> None:
         pass
 
 
+def _orders_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAG-materialized, o_year-Hive-partitioned copy of ``orders``
+    (idempotent across queries and sessions: the ``_SUCCESS`` skip plus
+    the input-keyed run id mean the first caller writes, everyone else
+    lists directories) — the shared layout behind the static-pruning
+    query (`partition_pruned_revenue`) and the dynamic-pruning one
+    (`dpp_top_year_revenue`)."""
+    import os
+
+    from pyspark_pipelining_spark.plans.dag import Pipeline, PipelineConfig
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    cfg = PipelineConfig(
+        sf_dir=sf_dir,
+        output_path=os.path.join(_dag_cache_root(), "partitioned", tag),
+        run_id=_input_key(sf_dir),
+    )
+    _prune_stale_runs(cfg.output_path, cfg.run_id)
+    pipe = Pipeline(spark, cfg)
+
+    @pipe.stage("orders_by_year", materialize=True, partition_by=("o_year",))
+    def _orders_by_year(spark, config, upstream):
+        o = load_table(spark, config.sf_dir, "orders")
+        return o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.year("o_orderdate").alias("o_year"),
+        )
+
+    return pipe.run("orders_by_year")
+
+
 def q_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly order count + revenue for one year, read from a
     DATE-PARTITIONED copy of ``orders`` materialized through the
@@ -1550,31 +1584,7 @@ def q_partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the identical rows from the raw ``orders``
     view — same decimal(18,2) cent discipline, month cast to BIGINT on
     both sides (driver dtype gate)."""
-    import os
-
-    from pyspark_pipelining_spark.plans.dag import Pipeline, PipelineConfig
-
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    cfg = PipelineConfig(
-        sf_dir=sf_dir,
-        output_path=os.path.join(_dag_cache_root(), "partitioned", tag),
-        run_id=_input_key(sf_dir),
-    )
-    _prune_stale_runs(cfg.output_path, cfg.run_id)
-    pipe = Pipeline(spark, cfg)
-
-    @pipe.stage("orders_by_year", materialize=True, partition_by=("o_year",))
-    def _orders_by_year(spark, config, upstream):
-        o = load_table(spark, config.sf_dir, "orders")
-        return o.select(
-            "o_orderkey",
-            "o_custkey",
-            "o_totalprice",
-            "o_orderdate",
-            F.year("o_orderdate").alias("o_year"),
-        )
-
-    part = pipe.run("orders_by_year")
+    part = _orders_partitioned(spark, sf_dir)
     return (
         part.filter(F.col("o_year") == PRUNE_YEAR)
         .groupBy(F.month("o_orderdate").cast("long").alias("month"))

@@ -952,6 +952,41 @@ def test_partition_pruned_revenue_scan_prunes_directories(spark):
     assert df.count() > 0
 
 
+def test_dpp_top_year_revenue_scan_carries_dynamic_pruning(spark):
+    """The staged dpp_top_year_revenue query's partitioned-fact scan
+    must carry a ``dynamicpruning#`` IN-subquery inside its
+    PartitionFilters — the runtime counterpart of the static test
+    above (r10 verdict item 3): the qualifying year set exists only
+    after the dim side (years ranked by order count) is built, and
+    Catalyst reuses that broadcast as a directory-level filter, so a
+    join-driven dashboard query still lists only the matching
+    partition dirs."""
+    from pyspark_pipelining_spark.queries_staged import (
+        DPP_TOP_YEARS,
+        q_dpp_top_year_revenue,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_dpp_top_year_revenue(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan" in l and ".dag_cache" in l and "dynamicpruning#" in l
+    ]
+    assert scans, plan
+    # the dynamic predicate is a partition-level IN filter with zero
+    # row-level data filters — pruning happens at directory listing
+    assert any(
+        "PartitionFilters:" in s
+        and "IN dynamicpruning#" in s.split("PartitionFilters:")[1]
+        for s in scans
+    )
+    assert all("DataFilters: []" in s for s in scans)
+    # runtime result: exactly the top-k years survive
+    assert df.count() == DPP_TOP_YEARS
+
+
 def test_png_pixel_stats_decode_evaluates_once_per_row(spark):
     """The whole decode chain is one let-bound expression: the chunk
     walk's init-state literal must appear EXACTLY once in the executed
