@@ -1171,16 +1171,24 @@ ORACLES_CORPUS = {
 # merge parity — per-source partials vs global fold -------------------
 
 
-def _hll_global_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hll_tokens_plan(docs: DataFrame) -> DataFrame:
+    """The token derivation as a pure DataFrame→DataFrame plan — shared
+    verbatim between the registered batch callable and the streaming
+    test (tests/test_streaming.py), which drives it per micro-batch
+    through readStream+foreachBatch: registered surface ≡ streaming
+    surface, one plan."""
     from pyspark_pipelining_spark.operators.text import with_words
 
-    docs = load_table(spark, sf_dir, "documents")
     return (
         with_words(docs)
         .select("source", F.explode("words").alias("token"))
         .filter(F.length("token") > 0)
         .withColumn("g", F.lit("all"))
     )
+
+
+def _hll_global_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hll_tokens_plan(load_table(spark, sf_dir, "documents"))
 
 
 def q_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -831,3 +831,65 @@ def test_registered_session_window_callable_streams_foreachbatch(spark, tmp_path
     )
     assert sorted(got) == want
     assert len(want) > 0
+
+
+def test_registered_hll_register_merge_streams_foreachbatch(spark, tmp_path):
+    """r10 verdict item 4: ``hll_register_merge``'s register fold IS
+    the per-day-stream shape its docstring claims — prove it under the
+    Structured Streaming runtime.  The SAME token plan and register
+    operators the registered callable uses (``_hll_tokens_plan`` →
+    ``hll_registers``) run per micro-batch over a readStream of the
+    documents table (maxFilesPerTrigger=1, several files → several
+    batches); each batch lands its ≤ m-row partial register table and
+    the sink max-merges across batches — exactly the merge law the
+    registered query proves in-plan.  The streamed merge's register
+    count and estimate (computed by the same ``hll_estimate``) must
+    equal the registered callable's ``n_regs_*`` / ``est_*`` columns
+    bit-for-bit."""
+    from pyspark_pipelining_spark.operators.sketch import hll_estimate, hll_registers
+    from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.queries_corpus import _hll_tokens_plan
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "docs_stream")
+    load_table(spark, SF_SMOKE, "documents").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    merged: dict[int, int] = {}
+    n_batches = [0]
+
+    def sink(batch_df, _batch_id):
+        n_batches[0] += 1
+        regs = hll_registers(_hll_tokens_plan(batch_df), "g", "token").collect()
+        for r in regs:
+            merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["r"])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination(120)
+    finally:
+        if sq.isActive:
+            sq.stop()
+
+    assert n_batches[0] > 1  # a single batch would not exercise the merge
+    regs_df = spark.createDataFrame(
+        [("all", b, r) for b, r in merged.items()], "g string, bucket long, r long"
+    )
+    streamed = hll_estimate(regs_df, "g", include_registers=True).collect()[0]
+    want = QUERIES["hll_register_merge"](spark, SF_SMOKE).collect()[0]
+    assert want["n_regs_merged"] == want["n_regs_direct"] == len(merged)
+    assert streamed["n_regs"] == len(merged)
+    # bit-identical, not approximate: same integer registers, same
+    # single float division
+    assert streamed["est_distinct"] == want["est_merged"] == want["est_direct"]
