@@ -760,70 +760,16 @@ PNG_ZLIB_MAX_BLOCKS = 40
 PNG_MAX_ROWS = 2048
 
 
-def png_pixel_stats(
-    files: DataFrame,
-    max_chunks: int = 64,
-    max_px: int = PNG_PIXEL_MAX,
-    max_blocks: int = PNG_ZLIB_MAX_BLOCKS,
-    max_rows: int = PNG_MAX_ROWS,
-    path_col: str = "path",
-) -> DataFrame:
-    """PIXEL-level statistics (per-channel sum/min/max/mean) over real
-    PNG bytes with ZERO Python in the plan — the image counterpart of
-    :func:`wav_pcm_windows`' sample-level audio math: the full decode
-    chain runs as one JVM expression per file — chunk walk (the shared
-    :func:`_png_walk_fold` state machine) → in-order IDAT
-    concatenation → zlib STORED-block inflation (another bounded
-    ``aggregate`` fold over the stream: 5-byte block headers, LEN/NLEN
-    complement check, payload splice) → filter-0 scanline validation →
-    per-channel byte folds.
-
-    Scope is the codec-free corner of the format, gated structurally
-    (lake-scan contract — anything else FILTERS, never errors): bit
-    depth 8, color type 0/2/3 (gray / RGB / palette-index), no
-    interlace, zlib CM=8 without a preset dictionary, only stored
-    (BTYPE=0) deflate blocks, every scanline filter byte 0, raw length
-    exactly ``h·(1+w·ch)``, and ``w·h ≤ max_px``.  Real compressed
-    PNGs need a real inflate — they stay behind the gated codec path;
-    the committed fixtures (``tools/gen_png_fixtures.py``) are exactly
-    this stored-deflate subset, byte-reproducible with no compressor.
-    The Adler-32 trailer is bounds-checked but not recomputed (a
-    checksum pass would double the byte work for no semantic gain
-    here; CRC words are already surfaced per chunk by the walk).
-
-    Expression discipline (the measured multimodal lessons): every
-    intermediate — payload, walk state, header meta, concatenated
-    stream hex, inflate state, per-channel fold — is bound exactly
-    once via a ``transform(array(…), x -> …)`` let-binding, so the
-    whole decode evaluates once per row no matter how many downstream
-    fields reference it (the round-9 filter-pushdown duplication
-    class); per-pixel bytes decode ONCE into an int array
-    (``transform``) before the metric fold (the WAV 2.3× lesson); the
-    validity gate folds into the generator (NULL → row vanishes), and
-    out-of-range chunk access uses NULL-returning ``get()`` (ANSI-safe
-    on strays).
-
-    Scale: one file = one row = one task; per-file work is
-    O(pixels) bounded by ``max_px`` — genuinely linear only because
-    pixel bytes are indexed within per-SCANLINE hex slices (see the
-    inline substring-is-O(position) note; the whole-image-hex form
-    measured O(pixels²): 17.45 s at 256², vs 0.68 s ≈ 96k samples/s
-    per core after the fix).  Output is ``ch`` rows per file.  Unlike
-    the WAV windows there is no in-file spread: the decode is a
-    sequential state machine (block N's offset depends on block N-1),
-    so parallelism comes from the file dimension — the right unit for
-    a thumbnail/icon lake.
-
-    Output: ``file_name, channel, w, h, n_px, sum_val, min_val,
-    max_val, mean_val`` — one row per OUTPUT channel: 1 for grayscale,
-    3 for RGB, and 3 for palette images, whose 1-byte indices RESOLVE
-    through the PLTE chunk to true RGB (exactly one well-formed PLTE
-    required; an index past the palette end drops the file — a real
-    decoder errors there).
-    """
-    mc, mpx, mb = int(max_chunks), int(max_px), int(max_blocks)
-    mrows = int(max_rows)
-    sig = _png_sig_select(files, path_col)
+def _png_image_layers(mc: int, mpx: int, mb: int, mrows: int) -> dict[str, str]:
+    """Expression fragments for the codec-free PNG decode, shared
+    verbatim by :func:`png_pixel_stats` (filter-0 scope, channel folds
+    inside the expression) and :func:`png_filtered_pixel_stats`
+    (filter-0/1/2 scope, reconstruction in DataFrame windows): IHDR
+    meta gate, in-order IDAT concatenation, zlib header gate, and the
+    stored-block inflation fold.  All fragments assume the payload is
+    lambda-bound as ``c``, the walk state as ``st``, the meta struct
+    as ``m``, and the stream hex as ``zh`` (the let-binding chain the
+    callers assemble)."""
 
     def b1(pos: str) -> str:  # 1-byte big-endian int at 1-based pos of c
         return f"CAST(conv(hex(substring(c, CAST({pos} AS INT), 1)), 16, 10) AS INT)"
@@ -917,6 +863,82 @@ def png_pixel_stats(
         f"      OR acc.off + 5 + {zb} + 4 > {lz} THEN {zfail}"
         f" ELSE {zstep} END)"
     )
+    return {
+        "meta": meta,
+        "idat_hex": idat_hex,
+        "zlib_hdr_ok": zlib_hdr_ok,
+        "zfold": zfold,
+        "lz": lz,
+    }
+
+
+def png_pixel_stats(
+    files: DataFrame,
+    max_chunks: int = 64,
+    max_px: int = PNG_PIXEL_MAX,
+    max_blocks: int = PNG_ZLIB_MAX_BLOCKS,
+    max_rows: int = PNG_MAX_ROWS,
+    path_col: str = "path",
+) -> DataFrame:
+    """PIXEL-level statistics (per-channel sum/min/max/mean) over real
+    PNG bytes with ZERO Python in the plan — the image counterpart of
+    :func:`wav_pcm_windows`' sample-level audio math: the full decode
+    chain runs as one JVM expression per file — chunk walk (the shared
+    :func:`_png_walk_fold` state machine) → in-order IDAT
+    concatenation → zlib STORED-block inflation (another bounded
+    ``aggregate`` fold over the stream: 5-byte block headers, LEN/NLEN
+    complement check, payload splice) → filter-0 scanline validation →
+    per-channel byte folds.
+
+    Scope is the codec-free corner of the format, gated structurally
+    (lake-scan contract — anything else FILTERS, never errors): bit
+    depth 8, color type 0/2/3 (gray / RGB / palette-index), no
+    interlace, zlib CM=8 without a preset dictionary, only stored
+    (BTYPE=0) deflate blocks, every scanline filter byte 0, raw length
+    exactly ``h·(1+w·ch)``, and ``w·h ≤ max_px``.  Real compressed
+    PNGs need a real inflate — they stay behind the gated codec path;
+    the committed fixtures (``tools/gen_png_fixtures.py``) are exactly
+    this stored-deflate subset, byte-reproducible with no compressor.
+    The Adler-32 trailer is bounds-checked but not recomputed (a
+    checksum pass would double the byte work for no semantic gain
+    here; CRC words are already surfaced per chunk by the walk).
+
+    Expression discipline (the measured multimodal lessons): every
+    intermediate — payload, walk state, header meta, concatenated
+    stream hex, inflate state, per-channel fold — is bound exactly
+    once via a ``transform(array(…), x -> …)`` let-binding, so the
+    whole decode evaluates once per row no matter how many downstream
+    fields reference it (the round-9 filter-pushdown duplication
+    class); per-pixel bytes decode ONCE into an int array
+    (``transform``) before the metric fold (the WAV 2.3× lesson); the
+    validity gate folds into the generator (NULL → row vanishes), and
+    out-of-range chunk access uses NULL-returning ``get()`` (ANSI-safe
+    on strays).
+
+    Scale: one file = one row = one task; per-file work is
+    O(pixels) bounded by ``max_px`` — genuinely linear only because
+    pixel bytes are indexed within per-SCANLINE hex slices (see the
+    inline substring-is-O(position) note; the whole-image-hex form
+    measured O(pixels²): 17.45 s at 256², vs 0.68 s ≈ 96k samples/s
+    per core after the fix).  Output is ``ch`` rows per file.  Unlike
+    the WAV windows there is no in-file spread: the decode is a
+    sequential state machine (block N's offset depends on block N-1),
+    so parallelism comes from the file dimension — the right unit for
+    a thumbnail/icon lake.
+
+    Output: ``file_name, channel, w, h, n_px, sum_val, min_val,
+    max_val, mean_val`` — one row per OUTPUT channel: 1 for grayscale,
+    3 for RGB, and 3 for palette images, whose 1-byte indices RESOLVE
+    through the PLTE chunk to true RGB (exactly one well-formed PLTE
+    required; an index past the palette end drops the file — a real
+    decoder errors there).
+    """
+    mc, mpx, mb = int(max_chunks), int(max_px), int(max_blocks)
+    mrows = int(max_rows)
+    sig = _png_sig_select(files, path_col)
+    L = _png_image_layers(mc, mpx, mb, mrows)
+    meta, idat_hex = L["meta"], L["idat_hex"]
+    zlib_hdr_ok, zfold, lz = L["zlib_hdr_ok"], L["zfold"], L["lz"]
 
     # --- layer 6: scanline + size validation, per-channel stats --------
     stride = "(1 + m.w * m.bpp)"
@@ -1022,4 +1044,234 @@ def png_pixel_stats(
             / (F.col("s.w") * F.col("s.h")).cast("double"),
             6,
         ).alias("mean_val"),
+    )
+
+
+def png_filtered_pixel_stats(
+    files: DataFrame,
+    max_chunks: int = 64,
+    max_px: int = PNG_PIXEL_MAX,
+    max_blocks: int = PNG_ZLIB_MAX_BLOCKS,
+    max_rows: int = PNG_MAX_ROWS,
+    path_col: str = "path",
+) -> DataFrame:
+    """:func:`png_pixel_stats` widened one rung up the decode ladder
+    (r10 verdict item 5): scanline filter types **1 (Sub) and 2 (Up)**
+    — the most common choices real encoders emit — are RECONSTRUCTED
+    instead of filtered, alongside type 0.  Types 3/4 (Average/Paeth)
+    and every other stray stay on the lake-scan contract: the file
+    drops, never errors.
+
+    Architecture: the byte-level layers (chunk walk → IDAT concat →
+    stored-block inflation, :func:`_png_image_layers`) stay one
+    let-bound JVM expression per file, but the UNFILTER step moves to
+    DataFrame **window functions** over an exploded pixel-byte table —
+    deliberately NOT an expression fold, because PNG reconstruction is
+    a prefix scan and windows are Spark's native, codegen'd prefix
+    scan.  The algebra that makes this work: mod-256 distributes over
+    addition, so
+
+    * a Sub row is a per-LANE (``xb % bpp``) running sum of raw bytes
+      within the row — one window over ``(file, row, lane)``;
+    * an Up CHAIN (consecutive type-2 rows) adds the column's raw
+      bytes to the nearest self-contained row below it (type 0/1, or
+      zeros above row 0) — running sums and ``last(..., ignorenulls)``
+      over ONE window ``(file, xb)`` ordered by row, no per-segment
+      re-shuffle (Sub rows reset vertical dependence: they never read
+      the row above, so each column is a sequence of independent
+      chains anchored at self rows).
+
+    Scale: the explode is bounded by ``max_px·bpp ≤ 196k`` rows per
+    file before any shuffle; the two window specs induce two bounded
+    shuffles keyed to co-locate exactly the dependence chains
+    (per-row lanes, then per-column), and everything from raw bytes to
+    channel stats is JVM built-ins — zero Python, zero UDFs.  At a
+    thumbnail-lake's file counts the shuffle rows are
+    |files|·pixels — the same order as the decode output itself.
+
+    Output: identical schema and semantics to :func:`png_pixel_stats`
+    (palette indices resolve through PLTE; an out-of-range index drops
+    the file).
+    """
+    from pyspark.sql import Window
+
+    mc, mpx, mb = int(max_chunks), int(max_px), int(max_blocks)
+    mrows = int(max_rows)
+    sig = _png_sig_select(files, path_col)
+    L = _png_image_layers(mc, mpx, mb, mrows)
+    stride = "(1 + m.w * m.bpp)"
+    lz = L["lz"]
+    raw_ok = (
+        f"zs.ok AND zs.done AND zs.off + 4 = {lz}"
+        f" AND length(zs.outh) = 2 * m.h * {stride}"
+        # filter bytes 0 (None), 1 (Sub), 2 (Up) are decodable; any
+        # other type drops the file (filtered, never errored)
+        f" AND aggregate(sequence(0, CAST(m.h - 1 AS INT)), true, (a, r) ->"
+        f" a AND substring(zs.outh, CAST(2 * r * {stride} + 1 AS INT), 2)"
+        f" IN ('00', '01', '02'))"
+    )
+    # per-scanline slicing (substring is O(position) — the measured
+    # png_pixel_stats lesson): each row's pixel hex is bound once, its
+    # bytes decoded once into an int array before the explode
+    rows_expr = (
+        f"transform(sequence(0, CAST(m.h - 1 AS INT)), r -> named_struct("
+        f"'ftype', CAST(conv(substring(zs.outh,"
+        f" CAST(2 * r * {stride} + 1 AS INT), 2), 16, 10) AS INT),"
+        f" 'vals', transform(array(substring(zs.outh,"
+        f" CAST(2 * r * {stride} + 3 AS INT), CAST(2 * m.w * m.bpp AS INT))),"
+        f" rowh -> transform(sequence(0, CAST(m.w * m.bpp - 1 AS INT)), x ->"
+        f" CAST(conv(substring(rowh, CAST(2 * x + 1 AS INT), 2), 16, 10)"
+        f" AS INT)))[0]))"
+    )
+    mega = (
+        f"transform(array(content), c ->"
+        f" transform(array({_png_walk_fold(mc)}), st ->"
+        f"  transform(array({L['meta']}), m ->"
+        # dimensions bound INDIVIDUALLY before the product (the ANSI
+        # overflow-vs-filter discipline of png_pixel_stats)
+        f"   CASE WHEN m IS NOT NULL AND m.w BETWEEN 1 AND {mpx}"
+        f"             AND m.h BETWEEN 1 AND {mrows}"
+        f"             AND m.w * m.h <= {mpx} THEN"
+        f"    transform(array({L['idat_hex']}), zh ->"
+        f"     CASE WHEN {L['zlib_hdr_ok']} THEN"
+        f"      transform(array({L['zfold']}), zs ->"
+        f"       CASE WHEN {raw_ok} THEN named_struct("
+        f"        'w', m.w, 'h', m.h, 'ct', m.ct, 'bpp', m.bpp,"
+        f"        'ch', m.ch, 'plte', m.plte, 'rows', {rows_expr}) END)[0]"
+        f"     END)[0]"
+        f"   END)[0])[0])[0]"
+    )
+    img = sig.select("file_name", F.expr(mega).alias("img"))
+    # stray gate folded into the generator (NULL → row vanishes), the
+    # png_chunk_walk convention
+    rows = img.select(
+        "file_name",
+        F.col("img.w").alias("w"),
+        F.col("img.h").alias("h"),
+        F.col("img.ct").alias("ct"),
+        F.col("img.bpp").alias("bpp"),
+        F.col("img.ch").alias("ch"),
+        F.col("img.plte").alias("plte"),
+        F.posexplode(
+            F.when(F.col("img").isNotNull(), F.col("img.rows"))
+        ).alias("r", "row"),
+    )
+    px = rows.select(
+        "file_name",
+        "w",
+        "h",
+        "ct",
+        "bpp",
+        "ch",
+        "plte",
+        "r",
+        F.col("row.ftype").alias("ftype"),
+        F.posexplode("row.vals").alias("xb", "raw"),
+    )
+    # Sub: per-lane running sum within the row, mod 256 (the left
+    # neighbor at distance bpp is itself reconstructed, so the chain
+    # telescopes to a prefix sum)
+    w_sub = (
+        Window.partitionBy("file_name", "r", F.pmod(F.col("xb"), F.col("bpp")))
+        .orderBy("xb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    self_val = (
+        F.when(F.col("ftype") == 1, F.pmod(F.sum("raw").over(w_sub), F.lit(256)))
+        .when(F.col("ftype") == 0, F.col("raw"))
+    )  # NULL for Up rows: they are not self-contained
+    w_v = (
+        Window.partitionBy("file_name", "xb")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    px2 = px.withColumn("self_val", self_val).withColumn(
+        "cum_up",
+        F.sum(F.when(F.col("ftype") == 2, F.col("raw")).otherwise(0)).over(w_v),
+    )
+    px3 = px2.withColumn(
+        "base_val", F.last("self_val", ignorenulls=True).over(w_v)
+    ).withColumn(
+        "cum_up_base",
+        F.last(
+            F.when(F.col("ftype") != 2, F.col("cum_up")), ignorenulls=True
+        ).over(w_v),
+    )
+    # an Up chain's value = anchor row's reconstruction + the chain's
+    # raw bytes (only type-2 rows separate the anchor from here, by
+    # construction of last-non-null); missing anchor = zeros above
+    # row 0, per spec
+    recon = F.when(F.col("ftype") != 2, F.col("self_val")).otherwise(
+        F.pmod(
+            F.coalesce(F.col("base_val"), F.lit(0))
+            + F.col("cum_up")
+            - F.coalesce(F.col("cum_up_base"), F.lit(0)),
+            F.lit(256),
+        )
+    )
+    pxr = px3.withColumn("v0", recon)
+    # palette stray: any index past the PLTE end drops the whole FILE
+    bad = F.max(
+        F.when(
+            (F.col("ct") == 3) & (6 * F.col("v0") >= F.length("plte")), 1
+        ).otherwise(0)
+    ).over(Window.partitionBy("file_name"))
+    good = pxr.withColumn("bad", bad).filter(F.col("bad") == 0)
+    # channel mapping: an RGB byte belongs to exactly one channel
+    # (xb % 3); gray/palette bytes fan out to every output channel
+    chan = good.select(
+        "file_name",
+        "w",
+        "h",
+        "ct",
+        "plte",
+        "v0",
+        F.explode(
+            F.when(
+                F.col("ct") == 2, F.array(F.pmod(F.col("xb"), F.lit(3)))
+            ).otherwise(F.sequence(F.lit(0), F.col("ch") - 1))
+        ).alias("channel"),
+    ).select(
+        "file_name",
+        "w",
+        "h",
+        F.col("channel").cast("long").alias("channel"),
+        F.when(
+            F.col("ct") == 3,
+            F.expr(
+                "CAST(conv(substring(plte, CAST(6 * v0 + 2 * channel + 1 AS INT),"
+                " 2), 16, 10) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.col("v0").cast("long"))
+        .alias("v"),
+    )
+    return chan.groupBy("file_name", "channel", "w", "h").agg(
+        F.sum("v").alias("sum_val"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    ).select(
+        "file_name",
+        "channel",
+        "w",
+        "h",
+        (F.col("w") * F.col("h")).alias("n_px"),
+        "sum_val",
+        "min_val",
+        "max_val",
+        F.round(
+            F.col("sum_val").cast("double")
+            / (F.col("w") * F.col("h")).cast("double"),
+            6,
+        ).alias("mean_val"),
+    ).select(  # column order parity with png_pixel_stats
+        "file_name",
+        "channel",
+        "w",
+        "h",
+        "n_px",
+        "sum_val",
+        "min_val",
+        "max_val",
+        "mean_val",
     )

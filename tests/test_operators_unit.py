@@ -2060,6 +2060,94 @@ def test_png_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
     assert capped == sorted(tuple(r) for r in res2.fetchall())
 
 
+def test_png_filter_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
+    """Filtered-never-errored, cross-engine, for the Sub/Up decode
+    rung (staged ``png_filter_pixel_stats``): an Average-filtered row,
+    a Paeth-filtered row, a really-compressed stream, a corrupted
+    NLEN, and an interlaced 1×1 all vanish identically from the Spark
+    window plan and the DuckDB window oracle, while Sub/Up/mixed
+    images alongside decode with full row parity — and the registered
+    filter-0 decoder still DROPS the Sub/Up images (its scope is
+    unchanged by the new operator)."""
+    import shutil
+    import struct
+    import zlib
+
+    import duckdb
+
+    from pyspark_pipelining_spark.operators.multimodal import (
+        png_filtered_pixel_stats,
+        png_pixel_stats,
+    )
+    from pyspark_pipelining_spark.queries_staged import (
+        PNG_FILTER_FIXTURE_DIR,
+        _sql_png_filter_pixel_stats,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_png_fixtures import SIG, chunk, deflate_stored, filter_rows, ihdr
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    w, h = 4, 3
+    pixels = [[(x * 11 + y * 3) % 256 for x in range(w)] for y in range(h)]
+    # Paeth-filtered row: like the committed avg_stray but type 4
+    (d / "paeth_stray.png").write_bytes(
+        SIG
+        + ihdr(w, h, 0)
+        + chunk(b"IDAT", deflate_stored(filter_rows(pixels, 1, [0, 4, 0])))
+        + chunk(b"IEND", b"")
+    )
+    # really compressed: dynamic-Huffman deflate, outside the scope
+    (d / "compressed.png").write_bytes(
+        SIG
+        + ihdr(w, h, 0)
+        + chunk(b"IDAT", zlib.compress(filter_rows(pixels, 1, [0, 1, 2]), 9))
+        + chunk(b"IEND", b"")
+    )
+    # corrupted NLEN complement in an otherwise stored Sub/Up stream
+    z = bytearray(deflate_stored(filter_rows(pixels, 1, [1, 2, 1])))
+    z[5] ^= 0xFF
+    (d / "badnlen.png").write_bytes(
+        SIG + ihdr(w, h, 0) + chunk(b"IDAT", bytes(z)) + chunk(b"IEND", b"")
+    )
+    # interlaced 1×1 (r10 ADVICE class): only the IHDR flag gates it
+    (d / "interlaced_1x1.png").write_bytes(
+        SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", deflate_stored(b"\x00\x2a"))
+        + chunk(b"IEND", b"")
+    )
+    # a decodable mixed-filter image planted next to the strays
+    (d / "mixed_ok.png").write_bytes(
+        SIG
+        + ihdr(w, h, 0)
+        + chunk(b"IDAT", deflate_stored(filter_rows(pixels, 1, [2, 1, 2])))
+        + chunk(b"IEND", b"")
+    )
+    for name in ("sub_gray.png", "up_rgb.png", "mixed_palette.png"):
+        shutil.copy(f"{PNG_FILTER_FIXTURE_DIR}/{name}", d / name)
+
+    files = load_binary_files(spark, str(d), glob="*.png")
+    got = sorted(tuple(r) for r in png_filtered_pixel_stats(files).collect())
+    assert {r[0] for r in got} == {
+        "mixed_ok.png", "sub_gray.png", "up_rgb.png", "mixed_palette.png",
+    }
+    flat = [v for row in pixels for v in row]
+    assert [r[5] for r in got if r[0] == "mixed_ok.png"] == [sum(flat)]
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(_sql_png_filter_pixel_stats(fixture_dir=str(d)))
+        .fetchall()
+    )
+    assert got == want
+    # scope separation: the registered filter-0 decoder must not start
+    # emitting rows for filtered scanlines because the new rung exists
+    f0 = {r["file_name"] for r in png_pixel_stats(files).collect()}
+    assert "sub_gray.png" not in f0 and "up_rgb.png" not in f0
+    assert "mixed_ok.png" not in f0
+
+
 def test_png_pixel_stats_row_cap_filters_tall_images_both_engines(spark, tmp_path):
     """The scanline budget (PNG_MAX_ROWS): per-row hex slicing is
     O(rows · raw), so a pathological tall-and-thin image inside the

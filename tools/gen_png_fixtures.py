@@ -119,6 +119,93 @@ def png_palette_dots() -> bytes:
     )
 
 
+# --- filtered-scanline fixtures (fixtures/images_filters/) -----------
+# The Sub/Up decode rung (png_filtered_pixel_stats) gets its OWN lake
+# so the registered filter-0 queries' committed inputs never change.
+
+OUT_DIR_FILTERS = os.path.join(HERE, "fixtures", "images_filters")
+
+
+def filter_rows(
+    pixels: list[list[int]], bpp: int, ftypes: list[int]
+) -> bytes:
+    """Encode raw pixel rows with the given per-row PNG filter types
+    (0 None, 1 Sub, 2 Up) — the inverse of the reconstruction the
+    decoder performs, so fixtures carry KNOWN pixel values."""
+    out = b""
+    prev = [0] * len(pixels[0])
+    for line, ft in zip(pixels, ftypes):
+        if ft == 0:
+            enc = line[:]
+        elif ft == 1:
+            enc = [
+                (line[x] - (line[x - bpp] if x >= bpp else 0)) % 256
+                for x in range(len(line))
+            ]
+        elif ft == 2:
+            enc = [(line[x] - prev[x]) % 256 for x in range(len(line))]
+        else:  # written verbatim: a deliberately-undecodable stray row
+            enc = line[:]
+        prev = line
+        out += bytes([ft]) + bytes(enc)
+    return out
+
+
+def png_sub_gray() -> bytes:
+    """16×8 grayscale, every row Sub-filtered — the single most common
+    filter in real encoder output."""
+    w, h = 16, 8
+    pixels = [[(x * 13 + y * 29) % 256 for x in range(w)] for y in range(h)]
+    raw = filter_rows(pixels, 1, [1] * h)
+    return SIG + ihdr(w, h, 0) + chunk(b"IDAT", deflate_stored(raw)) + chunk(
+        b"IEND", b""
+    )
+
+
+def png_up_rgb() -> bytes:
+    """8×8 RGB: row 0 unfiltered, the rest an unbroken Up chain."""
+    w, h = 8, 8
+    pixels = [
+        [((x // 3) * 31 + (x % 3) * 77 + y * 11) % 256 for x in range(w * 3)]
+        for y in range(h)
+    ]
+    raw = filter_rows(pixels, 3, [0] + [2] * (h - 1))
+    return SIG + ihdr(w, h, 2) + chunk(b"IDAT", deflate_stored(raw)) + chunk(
+        b"IEND", b""
+    )
+
+
+def png_mixed_palette() -> bytes:
+    """12×6 palette image cycling filters 2,1,0,2,2,1 — starts with Up
+    (zeros above row 0, per spec) and breaks the Up chain twice, so
+    the segmented reconstruction is exercised end to end."""
+    w, h = 12, 6
+    palette = bytes(
+        v for i in range(16) for v in ((i * 23) % 256, (i * 41) % 256, (i * 59) % 256)
+    )
+    pixels = [[((x * 5 + y * 7) % 16) for x in range(w)] for y in range(h)]
+    raw = filter_rows(pixels, 1, [2, 1, 0, 2, 2, 1])
+    return (
+        SIG
+        + ihdr(w, h, 3)
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", deflate_stored(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_avg_stray() -> bytes:
+    """6×3 grayscale whose middle row claims filter 3 (Average) —
+    outside the decodable set, so the whole file must FILTER (never
+    error) on both engines."""
+    w, h = 6, 3
+    pixels = [[(x * 19 + y * 3) % 256 for x in range(w)] for y in range(h)]
+    raw = filter_rows(pixels, 1, [0, 3, 0])
+    return SIG + ihdr(w, h, 0) + chunk(b"IDAT", deflate_stored(raw)) + chunk(
+        b"IEND", b""
+    )
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     images = {
@@ -128,6 +215,18 @@ def main() -> None:
     }
     for name, payload in images.items():
         path = os.path.join(OUT_DIR, name)
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        print(f"wrote {path} ({len(payload)} bytes)")
+    os.makedirs(OUT_DIR_FILTERS, exist_ok=True)
+    filtered = {
+        "sub_gray.png": png_sub_gray(),
+        "up_rgb.png": png_up_rgb(),
+        "mixed_palette.png": png_mixed_palette(),
+        "avg_stray.png": png_avg_stray(),
+    }
+    for name, payload in filtered.items():
+        path = os.path.join(OUT_DIR_FILTERS, name)
         with open(path, "wb") as fh:
             fh.write(payload)
         print(f"wrote {path} ({len(payload)} bytes)")
