@@ -392,17 +392,22 @@ WAV_INT32_SAFE_DATA_BYTES = (2**31 - 1 - 89) // 2
 WAV_HEX_SAFE_FILE_BYTES = (2**31 - 16) // 2
 
 
-def wav_pcm_windows(
+def _wav_window_chunks(
     files: DataFrame,
-    window_samples: int = 256,
-    path_col: str = "path",
-    max_data_bytes: int = WAV_INT32_SAFE_DATA_BYTES,
+    window_samples: int,
+    path_col: str,
+    max_data_bytes: int,
 ) -> DataFrame:
-    """Sample-level PCM math on real WAV bytes with ZERO Python in the
-    plan — the codec-free multimodal compute path: parse the canonical
-    44-byte RIFF/WAVE header and fold per-window RMS + peak over the
-    int16 samples, all through JVM ``hex``/``substring``/``conv`` and
-    an ``aggregate`` higher-order function.
+    """Shared front half of the codec-free WAV ladder — canonical
+    RIFF/WAVE header parse, stray filtering, window chunking, and the
+    cross-core spread — used by both :func:`wav_pcm_windows` (RMS/peak)
+    and :func:`wav_window_features` (adds zero-crossings and first-lag
+    autocorrelation).  Returns one row per (file, window) carrying ONLY
+    that window's ~2·window_samples-byte hex slice:
+    ``file_name, sample_rate, win, n_samples, chunk``.  The decode
+    discipline / scale notes below apply to this shared front half;
+    the refactor leaves :func:`wav_pcm_windows`'s registered plan
+    expression-identical (oracle-gated every pytest run).
 
     Input: ``binaryFile`` rows (``path``, ``content``).  Non-PCM16-mono
     or non-canonical-header files are FILTERED (magic + fmt guards),
@@ -442,8 +447,6 @@ def wav_pcm_windows(
     ``audio_window_plan`` path, chunked upstream.  Gate with
     ``load_binary_files(..., max_bytes=...)``, which skips oversized
     payloads at the format level.
-
-    Output: ``file_name, win, sample_rate, n_samples, peak, rms``.
     """
     ws = int(window_samples)
     # size gate on the cheap length metadata column, pushed to the
@@ -560,13 +563,36 @@ def wav_pcm_windows(
     n_spread = max(
         1, min(n_spread, int(files.sparkSession.sparkContext.defaultParallelism))
     )
-    wins = wins.repartition(n_spread, F.col("file_name"), F.col("win"))
-    # little-endian signed int16 sample j of the chunk (0-based)
-    u = (
-        "CAST(conv(concat(substring(chunk, 4 * j + 3, 2),"
-        " substring(chunk, 4 * j + 1, 2)), 16, 10) AS BIGINT)"
-    )
-    v = f"({u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END)"
+    return wins.repartition(n_spread, F.col("file_name"), F.col("win"))
+
+
+# little-endian signed int16 sample j of the chunk (0-based) — shared
+# by both window folds below
+_WAV_U = (
+    "CAST(conv(concat(substring(chunk, 4 * j + 3, 2),"
+    " substring(chunk, 4 * j + 1, 2)), 16, 10) AS BIGINT)"
+)
+_WAV_V = f"({_WAV_U} - CASE WHEN {_WAV_U} >= 32768 THEN 65536 ELSE 0 END)"
+
+
+def wav_pcm_windows(
+    files: DataFrame,
+    window_samples: int = 256,
+    path_col: str = "path",
+    max_data_bytes: int = WAV_INT32_SAFE_DATA_BYTES,
+) -> DataFrame:
+    """Sample-level PCM math on real WAV bytes with ZERO Python in the
+    plan — the codec-free multimodal compute path: parse the canonical
+    44-byte RIFF/WAVE header and fold per-window RMS + peak over the
+    int16 samples, all through JVM ``hex``/``substring``/``conv`` and
+    an ``aggregate`` higher-order function (front half shared with
+    :func:`wav_window_features` via :func:`_wav_window_chunks`, where
+    the decode-discipline and scale notes live).
+
+    Output: ``file_name, win, sample_rate, n_samples, peak, rms``.
+    """
+    wins = _wav_window_chunks(files, int(window_samples), path_col, max_data_bytes)
+    v = _WAV_V
     return wins.select(
         "file_name",
         "win",
@@ -594,6 +620,90 @@ def wav_pcm_windows(
             F.sqrt(F.col("st.ss").cast("double") / F.col("n_samples").cast("double")),
             6,
         ).alias("rms"),
+    )
+
+
+def wav_window_features(
+    files: DataFrame,
+    window_samples: int = 256,
+    path_col: str = "path",
+    max_data_bytes: int = WAV_INT32_SAFE_DATA_BYTES,
+) -> DataFrame:
+    """:func:`wav_pcm_windows`' twin carrying the multimodal ladder
+    from amplitude stats to SIGNAL features (r10 verdict item 8):
+    zero-crossing count/rate and first-lag autocorrelation, computed in
+    the SAME single per-window fold as peak and RMS — one decode, no
+    extra scan (the accumulator struct just grows ``zc``/``ac``/``prev``
+    fields; plan-asserted single ``aggregate`` in
+    ``tests/test_plans.py``).
+
+    Feature semantics (integer-exact so a DuckDB oracle can reproduce
+    them bit-identically):
+
+    - ``zc`` — count of STRICT sign flips between consecutive samples
+      within the window (``prev * x < 0``; zeros break a flip, pairs
+      never span a window boundary — same per-chunk scope as RMS).
+    - ``zcr`` — ``zc / max(n_samples - 1, 1)`` (pairs, not samples; a
+      1-sample tail window has no pairs → 0.0, never NULL/÷0).
+    - ``ac1`` — first-lag autocorrelation ``Σ x·prev / Σ x²``, both
+      sums exact int64 before ONE double division (CLAUDE.md decimal
+      discipline); an all-zero window (ss = 0) yields 0.0, not NULL.
+      ~+1 for tonal/low-frequency content, ~0 for white noise, ~−1 at
+      Nyquist — with ``zcr`` the classic codec-free voiced/unvoiced
+      and band-position proxies.
+
+    The chained ``prev`` accumulator is NULL-seeded: ``NULL * x < 0``
+    is NULL → CASE falls through (no phantom first pair), and
+    ``coalesce(prev * x, 0)`` keeps ``ac`` exact.  Integer bounds: each
+    product ≤ 2³⁰, so both sums fit int64 for any window ≤ 2³³ samples
+    — strictly safer than the (already safe) ``ss`` bound.
+
+    Output: ``file_name, win, sample_rate, n_samples, peak, rms, zc,
+    zcr, ac1`` — a superset of :func:`wav_pcm_windows`' columns, equal
+    values on the shared ones (pytest-pinned).
+    """
+    wins = _wav_window_chunks(files, int(window_samples), path_col, max_data_bytes)
+    v = _WAV_V
+    return wins.select(
+        "file_name",
+        "win",
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.expr(
+            f"aggregate(transform(sequence(0, CAST(n_samples AS INT) - 1),"
+            f" j -> {v}),"
+            " named_struct('peak', 0L, 'ss', 0L, 'zc', 0L, 'ac', 0L,"
+            "              'prev', CAST(NULL AS BIGINT)),"
+            " (acc, x) -> named_struct("
+            "   'peak', greatest(acc.peak, abs(x)),"
+            "   'ss', acc.ss + x * x,"
+            "   'zc', acc.zc + CASE WHEN acc.prev * x < 0 THEN 1L ELSE 0L END,"
+            "   'ac', acc.ac + coalesce(acc.prev * x, 0L),"
+            "   'prev', x))"
+        ).alias("st"),
+    ).select(
+        "file_name",
+        "win",
+        "sample_rate",
+        "n_samples",
+        F.col("st.peak").alias("peak"),
+        F.round(
+            F.sqrt(F.col("st.ss").cast("double") / F.col("n_samples").cast("double")),
+            6,
+        ).alias("rms"),
+        F.col("st.zc").alias("zc"),
+        F.round(
+            F.col("st.zc").cast("double")
+            / F.greatest(F.col("n_samples") - F.lit(1), F.lit(1)).cast("double"),
+            6,
+        ).alias("zcr"),
+        F.round(
+            F.when(
+                F.col("st.ss") > 0,
+                F.col("st.ac").cast("double") / F.col("st.ss").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ac1"),
     )
 
 

@@ -563,14 +563,153 @@ ORDER BY file_name, channel
 SQL_PNG_FILTER_PIXEL_STATS = _sql_png_filter_pixel_stats()
 
 
+# ---------------------------------------------------------------------------
+# 4. WAV window features: ZCR + first-lag autocorrelation in the SAME fold
+# ---------------------------------------------------------------------------
+
+
+def q_wav_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`wav_pcm_windows`' signal-feature twin (r10 verdict item 8,
+    stretch): the SAME single per-window ``aggregate`` fold over the
+    int16 PCM samples now also carries zero-crossing count/rate and
+    first-lag autocorrelation — amplitude stats → signal features with
+    one decode and no extra scan
+    (:func:`operators.multimodal.wav_window_features`; the shared
+    front half ``_wav_window_chunks`` leaves the registered
+    ``wav_pcm_windows`` plan expression-identical).
+
+    Cross-engine exactness: ``zc`` and the two correlation sums are
+    exact int64 on both engines (strict sign flips ``prev*x < 0``;
+    products ≤ 2³⁰, window-bounded sums); ``zcr`` and ``ac1`` each do
+    ONE double division of exact integers (CLAUDE.md discipline), and
+    a 1-sample tail window / all-zero window yield 0.0 — never NULL or
+    ÷0.  The DuckDB oracle is fully independent: ``read_blob`` +
+    hex-pair decode + ``lag() OVER`` pairs + GROUP BY, vs Spark's
+    NULL-seeded chained-``prev`` accumulator."""
+    from pyspark_pipelining_spark.operators.multimodal import wav_window_features
+    from pyspark_pipelining_spark.queries_ann_media import (
+        WAV_FIXTURE_DIR,
+        WAV_WINDOW,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, WAV_FIXTURE_DIR, glob="*.wav")
+    return wav_window_features(files, window_samples=WAV_WINDOW).orderBy(
+        "file_name", "win"
+    )
+
+
+def _sql_wav_window_features() -> str:
+    from pyspark_pipelining_spark.operators.multimodal import (
+        WAV_HEX_SAFE_FILE_BYTES,
+        WAV_INT32_SAFE_DATA_BYTES,
+    )
+    from pyspark_pipelining_spark.queries_ann_media import (
+        WAV_FIXTURE_DIR,
+        WAV_WINDOW,
+    )
+    from pyspark_pipelining_spark.sources.registry import sql_str_literal
+
+    ws = WAV_WINDOW
+    cap = min(WAV_INT32_SAFE_DATA_BYTES + 44, WAV_HEX_SAFE_FILE_BYTES)
+    u = (
+        "CAST('0x' || substring(chunk, 4 * j + 3, 2)"
+        " || substring(chunk, 4 * j + 1, 2) AS BIGINT)"
+    )
+    # header/window CTEs mirror SQL_WAV_PCM_WINDOWS (same gate, same
+    # guards — one row set); the feature pairs come from lag() OVER the
+    # per-window sample order j, so pairs never span a window boundary,
+    # matching the Spark fold's per-chunk scope.  NULL lag at j=0:
+    # NULL*v<0 falls through the CASE and coalesce keeps ac exact.
+    return f"""
+WITH wav AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           octet_length(content) AS n_bytes,
+           hex(content) AS h
+    FROM read_blob('{sql_str_literal(WAV_FIXTURE_DIR)}/*.wav')
+    WHERE octet_length(content) <= {cap}
+),
+hdr AS (
+    SELECT file_name, n_bytes, h,
+           CAST('0x' || substring(h, 43, 2) || substring(h, 41, 2) AS INT)
+               AS audio_fmt,
+           CAST('0x' || substring(h, 47, 2) || substring(h, 45, 2) AS INT)
+               AS channels,
+           CAST('0x' || substring(h, 55, 2) || substring(h, 53, 2)
+                || substring(h, 51, 2) || substring(h, 49, 2) AS INT)
+               AS sample_rate,
+           CAST('0x' || substring(h, 71, 2) || substring(h, 69, 2) AS INT)
+               AS bits,
+           CAST('0x' || substring(h, 87, 2) || substring(h, 85, 2)
+                || substring(h, 83, 2) || substring(h, 81, 2) AS BIGINT)
+               AS data_bytes
+    FROM wav
+    WHERE substring(h, 1, 8) = '52494646'
+      AND substring(h, 17, 8) = '57415645'
+      AND substring(h, 25, 8) = '666D7420'
+      AND substring(h, 73, 8) = '64617461'
+),
+wins AS (
+    SELECT file_name, sample_rate, data_bytes // 2 AS n_total, h,
+           unnest(range(0, (data_bytes // 2 - 1) // {ws} + 1)) AS win
+    FROM hdr
+    WHERE audio_fmt = 1 AND channels = 1 AND bits = 16
+      AND data_bytes >= 2 AND data_bytes <= n_bytes - 44
+),
+chunks AS (
+    SELECT file_name, sample_rate, win,
+           least({ws}, n_total - win * {ws}) AS n_samples,
+           substring(h, CAST(89 + win * {4 * ws} AS BIGINT),
+                     CAST(4 * least({ws}, n_total - win * {ws}) AS BIGINT))
+               AS chunk
+    FROM wins
+),
+samp AS (
+    SELECT file_name, sample_rate, win, n_samples, chunk,
+           unnest(range(0, n_samples)) AS j
+    FROM chunks
+),
+vals AS (
+    SELECT file_name, sample_rate, win, n_samples, j,
+           {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END AS v
+    FROM samp
+),
+pairs AS (
+    SELECT file_name, sample_rate, win, n_samples, v,
+           lag(v) OVER (PARTITION BY file_name, win ORDER BY j) AS vp
+    FROM vals
+)
+SELECT file_name, CAST(win AS BIGINT) AS win,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n_samples), 6) AS rms,
+       CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+       round(CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(n_samples - 1, 1), 6) AS zcr,
+       round(CASE WHEN sum(v * v) > 0
+                  THEN CAST(sum(coalesce(vp, 0) * v) AS DOUBLE)
+                       / CAST(sum(v * v) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ac1
+FROM pairs
+GROUP BY file_name, win, sample_rate, n_samples
+ORDER BY file_name, win
+"""
+
+
+SQL_WAV_WINDOW_FEATURES = _sql_wav_window_features()
+
+
 QUERIES_STAGED: dict[str, QueryFn] = {
     "cms_merge_parity": q_cms_merge_parity,
     "dpp_top_year_revenue": q_dpp_top_year_revenue,
     "png_filter_pixel_stats": q_png_filter_pixel_stats,
+    "wav_window_features": q_wav_window_features,
 }
 
 ORACLES_STAGED: dict[str, str] = {
     "cms_merge_parity": SQL_CMS_MERGE_PARITY,
     "dpp_top_year_revenue": SQL_DPP_TOP_YEAR_REVENUE,
     "png_filter_pixel_stats": SQL_PNG_FILTER_PIXEL_STATS,
+    "wav_window_features": SQL_WAV_WINDOW_FEATURES,
 }

@@ -1587,6 +1587,84 @@ def test_wav_pcm_windows_matches_stdlib_decode(spark):
         assert got == want
 
 
+def test_wav_window_features_matches_stdlib_decode(spark, tmp_path):
+    """`wav_window_features` (r10 verdict item 8): zero-crossing
+    count/rate and first-lag autocorrelation from the SAME fold must
+    equal a stdlib wave+struct model pair-for-pair, its shared columns
+    must equal `wav_pcm_windows` exactly (superset contract), and the
+    edge rows are pinned: an all-zero window → ac1 = 0.0 (ss = 0, not
+    NULL/÷0) and a 1-sample tail window → zcr = 0.0 (no pairs)."""
+    import math
+    import shutil
+    import struct
+    import wave
+
+    from pyspark_pipelining_spark.operators.multimodal import (
+        wav_pcm_windows,
+        wav_window_features,
+    )
+    from pyspark_pipelining_spark.queries_ann_media import WAV_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    for name in ("noise_lcg.wav", "tone_ramp.wav", "tone_triangle.wav"):
+        shutil.copy(f"{WAV_FIXTURE_DIR}/{name}", d / name)
+    # 301 samples at ws=300 → a 1-sample tail window (zcr must be 0.0,
+    # not NULL/÷0); first 300 samples all zero → ac1 must be 0.0
+    edge = [0] * 300 + [7]
+    (d / "edge_silence.wav").write_bytes(
+        b"RIFF" + struct.pack("<I", 36 + 2 * len(edge)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 2 * len(edge))
+        + struct.pack(f"<{len(edge)}h", *edge)
+    )
+    files = load_binary_files(spark, str(d), glob="*.wav")
+    ws = 300
+    got = [
+        tuple(r)
+        for r in wav_window_features(files, window_samples=ws)
+        .orderBy("file_name", "win")
+        .collect()
+    ]
+    base = [
+        tuple(r)
+        for r in wav_pcm_windows(files, window_samples=ws)
+        .orderBy("file_name", "win")
+        .collect()
+    ]
+    want = []
+    for p in sorted(d.iterdir()):
+        w = wave.open(str(p))
+        raw = w.readframes(w.getnframes())
+        s = struct.unpack(f"<{len(raw) // 2}h", raw)
+        for wi in range((len(s) + ws - 1) // ws):
+            seg = s[wi * ws : (wi + 1) * ws]
+            ss = sum(x * x for x in seg)
+            zc = sum(1 for a, b in zip(seg, seg[1:]) if a * b < 0)
+            ac = sum(a * b for a, b in zip(seg, seg[1:]))
+            want.append(
+                (
+                    p.name,
+                    wi,
+                    w.getframerate(),
+                    len(seg),
+                    max(abs(x) for x in seg),
+                    round(math.sqrt(ss / len(seg)), 6),
+                    zc,
+                    round(zc / max(len(seg) - 1, 1), 6),
+                    round(ac / ss, 6) if ss > 0 else 0.0,
+                )
+            )
+    assert got == want
+    # superset contract: shared columns bit-equal to the registered op
+    assert [g[:6] for g in got] == base
+    # the pinned edges actually occurred
+    edges = {g[1]: g for g in got if g[0] == "edge_silence.wav"}
+    assert edges[0][5:] == (0.0, 0, 0.0, 0.0)  # silent: rms=zc=zcr=ac1=0
+    assert edges[1][3] == 1 and edges[1][7] == 0.0  # 1-sample tail
+
+
 def test_wav_pcm_windows_filters_strays_not_errors(spark, tmp_path):
     """Lake-scan convention: non-WAV bytes, stereo, and 8-bit files are
     FILTERED by the header guards (never an exception); a valid PCM16

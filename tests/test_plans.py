@@ -5,6 +5,8 @@ regression even when results still match the oracle."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspark_pipelining_spark.queries import QUERIES
@@ -1005,4 +1007,27 @@ def test_png_pixel_stats_decode_evaluates_once_per_row(spark):
     )
     assert plan.count("[8,true,false,[]]") == 1, plan.count("[8,true,false,[]]")
     assert "hex(substring(content" in plan
+    assert "hex(content" not in plan
+
+
+def test_wav_window_features_one_fold_one_decode(spark):
+    """The signal-feature twin keeps every structural property of the
+    registered `wav_pcm_windows` plan: exactly ONE sample fold (the
+    extra zc/ac/prev accumulator fields ride the same `aggregate`, no
+    second scan or re-decode), the explicit REPARTITION_BY_NUM spread
+    before the fold (AQE must not byte-coalesce a compute-bound
+    stage), the header hexing only its 44 canonical bytes, and the
+    payload never hexed whole."""
+    from pyspark_pipelining_spark.queries_staged import q_wav_window_features
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        q_wav_window_features(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(transform(sequence(0,") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert re.search(r"hex\(substring\(content#\d+, 1, 44\)\)", plan)
     assert "hex(content" not in plan

@@ -1676,6 +1676,66 @@ def test_wav_pcm_decode_roundtrip_random_samples(spark, samples, ws, tmp_path_fa
 
 
 @given(
+    samples=st.lists(
+        st.one_of(
+            st.integers(min_value=-32768, max_value=32767),
+            # zeros planted often: strict-flip zc (a*b < 0) and the
+            # ss = 0 → ac1 = 0.0 branch need zero-runs to exercise
+            st.sampled_from([0, 0, 0, -32768, 32767, -1, 1]),
+        ),
+        min_size=1,
+        max_size=600,
+    ),
+    ws=st.sampled_from([64, 100]),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_wav_window_features_roundtrip_random_samples(
+    spark, samples, ws, tmp_path_factory
+):
+    """`wav_window_features`' zc/zcr/ac1 must match a plain-Python
+    pair model on ARBITRARY int16 PCM — zero-runs (strict-flip and
+    silent-window semantics), sign boundaries, and short final windows
+    — not just the committed fixtures (mirrors the wav_pcm_windows
+    roundtrip above; the staged DuckDB oracle is the third engine)."""
+    import math
+
+    from pyspark_pipelining_spark.operators.multimodal import wav_window_features
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_wav_fixtures import wav_bytes
+
+    d = tmp_path_factory.mktemp("wav_feat_rt")
+    (d / "t.wav").write_bytes(wav_bytes(samples))
+    got = [
+        tuple(r)
+        for r in wav_window_features(
+            load_binary_files(spark, str(d), glob="*.wav"), window_samples=ws
+        )
+        .orderBy("win")
+        .collect()
+    ]
+    want = []
+    for wi in range((len(samples) + ws - 1) // ws):
+        seg = samples[wi * ws : (wi + 1) * ws]
+        ss = sum(x * x for x in seg)
+        zc = sum(1 for a, b in zip(seg, seg[1:]) if a * b < 0)
+        ac = sum(a * b for a, b in zip(seg, seg[1:]))
+        want.append(
+            (
+                "t.wav",
+                wi,
+                8000,
+                len(seg),
+                max(abs(x) for x in seg),
+                round(math.sqrt(ss / len(seg)), 6),
+                zc,
+                round(zc / max(len(seg) - 1, 1), 6),
+                round(ac / ss, 6) if ss > 0 else 0.0,
+            )
+        )
+    assert got == want
+
+
+@given(
     gaps_min=st.lists(
         st.sampled_from([1, 29, 30, 31, 45, 90]),  # exact-boundary planted
         min_size=1,
