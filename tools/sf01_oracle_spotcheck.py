@@ -70,6 +70,13 @@ SENSITIVE = [
     # the pruned read (png_pixel_stats is fixture-fed, like png_chunks)
     "hll_register_merge",
     "partition_pruned_revenue",
+    # r12 staging: CMS counter sums + heavy-hitter estimates at 100x
+    # more tokens (collision overcount must match bit-exact on both
+    # engines); decimal money sums behind the dynamically-pruned read
+    # (wav_window_features / png_filter_pixel_stats are fixture-fed,
+    # like png_chunks — sf does not scale them)
+    "cms_merge_parity",
+    "dpp_top_year_revenue",
 ]
 
 
