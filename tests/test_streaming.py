@@ -893,3 +893,62 @@ def test_registered_hll_register_merge_streams_foreachbatch(spark, tmp_path):
     # bit-identical, not approximate: same integer registers, same
     # single float division
     assert streamed["est_distinct"] == want["est_merged"] == want["est_direct"]
+
+
+def test_wav_window_features_streams_foreachbatch(spark, tmp_path):
+    """The staged ``wav_window_features`` fold is per-file and
+    stateless — exactly the shape a 100 TB media-lake ingest stream
+    needs (new files arrive, each decodes independently, no cross-file
+    state).  Prove the SAME operator plan runs under the Structured
+    Streaming runtime: a binaryFile readStream (one file per
+    micro-batch, pathGlobFilter pruning at listing time like the batch
+    reader) drives the identical function through foreachBatch, and
+    the union of per-batch outputs must equal the batch plan's rows
+    bit-for-bit — registered-surface ≡ streaming-surface, the
+    ``session_window_stats`` / ``hll_register_merge`` one-plan
+    pattern."""
+    import shutil
+
+    from pyspark_pipelining_spark.operators.multimodal import wav_window_features
+    from pyspark_pipelining_spark.queries_ann_media import WAV_FIXTURE_DIR
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    src = str(tmp_path / "lake")
+    shutil.copytree(WAV_FIXTURE_DIR, src)
+    schema = spark.read.format("binaryFile").load(src).schema
+
+    got: list[tuple] = []
+    n_batches = [0]
+
+    def sink(batch_df, _batch_id):
+        n_batches[0] += 1
+        got.extend(tuple(r) for r in wav_window_features(batch_df).collect())
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.wav")
+        .load(src)
+    )
+    sq = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination(120)
+    finally:
+        if sq.isActive:
+            sq.stop()
+
+    assert n_batches[0] > 1  # one batch would not exercise incremental arrival
+    want = [
+        tuple(r)
+        for r in wav_window_features(
+            load_binary_files(spark, src, glob="*.wav")
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0
