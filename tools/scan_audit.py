@@ -2,7 +2,7 @@
 parquet table appear in the executed plan's lineage, and is any reuse
 machinery (InMemoryTableScan / ReusedExchange) present?
 
-    python tools/scan_audit.py [min_scans]
+    python tools/scan_audit.py [min_scans] [--staged]
 
 Lineage strings over-count cached subtrees (an InMemoryRelation prints
 its full child plan), so a high scan count WITH InMemoryTableScan /
@@ -30,7 +30,17 @@ def main() -> int:
     from pyspark_pipelining_spark import cache
     from pyspark_pipelining_spark.queries import QUERIES
 
-    min_scans = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    registry = dict(QUERIES)
+    argv = [a for a in sys.argv[1:] if a != "--staged"]
+    if "--staged" in sys.argv[1:]:
+        # audit the staging area too (same resolution as bracket.py) —
+        # staged plans get the pytest invariant gate, but this
+        # diagnostic is where the multi-branch-recompute smell shows
+        from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+
+        registry.update(QUERIES_STAGED)
+
+    min_scans = int(argv[0]) if argv else 3
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -39,9 +49,9 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     flagged = 0
-    for name in sorted(QUERIES):
+    for name in sorted(registry):
         try:
-            df = QUERIES[name](spark, SF_DIR)
+            df = registry[name](spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:
             print(f"ERR  {name}: {type(exc).__name__}: {str(exc)[:120]}")
