@@ -31,6 +31,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 CMSM_DEPTH, CMSM_WIDTH, CMSM_K = 4, 1024, 20
 
 
+def _cms_token_counts(docs: DataFrame) -> DataFrame:
+    """Pure plan: ``(source, token, n)`` counts from a documents frame
+    — the token derivation shared by :func:`q_cms_merge_parity` and
+    the streaming one-plan test (``tests/test_streaming.py``), the
+    ``_hll_tokens_plan`` pattern: the registered/staged surface and
+    the per-micro-batch surface execute the SAME function."""
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    toks = (
+        with_words(docs)
+        .select("source", F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_cms_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch merge-parity proof, completing the
     mergeable-sketch trio (histogram bins r10, HLL registers r11, CMS
@@ -64,15 +80,9 @@ def q_cms_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_merge,
         cms_sketch,
     )
-    from pyspark_pipelining_spark.operators.text import with_words
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        with_words(docs)
-        .select("source", F.explode("words").alias("token"))
-        .filter(F.length("token") > 0)
-    )
-    counts_src = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    counts_src = _cms_token_counts(docs)
     # one documents scan feeds the partial-sketch, global-count, and
     # candidate branches (CLAUDE.md: checkpoint multi-branch inputs)
     counts_src = counts_src.localCheckpoint(eager=True)

@@ -952,3 +952,85 @@ def test_wav_window_features_streams_foreachbatch(spark, tmp_path):
     ]
     assert sorted(got) == sorted(want)
     assert len(want) > 0
+
+
+def test_staged_cms_merge_parity_streams_foreachbatch(spark, tmp_path):
+    """The staged ``cms_merge_parity`` proves counter-ADDITION merge
+    in-plan; prove the same fold under the Structured Streaming
+    runtime — the merge law CMS exists for: each micro-batch lands a
+    ≤ depth×width partial counter table and the sink ADDS cells across
+    batches (unlike HLL's idempotent max, re-adding a batch would
+    double-count — exactly-once batch semantics carry the correctness
+    here).  The SAME token plan (``_cms_token_counts``) and sketch
+    operators the staged callable uses run per batch; the summed
+    stream table must have the staged query's ``n_cells`` support and
+    reproduce ``est_merged`` / ``est_direct`` for every top-k token
+    bit-for-bit."""
+    from pyspark_pipelining_spark.operators.sketch import cms_estimate, cms_sketch
+    from pyspark_pipelining_spark.queries_staged import (
+        CMSM_DEPTH,
+        CMSM_K,
+        CMSM_WIDTH,
+        QUERIES_STAGED,
+        _cms_token_counts,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "docs_stream")
+    load_table(spark, SF_SMOKE, "documents").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    merged: dict[tuple[int, int], int] = {}
+    n_batches = [0]
+
+    def sink(batch_df, _batch_id):
+        n_batches[0] += 1
+        counts = (
+            _cms_token_counts(batch_df)
+            .groupBy("token")
+            .agg(F.sum("n").alias("n"))
+        )
+        part = cms_sketch(
+            counts, "token", weight_col="n", depth=CMSM_DEPTH, width=CMSM_WIDTH
+        ).collect()
+        for r in part:
+            key = (r["d"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["c"]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination(120)
+    finally:
+        if sq.isActive:
+            sq.stop()
+
+    assert n_batches[0] > 1  # a single batch would not exercise the merge
+    want = QUERIES_STAGED["cms_merge_parity"](spark, SF_SMOKE).collect()
+    assert len(want) == CMSM_K
+    assert want[0]["n_cell_mismatch"] == 0
+    # identical support: the streamed sum touches exactly the cells the
+    # staged query's two tables agree on
+    assert want[0]["n_cells"] == len(merged)
+    regs_df = spark.createDataFrame(
+        [(d, b, c) for (d, b), c in merged.items()], "d int, bucket long, c long"
+    )
+    cand = spark.createDataFrame([(r["token"],) for r in want], "token string")
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(
+            regs_df, cand, "token", depth=CMSM_DEPTH, width=CMSM_WIDTH
+        ).collect()
+    }
+    for r in want:
+        assert est[r["token"]] == r["est_merged"] == r["est_direct"]
