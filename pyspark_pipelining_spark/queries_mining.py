@@ -1426,6 +1426,50 @@ ORACLES_MINING["price_quantile_sketch"] = SQL_PRICE_QUANTILE_SKETCH
 DOCLEN_BIN = 200  # 200-char bins
 
 
+def _doclen_bin_counts(docs: DataFrame) -> DataFrame:
+    """Pure plan: the fixed-width histogram fold ``(bin, ni)`` over a
+    documents frame — shared by :func:`q_doclen_sketch_merge`'s direct
+    branch and the streaming one-plan test (``tests/test_streaming.py``,
+    the ``_hll_tokens_plan`` / ``_cms_token_counts`` pattern): each
+    micro-batch lands this bounded fold and the sink ADDS bin counts,
+    the histogram's merge law."""
+    return docs.groupBy(
+        F.expr(f"CAST(n_chars AS BIGINT) div {DOCLEN_BIN}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("ni"))
+
+
+def _doclen_estimates(bins: DataFrame, suffix: str) -> DataFrame:
+    """Integer ceil-rank p50/p90/p99 estimates from a ``(bin, ni)``
+    histogram table — module-level so the streaming test runs the SAME
+    estimator over the stream-merged bins that the registered query
+    runs over its in-plan folds.  Both windows run over the BOUNDED
+    bin table (|bins| rows, not |docs|), so the single-partition
+    global frame is benign."""
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = bins.select(
+        "bin",
+        F.sum("ni").over(w).alias("cum"),
+        F.sum("ni").over(Window.partitionBy()).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias(f"n_{suffix}")] + [
+        F.round(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
+                        F.col("bin"),
+                    )
+                )
+                * DOCLEN_BIN
+                + DOCLEN_BIN // 2
+            ).cast("double"),
+            1,
+        ).alias(f"p{p}_{suffix}")
+        for p in (50, 90, 99)
+    ]
+    return ranked.agg(*aggs)
+
+
 def q_doclen_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p90/p99 of document length (``n_chars``) from a fixed-width
     histogram sketch, twice IN ONE PLAN: (a) per-source PARTIAL bin
@@ -1450,40 +1494,11 @@ def q_doclen_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.expr(f"CAST(n_chars AS BIGINT) div {DOCLEN_BIN}").alias("bin")
     ).agg(F.count(F.lit(1)).alias("ni"))
     merged = partials.groupBy("bin").agg(F.sum("ni").alias("ni"))
-    direct = docs.groupBy(
-        F.expr(f"CAST(n_chars AS BIGINT) div {DOCLEN_BIN}").alias("bin")
-    ).agg(F.count(F.lit(1)).alias("ni"))
-
-    def estimates(bins: DataFrame, suffix: str) -> DataFrame:
-        # both windows run over the BOUNDED bin table (|bins| rows, not
-        # |docs|), so the single-partition global frame is benign
-        w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ranked = bins.select(
-            "bin",
-            F.sum("ni").over(w).alias("cum"),
-            F.sum("ni").over(Window.partitionBy()).alias("n"),
-        )
-        aggs = [F.max("n").cast("long").alias(f"n_{suffix}")] + [
-            F.round(
-                (
-                    F.min(
-                        F.when(
-                            F.col("cum") >= F.expr(f"({p} * n + 99) div 100"),
-                            F.col("bin"),
-                        )
-                    )
-                    * DOCLEN_BIN
-                    + DOCLEN_BIN // 2
-                ).cast("double"),
-                1,
-            ).alias(f"p{p}_{suffix}")
-            for p in (50, 90, 99)
-        ]
-        return ranked.agg(*aggs)
+    direct = _doclen_bin_counts(docs)
 
     # 1-row lazy broadcast crossJoin stitch (repo scalar convention)
-    return estimates(merged, "merged").crossJoin(
-        F.broadcast(estimates(direct, "direct"))
+    return _doclen_estimates(merged, "merged").crossJoin(
+        F.broadcast(_doclen_estimates(direct, "direct"))
     )
 
 

@@ -1034,3 +1034,63 @@ def test_staged_cms_merge_parity_streams_foreachbatch(spark, tmp_path):
     }
     for r in want:
         assert est[r["token"]] == r["est_merged"] == r["est_direct"]
+
+
+def test_registered_doclen_sketch_merge_streams_foreachbatch(spark, tmp_path):
+    """Streaming one-plan proof for the histogram member of the
+    mergeable-sketch trio (HLL max-merge and CMS sum-merge have theirs
+    above): each micro-batch lands the SAME bounded bin fold the
+    registered ``doclen_sketch_merge`` uses (``_doclen_bin_counts``),
+    the sink ADDS bin counts across batches (integer-addition merge
+    law), and the SAME estimator (``_doclen_estimates``) over the
+    stream-merged table must reproduce the registered query's
+    ``n`` / ``p50`` / ``p90`` / ``p99`` — merged AND direct columns —
+    bit-for-bit."""
+    from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.queries_mining import (
+        _doclen_bin_counts,
+        _doclen_estimates,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "docs_stream")
+    load_table(spark, SF_SMOKE, "documents").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    merged: dict[int, int] = {}
+    n_batches = [0]
+
+    def sink(batch_df, _batch_id):
+        n_batches[0] += 1
+        for r in _doclen_bin_counts(batch_df).collect():
+            merged[r["bin"]] = merged.get(r["bin"], 0) + r["ni"]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination(120)
+    finally:
+        if sq.isActive:
+            sq.stop()
+
+    assert n_batches[0] > 1  # a single batch would not exercise the merge
+    bins_df = spark.createDataFrame(
+        sorted(merged.items()), "bin bigint, ni bigint"
+    )
+    streamed = _doclen_estimates(bins_df, "s").collect()[0]
+    want = QUERIES["doclen_sketch_merge"](spark, SF_SMOKE).collect()[0]
+    assert streamed["n_s"] == want["n_merged"] == want["n_direct"]
+    for p in (50, 90, 99):
+        assert (
+            streamed[f"p{p}_s"] == want[f"p{p}_merged"] == want[f"p{p}_direct"]
+        )
