@@ -1663,6 +1663,18 @@ def test_wav_window_features_matches_stdlib_decode(spark, tmp_path):
     edges = {g[1]: g for g in got if g[0] == "edge_silence.wav"}
     assert edges[0][5:] == (0.0, 0, 0.0, 0.0)  # silent: rms=zc=zcr=ac1=0
     assert edges[1][3] == 1 and edges[1][7] == 0.0  # 1-sample tail
+    # semantic sanity on the deterministic fixtures: slow periodic
+    # content is strongly self-correlated at lag 1, LCG noise is not
+    # (the voiced/unvoiced proxy the docstring claims)
+    def mean_ac1(name):
+        rows = [g for g in got if g[0] == name]
+        return sum(g[8] for g in rows) / len(rows)
+
+    # ramp: the per-period sawtooth discontinuity caps lag-1
+    # correlation (~0.80 on this fixture); triangle is smooth
+    assert mean_ac1("tone_ramp.wav") > 0.75
+    assert mean_ac1("tone_triangle.wav") > 0.9
+    assert abs(mean_ac1("noise_lcg.wav")) < 0.2
 
 
 def test_wav_pcm_windows_filters_strays_not_errors(spark, tmp_path):
