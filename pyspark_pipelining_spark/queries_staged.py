@@ -7,7 +7,14 @@ additions would defer pending revalidations (CLAUDE.md: registry
 freeze).
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into their family
-modules, reset this file, and regenerate VALIDATION.md.  The local
+modules (``cms_merge_parity`` → queries_corpus beside
+``cms_heavy_hitters``/``hll_register_merge``; ``dpp_top_year_revenue``
+→ queries_coverage beside ``partition_pruned_revenue`` and its shared
+``_orders_partitioned``; ``png_filter_pixel_stats`` and
+``wav_window_features`` → queries_ann_media beside their ladder
+siblings), reset this file, repoint the moved queries' tests, and
+regenerate VALIDATION.md.  The streaming one-plan tests import
+``_cms_token_counts`` from here — move it with its query.  The local
 gates exercise everything here every pytest run (oracle compare at
 sf0.001, the pandas-dtype gate, and the plan-invariant gate), so
 staged queries are pytest-green now and driver-validated next round.
