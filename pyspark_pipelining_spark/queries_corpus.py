@@ -1297,3 +1297,181 @@ SQL_HLL_REGISTER_MERGE = _sql_hll_register_merge()
 
 QUERIES_CORPUS["hll_register_merge"] = q_hll_register_merge
 ORACLES_CORPUS["hll_register_merge"] = SQL_HLL_REGISTER_MERGE
+
+
+# --- Round-12 registration (formerly queries_staged.py): CMS counter
+# merge parity — per-source partials vs global fold -------------------
+
+CMSM_DEPTH, CMSM_WIDTH, CMSM_K = 4, 1024, 20
+
+
+def _cms_token_counts(docs: DataFrame) -> DataFrame:
+    """Pure plan: ``(source, token, n)`` counts from a documents frame
+    — the token derivation shared by :func:`q_cms_merge_parity` and
+    the streaming one-plan test (``tests/test_streaming.py``), the
+    ``_hll_tokens_plan`` pattern: the registered surface and the
+    per-micro-batch surface execute the SAME function."""
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    toks = (
+        with_words(docs)
+        .select("source", F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cms_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch merge-parity proof, completing the
+    mergeable-sketch trio (histogram bins r10, HLL registers r11, CMS
+    counters here — r10 verdict item 2): per-source PARTIAL counter
+    tables summed cell-wise by a second aggregate
+    (:func:`operators.sketch.cms_merge`) must equal the single-level
+    global fold BIT-IDENTICALLY.  CMS's merge law is counter ADDITION —
+    unlike HLL's idempotent max, merging the same partial twice WOULD
+    double-count, so the parity worth proving is that any disjoint
+    partition of the input (executors, days, micro-batches) sums to
+    the same table, which integer-sum associativity guarantees.
+
+    In one plan: (a) the cell-level proof — a full outer join of the
+    merged and direct counter tables counting mismatching cells
+    (``n_cell_mismatch``, must be 0) next to the table size
+    (``n_cells``); (b) the consumer-level proof — point estimates for
+    the exact top-``CMSM_K`` tokens from BOTH tables side-by-side
+    (``est_merged`` = ``est_direct``, each ≥ the true count ``n``, the
+    classic CMS upper bound inflated only by bucket collisions).
+
+    Scale shape: ONE ``documents`` scan — the (source, token) count
+    fold is ``localCheckpoint``-ed (repo convention for expensive
+    multi-branch inputs) and every downstream branch (partials, global
+    counts, candidates) folds that bounded |sources|×|vocab| table;
+    each sketch is ≤ depth × width integer rows, the merge is one
+    bounded groupBy, and the estimate join broadcasts the sketch so
+    candidates never shuffle.  All arithmetic is integer end-to-end —
+    no float fold-order contract needed."""
+    from pyspark_pipelining_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts_src = _cms_token_counts(docs)
+    # one documents scan feeds the partial-sketch, global-count, and
+    # candidate branches (CLAUDE.md: checkpoint multi-branch inputs)
+    counts_src = counts_src.localCheckpoint(eager=True)
+    partials = cms_sketch(
+        counts_src,
+        "token",
+        weight_col="n",
+        depth=CMSM_DEPTH,
+        width=CMSM_WIDTH,
+        group_cols=("source",),
+    )
+    merged = cms_merge(partials.drop("source"))
+    counts = counts_src.groupBy("token").agg(F.sum("n").alias("n"))
+    direct = cms_sketch(
+        counts, "token", weight_col="n", depth=CMSM_DEPTH, width=CMSM_WIDTH
+    )
+    cand = counts.orderBy(F.desc("n"), F.asc("token")).limit(CMSM_K)
+    est_m = cms_estimate(
+        merged, cand.select("token"), "token", depth=CMSM_DEPTH, width=CMSM_WIDTH
+    ).withColumnRenamed("est", "est_merged")
+    est_d = cms_estimate(
+        direct, cand.select("token"), "token", depth=CMSM_DEPTH, width=CMSM_WIDTH
+    ).withColumnRenamed("est", "est_direct")
+    cells = (
+        merged.select("d", "bucket", F.col("c").alias("c_m"))
+        .join(
+            direct.select("d", "bucket", F.col("c").alias("c_d")),
+            on=["d", "bucket"],
+            how="full_outer",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(
+                F.when(
+                    F.coalesce("c_m", F.lit(-1)) != F.coalesce("c_d", F.lit(-1)), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cell_mismatch"),
+        )
+    )
+    return (
+        cand.join(est_m, on="token")
+        .join(est_d, on="token")
+        # 1-row lazy broadcast crossJoin stitch (repo scalar convention)
+        .crossJoin(F.broadcast(cells))
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            "est_merged",
+            "est_direct",
+            "n_cells",
+            "n_cell_mismatch",
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+def _sql_cms_merge_parity() -> str:
+    def h(key_expr: str) -> str:
+        return (
+            f"('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || {key_expr}),"
+            f" 1, 15))::BIGINT % {CMSM_WIDTH}"
+        )
+
+    return f"""
+WITH {SQL_WORDS},
+tok AS (SELECT source, unnest(w) AS token FROM words),
+tok2 AS (SELECT source, token FROM tok WHERE length(token) > 0),
+counts_src AS (
+    SELECT source, token, CAST(count(*) AS BIGINT) AS n
+    FROM tok2 GROUP BY 1, 2
+),
+partials AS (
+    SELECT cs.source, t.d, {h('cs.token')} AS bucket,
+           CAST(sum(cs.n) AS BIGINT) AS c
+    FROM counts_src cs, range({CMSM_DEPTH}) t(d)
+    GROUP BY 1, 2, 3
+),
+merged AS (SELECT d, bucket, CAST(sum(c) AS BIGINT) AS c FROM partials GROUP BY 1, 2),
+counts AS (SELECT token, CAST(sum(n) AS BIGINT) AS n FROM counts_src GROUP BY 1),
+direct AS (
+    SELECT t.d, {h('c2.token')} AS bucket, CAST(sum(c2.n) AS BIGINT) AS c
+    FROM counts c2, range({CMSM_DEPTH}) t(d)
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(coalesce(sum(CASE WHEN COALESCE(m.c, -1) <> COALESCE(t.c, -1)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_cell_mismatch
+    FROM merged m FULL OUTER JOIN direct t ON m.d = t.d AND m.bucket = t.bucket
+),
+cand AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT {CMSM_K}),
+probes AS (
+    SELECT cand.token, cand.n, t.d, {h('cand.token')} AS bucket
+    FROM cand, range({CMSM_DEPTH}) t(d)
+),
+est AS (
+    SELECT p.token, max(p.n) AS n,
+           CAST(min(COALESCE(m.c, 0)) AS BIGINT) AS est_merged,
+           CAST(min(COALESCE(t.c, 0)) AS BIGINT) AS est_direct
+    FROM probes p
+    LEFT JOIN merged m ON p.d = m.d AND p.bucket = m.bucket
+    LEFT JOIN direct t ON p.d = t.d AND p.bucket = t.bucket
+    GROUP BY p.token
+)
+SELECT e.token, CAST(e.n AS BIGINT) AS n, e.est_merged, e.est_direct,
+       c.n_cells, c.n_cell_mismatch
+FROM est e CROSS JOIN cells c
+ORDER BY n DESC, token ASC
+"""
+
+
+SQL_CMS_MERGE_PARITY = _sql_cms_merge_parity()
+
+QUERIES_CORPUS["cms_merge_parity"] = q_cms_merge_parity
+ORACLES_CORPUS["cms_merge_parity"] = SQL_CMS_MERGE_PARITY

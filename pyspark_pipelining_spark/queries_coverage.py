@@ -1610,3 +1610,89 @@ ORDER BY 1
 
 QUERIES_COVERAGE["partition_pruned_revenue"] = q_partition_pruned_revenue
 ORACLES_COVERAGE["partition_pruned_revenue"] = SQL_PARTITION_PRUNED_REVENUE
+
+
+# --- Round-12 registration (formerly queries_staged.py): dynamic
+# partition pruning — fact partitions filtered through a JOIN ----------
+
+DPP_TOP_YEARS = 2
+
+
+def q_dpp_top_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count + revenue for the top-``DPP_TOP_YEARS`` busiest
+    years, where the year set is only known AT RUNTIME — the
+    dynamic-partition-pruning companion to ``partition_pruned_revenue``
+    (r10 verdict item 3): the static query proved a LITERAL predicate
+    prunes directories; the 100 TB layout claim also leans on pruning
+    through a JOIN, because real dashboards filter the fact's
+    partition column by a dim predicate ("this campaign's weeks",
+    "the audited regions"), not by constants.
+
+    Plan shape (asserted in tests/test_plans.py): the o_year-
+    partitioned fact scan carries ``dynamicpruning#`` inside its
+    PartitionFilters — Catalyst builds the dim side (years ranked by
+    order count, ``row_number() <= {DPP_TOP_YEARS}``), broadcasts it
+    for the join, and REUSES that broadcast as a runtime IN-filter on
+    the fact's partition directories (the plan test also asserts the
+    pruning subquery is a ``ReusedExchange``/``ReusedSubquery`` of the
+    join's own broadcast, so the dim side is built ONCE), so only the
+    qualifying year dirs are listed and read — MEASURED at sf0.1: the
+    layout has 7 ``o_year=N`` dirs, the executed scan carries
+    ``dynamicpruningexpression(o_year IN dynamicpruning#…)`` with
+    empty DataFilters and reads the 2 qualifying dirs (warm
+    median-of-5 0.70 s end-to-end on local[32], including the dim
+    rank).  With daily partitions at 100 TB this is the difference
+    between scanning two campaign-months and scanning the table, with
+    zero literals in the query.
+
+    The dim derives from the RAW orders view (one small aggregate —
+    |years| rows), so both engines rank the same input; ties break on
+    year.  Money through decimal(18,2), counts BIGINT, year cast to
+    BIGINT on both sides (driver dtype gate)."""
+    from pyspark.sql import Window
+
+    part = _orders_partitioned(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "orders")
+    yd = raw.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # |years| rows: the single-partition window is benign
+    w = Window.orderBy(F.desc("n"), F.asc("o_year"))
+    top = (
+        yd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DPP_TOP_YEARS)
+        .select("o_year")
+    )
+    joined = part.join(F.broadcast(top), on="o_year")
+    return (
+        joined.groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_DPP_TOP_YEAR_REVENUE = f"""
+WITH yd AS (
+    SELECT year(o_orderdate) AS o_year, count(*) AS n
+    FROM orders GROUP BY 1
+),
+top AS (
+    SELECT o_year FROM yd
+    QUALIFY row_number() OVER (ORDER BY n DESC, o_year ASC) <= {DPP_TOP_YEARS}
+)
+SELECT CAST(o.yr AS BIGINT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM (SELECT year(o_orderdate) AS yr, o_totalprice FROM orders) o
+JOIN top ON o.yr = top.o_year
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES_COVERAGE["dpp_top_year_revenue"] = q_dpp_top_year_revenue
+ORACLES_COVERAGE["dpp_top_year_revenue"] = SQL_DPP_TOP_YEAR_REVENUE

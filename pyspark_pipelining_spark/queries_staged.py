@@ -1,23 +1,18 @@
-"""Round-12 staging area: oracle-paired queries that are READY but
-deliberately NOT registered — the round-11 snapshot window already
-carries this round's registrations (the former round-11 staged trio:
-``partition_pruned_revenue`` → queries_coverage, ``hll_register_merge``
-→ queries_corpus, ``png_pixel_stats`` → queries_ann_media), and late
-additions would defer pending revalidations (CLAUDE.md: registry
-freeze).
+"""Round-13 staging area: oracle-paired queries that are READY but
+deliberately NOT registered — the round-12 snapshot window already
+carries this round's registrations (the former round-12 staged
+quartet: ``cms_merge_parity`` → queries_corpus,
+``dpp_top_year_revenue`` → queries_coverage,
+``png_filter_pixel_stats`` and ``wav_window_features`` →
+queries_ann_media), and late additions would defer pending
+revalidations (CLAUDE.md: registry freeze).
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into their family
-modules (``cms_merge_parity`` → queries_corpus beside
-``cms_heavy_hitters``/``hll_register_merge``; ``dpp_top_year_revenue``
-→ queries_coverage beside ``partition_pruned_revenue`` and its shared
-``_orders_partitioned``; ``png_filter_pixel_stats`` and
-``wav_window_features`` → queries_ann_media beside their ladder
-siblings), reset this file, repoint the moved queries' tests, and
-regenerate VALIDATION.md.  The streaming one-plan tests import
-``_cms_token_counts`` from here — move it with its query.  The local
-gates exercise everything here every pytest run (oracle compare at
-sf0.001, the pandas-dtype gate, and the plan-invariant gate), so
-staged queries are pytest-green now and driver-validated next round.
+modules, reset this file, repoint the moved queries' tests, and
+regenerate VALIDATION.md.  The local gates exercise everything here
+every pytest run (oracle compare at sf0.001, the pandas-dtype gate,
+and the plan-invariant gate), so staged queries are pytest-green now
+and driver-validated next round.
 """
 
 from __future__ import annotations
@@ -25,708 +20,9 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from pyspark_pipelining_spark.sources.registry import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# ---------------------------------------------------------------------------
-# 1. CMS merge parity: per-source partial counter tables vs global fold
-# ---------------------------------------------------------------------------
+QUERIES_STAGED: dict[str, QueryFn] = {}
 
-CMSM_DEPTH, CMSM_WIDTH, CMSM_K = 4, 1024, 20
-
-
-def _cms_token_counts(docs: DataFrame) -> DataFrame:
-    """Pure plan: ``(source, token, n)`` counts from a documents frame
-    — the token derivation shared by :func:`q_cms_merge_parity` and
-    the streaming one-plan test (``tests/test_streaming.py``), the
-    ``_hll_tokens_plan`` pattern: the registered/staged surface and
-    the per-micro-batch surface execute the SAME function."""
-    from pyspark_pipelining_spark.operators.text import with_words
-
-    toks = (
-        with_words(docs)
-        .select("source", F.explode("words").alias("token"))
-        .filter(F.length("token") > 0)
-    )
-    return toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
-
-
-def q_cms_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch merge-parity proof, completing the
-    mergeable-sketch trio (histogram bins r10, HLL registers r11, CMS
-    counters here — r10 verdict item 2): per-source PARTIAL counter
-    tables summed cell-wise by a second aggregate
-    (:func:`operators.sketch.cms_merge`) must equal the single-level
-    global fold BIT-IDENTICALLY.  CMS's merge law is counter ADDITION —
-    unlike HLL's idempotent max, merging the same partial twice WOULD
-    double-count, so the parity worth proving is that any disjoint
-    partition of the input (executors, days, micro-batches) sums to
-    the same table, which integer-sum associativity guarantees.
-
-    In one plan: (a) the cell-level proof — a full outer join of the
-    merged and direct counter tables counting mismatching cells
-    (``n_cell_mismatch``, must be 0) next to the table size
-    (``n_cells``); (b) the consumer-level proof — point estimates for
-    the exact top-``CMSM_K`` tokens from BOTH tables side-by-side
-    (``est_merged`` = ``est_direct``, each ≥ the true count ``n``, the
-    classic CMS upper bound inflated only by bucket collisions).
-
-    Scale shape: ONE ``documents`` scan — the (source, token) count
-    fold is ``localCheckpoint``-ed (repo convention for expensive
-    multi-branch inputs) and every downstream branch (partials, global
-    counts, candidates) folds that bounded |sources|×|vocab| table;
-    each sketch is ≤ depth × width integer rows, the merge is one
-    bounded groupBy, and the estimate join broadcasts the sketch so
-    candidates never shuffle.  All arithmetic is integer end-to-end —
-    no float fold-order contract needed."""
-    from pyspark_pipelining_spark.operators.sketch import (
-        cms_estimate,
-        cms_merge,
-        cms_sketch,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    counts_src = _cms_token_counts(docs)
-    # one documents scan feeds the partial-sketch, global-count, and
-    # candidate branches (CLAUDE.md: checkpoint multi-branch inputs)
-    counts_src = counts_src.localCheckpoint(eager=True)
-    partials = cms_sketch(
-        counts_src,
-        "token",
-        weight_col="n",
-        depth=CMSM_DEPTH,
-        width=CMSM_WIDTH,
-        group_cols=("source",),
-    )
-    merged = cms_merge(partials.drop("source"))
-    counts = counts_src.groupBy("token").agg(F.sum("n").alias("n"))
-    direct = cms_sketch(
-        counts, "token", weight_col="n", depth=CMSM_DEPTH, width=CMSM_WIDTH
-    )
-    cand = counts.orderBy(F.desc("n"), F.asc("token")).limit(CMSM_K)
-    est_m = cms_estimate(
-        merged, cand.select("token"), "token", depth=CMSM_DEPTH, width=CMSM_WIDTH
-    ).withColumnRenamed("est", "est_merged")
-    est_d = cms_estimate(
-        direct, cand.select("token"), "token", depth=CMSM_DEPTH, width=CMSM_WIDTH
-    ).withColumnRenamed("est", "est_direct")
-    cells = (
-        merged.select("d", "bucket", F.col("c").alias("c_m"))
-        .join(
-            direct.select("d", "bucket", F.col("c").alias("c_d")),
-            on=["d", "bucket"],
-            how="full_outer",
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_cells"),
-            F.sum(
-                F.when(
-                    F.coalesce("c_m", F.lit(-1)) != F.coalesce("c_d", F.lit(-1)), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_cell_mismatch"),
-        )
-    )
-    return (
-        cand.join(est_m, on="token")
-        .join(est_d, on="token")
-        # 1-row lazy broadcast crossJoin stitch (repo scalar convention)
-        .crossJoin(F.broadcast(cells))
-        .select(
-            "token",
-            F.col("n").cast("long").alias("n"),
-            "est_merged",
-            "est_direct",
-            "n_cells",
-            "n_cell_mismatch",
-        )
-        .orderBy(F.desc("n"), F.asc("token"))
-    )
-
-
-def _sql_cms_merge_parity() -> str:
-    from pyspark_pipelining_spark.queries_llm import SQL_WORDS
-
-    def h(key_expr: str) -> str:
-        return (
-            f"('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || {key_expr}),"
-            f" 1, 15))::BIGINT % {CMSM_WIDTH}"
-        )
-
-    return f"""
-WITH {SQL_WORDS},
-tok AS (SELECT source, unnest(w) AS token FROM words),
-tok2 AS (SELECT source, token FROM tok WHERE length(token) > 0),
-counts_src AS (
-    SELECT source, token, CAST(count(*) AS BIGINT) AS n
-    FROM tok2 GROUP BY 1, 2
-),
-partials AS (
-    SELECT cs.source, t.d, {h('cs.token')} AS bucket,
-           CAST(sum(cs.n) AS BIGINT) AS c
-    FROM counts_src cs, range({CMSM_DEPTH}) t(d)
-    GROUP BY 1, 2, 3
-),
-merged AS (SELECT d, bucket, CAST(sum(c) AS BIGINT) AS c FROM partials GROUP BY 1, 2),
-counts AS (SELECT token, CAST(sum(n) AS BIGINT) AS n FROM counts_src GROUP BY 1),
-direct AS (
-    SELECT t.d, {h('c2.token')} AS bucket, CAST(sum(c2.n) AS BIGINT) AS c
-    FROM counts c2, range({CMSM_DEPTH}) t(d)
-    GROUP BY 1, 2
-),
-cells AS (
-    SELECT CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(coalesce(sum(CASE WHEN COALESCE(m.c, -1) <> COALESCE(t.c, -1)
-                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
-               AS n_cell_mismatch
-    FROM merged m FULL OUTER JOIN direct t ON m.d = t.d AND m.bucket = t.bucket
-),
-cand AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT {CMSM_K}),
-probes AS (
-    SELECT cand.token, cand.n, t.d, {h('cand.token')} AS bucket
-    FROM cand, range({CMSM_DEPTH}) t(d)
-),
-est AS (
-    SELECT p.token, max(p.n) AS n,
-           CAST(min(COALESCE(m.c, 0)) AS BIGINT) AS est_merged,
-           CAST(min(COALESCE(t.c, 0)) AS BIGINT) AS est_direct
-    FROM probes p
-    LEFT JOIN merged m ON p.d = m.d AND p.bucket = m.bucket
-    LEFT JOIN direct t ON p.d = t.d AND p.bucket = t.bucket
-    GROUP BY p.token
-)
-SELECT e.token, CAST(e.n AS BIGINT) AS n, e.est_merged, e.est_direct,
-       c.n_cells, c.n_cell_mismatch
-FROM est e CROSS JOIN cells c
-ORDER BY n DESC, token ASC
-"""
-
-
-SQL_CMS_MERGE_PARITY = _sql_cms_merge_parity()
-
-
-# ---------------------------------------------------------------------------
-# 2. Dynamic partition pruning: fact partitions filtered through a JOIN
-# ---------------------------------------------------------------------------
-
-DPP_TOP_YEARS = 2
-
-
-def q_dpp_top_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order count + revenue for the top-``DPP_TOP_YEARS`` busiest
-    years, where the year set is only known AT RUNTIME — the
-    dynamic-partition-pruning companion to ``partition_pruned_revenue``
-    (r10 verdict item 3): the static query proved a LITERAL predicate
-    prunes directories; the 100 TB layout claim also leans on pruning
-    through a JOIN, because real dashboards filter the fact's
-    partition column by a dim predicate ("this campaign's weeks",
-    "the audited regions"), not by constants.
-
-    Plan shape (asserted in tests/test_plans.py): the o_year-
-    partitioned fact scan carries ``dynamicpruning#`` inside its
-    PartitionFilters — Catalyst builds the dim side (years ranked by
-    order count, ``row_number() <= {DPP_TOP_YEARS}``), broadcasts it
-    for the join, and REUSES that broadcast as a runtime IN-filter on
-    the fact's partition directories, so only the qualifying year
-    dirs are listed and read — MEASURED at sf0.1: the layout has 7
-    ``o_year=N`` dirs, the executed scan carries
-    ``dynamicpruningexpression(o_year IN dynamicpruning#…)`` with
-    empty DataFilters and reads the 2 qualifying dirs (warm
-    median-of-5 0.70 s end-to-end on local[32], including the dim
-    rank).  With daily partitions at 100 TB this is the difference
-    between scanning two campaign-months and scanning the table, with
-    zero literals in the query.
-
-    The dim derives from the RAW orders view (one small aggregate —
-    |years| rows), so both engines rank the same input; ties break on
-    year.  Money through decimal(18,2), counts BIGINT, year cast to
-    BIGINT on both sides (driver dtype gate)."""
-    from pyspark.sql import Window
-
-    from pyspark_pipelining_spark.queries_coverage import _orders_partitioned
-
-    part = _orders_partitioned(spark, sf_dir)
-    raw = load_table(spark, sf_dir, "orders")
-    yd = raw.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    # |years| rows: the single-partition window is benign
-    w = Window.orderBy(F.desc("n"), F.asc("o_year"))
-    top = (
-        yd.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= DPP_TOP_YEARS)
-        .select("o_year")
-    )
-    joined = part.join(F.broadcast(top), on="o_year")
-    return (
-        joined.groupBy(F.col("o_year").cast("long").alias("o_year"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))"))
-            .cast("double")
-            .alias("total_revenue"),
-        )
-        .orderBy("o_year")
-    )
-
-
-SQL_DPP_TOP_YEAR_REVENUE = f"""
-WITH yd AS (
-    SELECT year(o_orderdate) AS o_year, count(*) AS n
-    FROM orders GROUP BY 1
-),
-top AS (
-    SELECT o_year FROM yd
-    QUALIFY row_number() OVER (ORDER BY n DESC, o_year ASC) <= {DPP_TOP_YEARS}
-)
-SELECT CAST(o.yr AS BIGINT) AS o_year,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
-FROM (SELECT year(o_orderdate) AS yr, o_totalprice FROM orders) o
-JOIN top ON o.yr = top.o_year
-GROUP BY 1
-ORDER BY 1
-"""
-
-
-# ---------------------------------------------------------------------------
-# 3. PNG Sub/Up filter reconstruction — pixel stats one decode rung up
-# ---------------------------------------------------------------------------
-
-from pyspark_pipelining_spark.queries_ann_media import PNG_MAX_CHUNKS  # noqa: E402
-from pyspark_pipelining_spark.sources.registry import (  # noqa: E402
-    fixtures_dir as _fixtures_dir,
-)
-from pyspark_pipelining_spark.sources.registry import sql_str_literal  # noqa: E402
-
-PNG_FILTER_FIXTURE_DIR = _fixtures_dir("images_filters")
-
-
-def q_png_filter_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-channel pixel statistics of PNGs whose scanlines use filter
-    types 0/1/2 (None/Sub/Up) — the decode ladder's next rung after
-    the registered ``png_pixel_stats`` (r10 verdict item 5: Sub is the
-    single most common filter real encoders emit), over its OWN
-    committed fixture lake so the registered filter-0 queries' inputs
-    never change.  The Spark side
-    (``operators/multimodal.png_filtered_pixel_stats``) keeps the
-    byte-level layers as one let-bound JVM expression and performs the
-    unfilter as DataFrame WINDOW prefix scans (mod-256 distributes
-    over addition: a Sub row telescopes to per-lane running sums, an
-    Up chain to per-column running sums anchored at the nearest
-    self-contained row); the DuckDB oracle re-derives the identical
-    reconstruction with its own window functions over the
-    recursive-CTE-inflated scanlines.  Filter types 3/4 and every
-    other stray still FILTER, never error (the committed
-    ``avg_stray.png`` pins it under the hard signal)."""
-    from pyspark_pipelining_spark.operators.multimodal import (
-        png_filtered_pixel_stats,
-    )
-    from pyspark_pipelining_spark.sources.registry import load_binary_files
-
-    files = load_binary_files(spark, PNG_FILTER_FIXTURE_DIR, glob="*.png")
-    return png_filtered_pixel_stats(files, max_chunks=PNG_MAX_CHUNKS).orderBy(
-        "file_name", "channel"
-    )
-
-
-def _sql_png_filter_pixel_stats(
-    mc: int = PNG_MAX_CHUNKS,
-    fixture_dir: str = PNG_FILTER_FIXTURE_DIR,
-    max_px: int | None = None,
-    max_blocks: int | None = None,
-    max_rows: int | None = None,
-) -> str:
-    """The independent second decoder, filters 0/1/2: the chunk/zlib
-    walk CTEs mirror ``queries_ann_media._sql_png_pixel_stats`` (same
-    gates, same caps), then the reconstruction runs as window prefix
-    sums over the unnested scanline bytes — the same mod-256
-    telescoping algebra as the Spark plan, independently expressed."""
-    from pyspark_pipelining_spark.operators.multimodal import (
-        PNG_MAX_ROWS,
-        PNG_PIXEL_MAX,
-        PNG_ZLIB_MAX_BLOCKS,
-    )
-
-    mpx = PNG_PIXEL_MAX if max_px is None else int(max_px)
-    mb = PNG_ZLIB_MAX_BLOCKS if max_blocks is None else int(max_blocks)
-    mrows = PNG_MAX_ROWS if max_rows is None else int(max_rows)
-    t = "chr(b0) || chr(b1) || chr(b2) || chr(b3)"
-    return f"""
-WITH RECURSIVE png AS (
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-           octet_length(content) AS n_bytes,
-           hex(content) AS hx
-    FROM read_blob('{sql_str_literal(fixture_dir)}/*.png')
-    WHERE substring(hex(content), 1, 16) = '89504E470D0A1A0A'
-),
-walk AS (
-    SELECT file_name, n_bytes, hx,
-           CAST(8 AS BIGINT) AS nxt, CAST(-1 AS BIGINT) AS idx,
-           CAST(NULL AS BIGINT) AS coff, CAST(NULL AS BIGINT) AS clen,
-           CAST(NULL AS VARCHAR) AS ctype, FALSE AS done
-    FROM png
-    UNION ALL
-    SELECT file_name, n_bytes, hx,
-           nxt + 12 + len, idx + 1, nxt, len, {t}, {t} = 'IEND'
-    FROM (
-        SELECT *,
-               CAST('0x' || substring(hx, CAST(2 * nxt + 1 AS BIGINT), 8)
-                    AS BIGINT) AS len,
-               CAST('0x' || substring(hx, CAST(2 * nxt + 9 AS BIGINT), 2)
-                    AS INT) AS b0,
-               CAST('0x' || substring(hx, CAST(2 * nxt + 11 AS BIGINT), 2)
-                    AS INT) AS b1,
-               CAST('0x' || substring(hx, CAST(2 * nxt + 13 AS BIGINT), 2)
-                    AS INT) AS b2,
-               CAST('0x' || substring(hx, CAST(2 * nxt + 15 AS BIGINT), 2)
-                    AS INT) AS b3
-        FROM walk
-        WHERE NOT done AND nxt + 8 <= n_bytes AND idx <= {mc - 2}
-    ) s
-    WHERE ((b0 BETWEEN 65 AND 90) OR (b0 BETWEEN 97 AND 122))
-      AND ((b1 BETWEEN 65 AND 90) OR (b1 BETWEEN 97 AND 122))
-      AND ((b2 BETWEEN 65 AND 90) OR (b2 BETWEEN 97 AND 122))
-      AND ((b3 BETWEEN 65 AND 90) OR (b3 BETWEEN 97 AND 122))
-      AND nxt + 12 + len <= n_bytes
-),
-valid AS (SELECT file_name FROM walk WHERE done AND nxt = n_bytes),
-chunks AS (
-    SELECT w.file_name, w.idx, w.coff, w.clen, w.ctype, w.hx
-    FROM walk w JOIN valid v USING (file_name) WHERE w.idx >= 0
-),
-ihdr AS (
-    SELECT file_name,
-           CAST('0x' || substring(hx, CAST(2 * (coff + 8) + 1 AS BIGINT), 8)
-                AS BIGINT) AS w,
-           CAST('0x' || substring(hx, CAST(2 * (coff + 12) + 1 AS BIGINT), 8)
-                AS BIGINT) AS h,
-           CAST('0x' || substring(hx, CAST(2 * (coff + 16) + 1 AS BIGINT), 2)
-                AS INT) AS bd,
-           CAST('0x' || substring(hx, CAST(2 * (coff + 17) + 1 AS BIGINT), 2)
-                AS INT) AS ct,
-           CAST('0x' || substring(hx, CAST(2 * (coff + 18) + 1 AS BIGINT), 2)
-                AS INT) AS cm,
-           CAST('0x' || substring(hx, CAST(2 * (coff + 19) + 1 AS BIGINT), 2)
-                AS INT) AS fm,
-           CAST('0x' || substring(hx, CAST(2 * (coff + 20) + 1 AS BIGINT), 2)
-                AS INT) AS il
-    FROM chunks WHERE idx = 0 AND ctype = 'IHDR' AND clen = 13
-),
-idat AS (
-    SELECT file_name,
-           string_agg(substring(hx, CAST(2 * (coff + 8) + 1 AS BIGINT),
-                                CAST(2 * clen AS BIGINT)), ''
-                      ORDER BY idx) AS zh
-    FROM chunks WHERE ctype = 'IDAT' GROUP BY file_name
-),
-plte AS (
-    SELECT file_name, count(*) AS n_plte, min(clen) AS plen,
-           min(substring(hx, CAST(2 * (coff + 8) + 1 AS BIGINT),
-                         CAST(2 * clen AS BIGINT))) AS phex
-    FROM chunks WHERE ctype = 'PLTE' GROUP BY file_name
-),
-meta AS (
-    SELECT i.file_name, i.w, i.h, i.ct,
-           CASE WHEN i.ct = 2 THEN 3 ELSE 1 END AS bpp,
-           CASE WHEN i.ct = 0 THEN 1 ELSE 3 END AS ch,
-           COALESCE(p.phex, '') AS phex, d.zh,
-           length(d.zh) // 2 AS lz
-    FROM ihdr i JOIN idat d USING (file_name)
-    LEFT JOIN plte p USING (file_name)
-    WHERE i.bd = 8 AND i.ct IN (0, 2, 3) AND i.cm = 0 AND i.fm = 0
-      AND i.il = 0
-      AND i.w BETWEEN 1 AND {mpx} AND i.h BETWEEN 1 AND {mrows}
-      AND CASE WHEN i.w BETWEEN 1 AND {mpx} AND i.h BETWEEN 1 AND {mrows}
-               THEN i.w * i.h ELSE {mpx} + 1 END <= {mpx}
-      AND (i.ct != 3 OR (p.n_plte = 1 AND p.plen % 3 = 0
-                         AND p.plen BETWEEN 3 AND 768))
-      AND length(d.zh) >= 22
-      AND length(d.zh) <= {2 * (3 * mpx + mrows + 5 * mb + 64)}
-      AND CAST('0x' || substring(d.zh, 1, 2) AS INT) % 16 = 8
-      AND (CAST('0x' || substring(d.zh, 3, 2) AS INT) // 32) % 2 = 0
-),
-zwalk AS (
-    SELECT file_name, w, h, ct, bpp, ch, phex, zh, lz,
-           CAST(2 AS BIGINT) AS zoff, CAST('' AS VARCHAR) AS outh,
-           CAST(0 AS BIGINT) AS zi, FALSE AS done
-    FROM meta
-    UNION ALL
-    SELECT file_name, w, h, ct, bpp, ch, phex, zh, lz,
-           zoff + 5 + blen,
-           outh || substring(zh, CAST(2 * (zoff + 5) + 1 AS BIGINT),
-                             CAST(2 * blen AS BIGINT)),
-           zi + 1, bf = 1
-    FROM (
-        SELECT *,
-               CAST('0x' || substring(zh, CAST(2 * zoff + 1 AS BIGINT), 2)
-                    AS INT) AS bf,
-               CAST('0x' || substring(zh, CAST(2 * zoff + 3 AS BIGINT), 2)
-                    AS BIGINT)
-               + 256 * CAST('0x' || substring(zh, CAST(2 * zoff + 5 AS BIGINT), 2)
-                    AS BIGINT) AS blen,
-               CAST('0x' || substring(zh, CAST(2 * zoff + 7 AS BIGINT), 2)
-                    AS BIGINT)
-               + 256 * CAST('0x' || substring(zh, CAST(2 * zoff + 9 AS BIGINT), 2)
-                    AS BIGINT) AS nlen
-        FROM zwalk
-        WHERE NOT done AND zi < {mb}
-    ) s
-    WHERE bf IN (0, 1) AND nlen = 65535 - blen AND zoff + 5 + blen + 4 <= lz
-),
-rawimg AS (
-    SELECT file_name, w, h, ct, bpp, ch, phex, outh
-    FROM zwalk
-    WHERE done AND zoff + 4 = lz AND length(outh) = 2 * h * (1 + w * bpp)
-),
-badfilter AS (
-    -- only None/Sub/Up are decodable; any other filter type drops
-    -- the whole file (Average/Paeth stay behind the codec path)
-    SELECT DISTINCT file_name FROM (
-        SELECT file_name, outh, w, bpp, unnest(range(h)) AS rr FROM rawimg
-    )
-    WHERE substring(outh, CAST(2 * rr * (1 + w * bpp) + 1 AS BIGINT), 2)
-          NOT IN ('00', '01', '02')
-),
-rows_ AS (
-    SELECT file_name, w, h, ct, bpp, ch, phex, rr,
-           CAST('0x' || substring(outh,
-                CAST(2 * rr * (1 + w * bpp) + 1 AS BIGINT), 2) AS INT)
-               AS ftype,
-           substring(outh, CAST(2 * rr * (1 + w * bpp) + 3 AS BIGINT),
-                     CAST(2 * w * bpp AS BIGINT)) AS rowh
-    FROM (
-        SELECT r.*, unnest(range(h)) AS rr FROM rawimg r
-        WHERE file_name NOT IN (SELECT file_name FROM badfilter)
-    )
-),
-bytes_ AS (
-    SELECT file_name, w, h, ct, bpp, ch, phex, rr, ftype, xb,
-           CAST('0x' || substring(rowh, CAST(2 * xb + 1 AS BIGINT), 2)
-                AS BIGINT) AS raw
-    FROM (SELECT r.*, unnest(range(w * bpp)) AS xb FROM rows_ r)
-),
-subbed AS (
-    -- Sub telescopes to a per-lane running sum within the row; None
-    -- rows pass through; Up rows are not self-contained (NULL here)
-    SELECT *,
-           CASE WHEN ftype = 1 THEN
-                    sum(raw) OVER (PARTITION BY file_name, rr, xb % bpp
-                                   ORDER BY xb ROWS UNBOUNDED PRECEDING) % 256
-                WHEN ftype = 0 THEN raw END AS self_val
-    FROM bytes_
-),
-vert AS (
-    SELECT *,
-           last_value(self_val IGNORE NULLS) OVER w_v AS base_val,
-           sum(CASE WHEN ftype = 2 THEN raw ELSE 0 END) OVER w_v AS cum_up
-    FROM subbed
-    WINDOW w_v AS (PARTITION BY file_name, xb ORDER BY rr
-                   ROWS UNBOUNDED PRECEDING)
-),
-vert2 AS (
-    SELECT *,
-           last_value(CASE WHEN ftype <> 2 THEN cum_up END IGNORE NULLS)
-               OVER w_v2 AS cum_up_base
-    FROM vert
-    WINDOW w_v2 AS (PARTITION BY file_name, xb ORDER BY rr
-                    ROWS UNBOUNDED PRECEDING)
-),
-recon AS (
-    -- an Up chain = anchor row's reconstruction + the chain's raw
-    -- bytes, mod 256; a missing anchor is the spec's zero row
-    SELECT file_name, w, h, ct, ch, phex, xb,
-           CASE WHEN ftype <> 2 THEN self_val
-                ELSE (COALESCE(base_val, 0) + cum_up
-                      - COALESCE(cum_up_base, 0)) % 256 END AS v0
-    FROM vert2
-),
-badidx AS (
-    SELECT DISTINCT file_name FROM recon
-    WHERE ct = 3 AND 6 * v0 >= length(phex)
-),
-chx AS (
-    SELECT file_name, w, h, ct, phex, v0,
-           unnest(CASE WHEN ct = 2 THEN [CAST(xb % 3 AS BIGINT)]
-                  ELSE range(ch) END) AS channel
-    FROM recon
-    WHERE file_name NOT IN (SELECT file_name FROM badidx)
-),
-px AS (
-    SELECT file_name, w, h, channel,
-           CASE WHEN ct = 3 THEN
-                TRY_CAST('0x' || substring(phex,
-                     CAST(6 * v0 + 2 * channel + 1 AS BIGINT), 2)
-                     AS BIGINT)
-                ELSE v0 END AS v
-    FROM chx
-)
-SELECT file_name, CAST(channel AS BIGINT) AS channel,
-       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
-       CAST(w * h AS BIGINT) AS n_px,
-       CAST(sum(v) AS BIGINT) AS sum_val,
-       CAST(min(v) AS BIGINT) AS min_val,
-       CAST(max(v) AS BIGINT) AS max_val,
-       round(CAST(sum(v) AS DOUBLE) / CAST(w * h AS DOUBLE), 6) AS mean_val
-FROM px GROUP BY file_name, channel, w, h
-ORDER BY file_name, channel
-"""
-
-
-SQL_PNG_FILTER_PIXEL_STATS = _sql_png_filter_pixel_stats()
-
-
-# ---------------------------------------------------------------------------
-# 4. WAV window features: ZCR + first-lag autocorrelation in the SAME fold
-# ---------------------------------------------------------------------------
-
-
-def q_wav_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`wav_pcm_windows`' signal-feature twin (r10 verdict item 8,
-    stretch): the SAME single per-window ``aggregate`` fold over the
-    int16 PCM samples now also carries zero-crossing count/rate and
-    first-lag autocorrelation — amplitude stats → signal features with
-    one decode and no extra scan
-    (:func:`operators.multimodal.wav_window_features`; the shared
-    front half ``_wav_window_chunks`` leaves the registered
-    ``wav_pcm_windows`` plan expression-identical).
-
-    Cross-engine exactness: ``zc`` and the two correlation sums are
-    exact int64 on both engines (strict sign flips ``prev*x < 0``;
-    products ≤ 2³⁰, window-bounded sums); ``zcr`` and ``ac1`` each do
-    ONE double division of exact integers (CLAUDE.md discipline), and
-    a 1-sample tail window / all-zero window yield 0.0 — never NULL or
-    ÷0.  The DuckDB oracle is fully independent: ``read_blob`` +
-    hex-pair decode + ``lag() OVER`` pairs + GROUP BY, vs Spark's
-    NULL-seeded chained-``prev`` accumulator."""
-    from pyspark_pipelining_spark.operators.multimodal import wav_window_features
-    from pyspark_pipelining_spark.queries_ann_media import (
-        WAV_FIXTURE_DIR,
-        WAV_WINDOW,
-    )
-    from pyspark_pipelining_spark.sources.registry import load_binary_files
-
-    files = load_binary_files(spark, WAV_FIXTURE_DIR, glob="*.wav")
-    return wav_window_features(files, window_samples=WAV_WINDOW).orderBy(
-        "file_name", "win"
-    )
-
-
-def _sql_wav_window_features() -> str:
-    from pyspark_pipelining_spark.operators.multimodal import (
-        WAV_HEX_SAFE_FILE_BYTES,
-        WAV_INT32_SAFE_DATA_BYTES,
-    )
-    from pyspark_pipelining_spark.queries_ann_media import (
-        WAV_FIXTURE_DIR,
-        WAV_WINDOW,
-    )
-    from pyspark_pipelining_spark.sources.registry import sql_str_literal
-
-    ws = WAV_WINDOW
-    cap = min(WAV_INT32_SAFE_DATA_BYTES + 44, WAV_HEX_SAFE_FILE_BYTES)
-    u = (
-        "CAST('0x' || substring(chunk, 4 * j + 3, 2)"
-        " || substring(chunk, 4 * j + 1, 2) AS BIGINT)"
-    )
-    # header/window CTEs mirror SQL_WAV_PCM_WINDOWS (same gate, same
-    # guards — one row set); the feature pairs come from lag() OVER the
-    # per-window sample order j, so pairs never span a window boundary,
-    # matching the Spark fold's per-chunk scope.  NULL lag at j=0:
-    # NULL*v<0 falls through the CASE and coalesce keeps ac exact.
-    return f"""
-WITH wav AS (
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-           octet_length(content) AS n_bytes,
-           hex(content) AS h
-    FROM read_blob('{sql_str_literal(WAV_FIXTURE_DIR)}/*.wav')
-    WHERE octet_length(content) <= {cap}
-),
-hdr AS (
-    SELECT file_name, n_bytes, h,
-           CAST('0x' || substring(h, 43, 2) || substring(h, 41, 2) AS INT)
-               AS audio_fmt,
-           CAST('0x' || substring(h, 47, 2) || substring(h, 45, 2) AS INT)
-               AS channels,
-           CAST('0x' || substring(h, 55, 2) || substring(h, 53, 2)
-                || substring(h, 51, 2) || substring(h, 49, 2) AS INT)
-               AS sample_rate,
-           CAST('0x' || substring(h, 71, 2) || substring(h, 69, 2) AS INT)
-               AS bits,
-           CAST('0x' || substring(h, 87, 2) || substring(h, 85, 2)
-                || substring(h, 83, 2) || substring(h, 81, 2) AS BIGINT)
-               AS data_bytes
-    FROM wav
-    WHERE substring(h, 1, 8) = '52494646'
-      AND substring(h, 17, 8) = '57415645'
-      AND substring(h, 25, 8) = '666D7420'
-      AND substring(h, 73, 8) = '64617461'
-),
-wins AS (
-    SELECT file_name, sample_rate, data_bytes // 2 AS n_total, h,
-           unnest(range(0, (data_bytes // 2 - 1) // {ws} + 1)) AS win
-    FROM hdr
-    WHERE audio_fmt = 1 AND channels = 1 AND bits = 16
-      AND data_bytes >= 2 AND data_bytes <= n_bytes - 44
-),
-chunks AS (
-    SELECT file_name, sample_rate, win,
-           least({ws}, n_total - win * {ws}) AS n_samples,
-           substring(h, CAST(89 + win * {4 * ws} AS BIGINT),
-                     CAST(4 * least({ws}, n_total - win * {ws}) AS BIGINT))
-               AS chunk
-    FROM wins
-),
-samp AS (
-    SELECT file_name, sample_rate, win, n_samples, chunk,
-           unnest(range(0, n_samples)) AS j
-    FROM chunks
-),
-vals AS (
-    SELECT file_name, sample_rate, win, n_samples, j,
-           {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END AS v
-    FROM samp
-),
-pairs AS (
-    SELECT file_name, sample_rate, win, n_samples, v,
-           lag(v) OVER (PARTITION BY file_name, win ORDER BY j) AS vp
-    FROM vals
-)
-SELECT file_name, CAST(win AS BIGINT) AS win,
-       CAST(sample_rate AS INT) AS sample_rate,
-       CAST(n_samples AS BIGINT) AS n_samples,
-       CAST(max(abs(v)) AS BIGINT) AS peak,
-       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n_samples), 6) AS rms,
-       CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
-       round(CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS DOUBLE)
-             / greatest(n_samples - 1, 1), 6) AS zcr,
-       round(CASE WHEN sum(v * v) > 0
-                  THEN CAST(sum(coalesce(vp, 0) * v) AS DOUBLE)
-                       / CAST(sum(v * v) AS DOUBLE)
-                  ELSE 0.0 END, 6) AS ac1
-FROM pairs
-GROUP BY file_name, win, sample_rate, n_samples
-ORDER BY file_name, win
-"""
-
-
-SQL_WAV_WINDOW_FEATURES = _sql_wav_window_features()
-
-
-QUERIES_STAGED: dict[str, QueryFn] = {
-    "cms_merge_parity": q_cms_merge_parity,
-    "dpp_top_year_revenue": q_dpp_top_year_revenue,
-    "png_filter_pixel_stats": q_png_filter_pixel_stats,
-    "wav_window_features": q_wav_window_features,
-}
-
-ORACLES_STAGED: dict[str, str] = {
-    "cms_merge_parity": SQL_CMS_MERGE_PARITY,
-    "dpp_top_year_revenue": SQL_DPP_TOP_YEAR_REVENUE,
-    "png_filter_pixel_stats": SQL_PNG_FILTER_PIXEL_STATS,
-    "wav_window_features": SQL_WAV_WINDOW_FEATURES,
-}
+ORACLES_STAGED: dict[str, str] = {}

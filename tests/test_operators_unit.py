@@ -2169,7 +2169,7 @@ def test_png_filter_pixel_stats_stray_contract_matches_oracle(spark, tmp_path):
         png_filtered_pixel_stats,
         png_pixel_stats,
     )
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_ann_media import (
         PNG_FILTER_FIXTURE_DIR,
         _sql_png_filter_pixel_stats,
     )

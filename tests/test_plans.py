@@ -963,7 +963,7 @@ def test_dpp_top_year_revenue_scan_carries_dynamic_pruning(spark):
     Catalyst reuses that broadcast as a directory-level filter, so a
     join-driven dashboard query still lists only the matching
     partition dirs."""
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_coverage import (
         DPP_TOP_YEARS,
         q_dpp_top_year_revenue,
     )
@@ -1018,7 +1018,7 @@ def test_wav_window_features_one_fold_one_decode(spark):
     before the fold (AQE must not byte-coalesce a compute-bound
     stage), the header hexing only its 44 canonical bytes, and the
     payload never hexed whole."""
-    from pyspark_pipelining_spark.queries_staged import q_wav_window_features
+    from pyspark_pipelining_spark.queries_ann_media import q_wav_window_features
     from tests.conftest import SF_SMOKE
 
     plan = (

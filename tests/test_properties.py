@@ -1939,7 +1939,7 @@ def test_cms_merge_associativity(spark, toks, tmp_path_factory):
 
     import pandas as pd
 
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_corpus import (
         CMSM_DEPTH,
         CMSM_WIDTH,
         q_cms_merge_parity,

@@ -967,12 +967,12 @@ def test_staged_cms_merge_parity_streams_foreachbatch(spark, tmp_path):
     reproduce ``est_merged`` / ``est_direct`` for every top-k token
     bit-for-bit."""
     from pyspark_pipelining_spark.operators.sketch import cms_estimate, cms_sketch
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_corpus import (
         CMSM_DEPTH,
         CMSM_K,
         CMSM_WIDTH,
-        QUERIES_STAGED,
         _cms_token_counts,
+        q_cms_merge_parity,
     )
     from pyspark_pipelining_spark.sources.registry import load_table
     from tests.conftest import SF_SMOKE
@@ -1016,7 +1016,7 @@ def test_staged_cms_merge_parity_streams_foreachbatch(spark, tmp_path):
             sq.stop()
 
     assert n_batches[0] > 1  # a single batch would not exercise the merge
-    want = QUERIES_STAGED["cms_merge_parity"](spark, SF_SMOKE).collect()
+    want = q_cms_merge_parity(spark, SF_SMOKE).collect()
     assert len(want) == CMSM_K
     assert want[0]["n_cell_mismatch"] == 0
     # identical support: the streamed sum touches exactly the cells the

@@ -51,6 +51,10 @@ def main(argv: list[str]) -> int:
     if args.staged:
         from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
 
+        # a staged name colliding with a registered one would silently
+        # shadow the registered plan and time the wrong query (ADVICE r11)
+        clash = set(registry) & set(QUERIES_STAGED)
+        assert not clash, f"staged names shadow registered queries: {sorted(clash)}"
         registry.update(QUERIES_STAGED)
     unknown = [q for q in args.queries if q not in registry]
     if unknown:

@@ -38,6 +38,10 @@ def main() -> int:
         # diagnostic is where the multi-branch-recompute smell shows
         from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
 
+        # a staged name colliding with a registered one would silently
+        # shadow the registered plan and audit the wrong query (ADVICE r11)
+        clash = set(registry) & set(QUERIES_STAGED)
+        assert not clash, f"staged names shadow registered queries: {sorted(clash)}"
         registry.update(QUERIES_STAGED)
 
     min_scans = int(argv[0]) if argv else 3
