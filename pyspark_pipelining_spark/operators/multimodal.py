@@ -658,12 +658,15 @@ def wav_window_features(
     product ≤ 2³⁰, so both sums fit int64 for any window ≤ 2³³ samples
     — strictly safer than the (already safe) ``ss`` bound.
 
-    Cost of the extra fields: none measurable — a 1M-sample WAV on
-    local[32] runs 0.52 s warm median-of-3 vs 0.68 s for the base
-    fold (same run order each rep); the fold stays inside
-    :func:`wav_pcm_windows`' measured linear envelope, so the feature
-    columns are free relative to a second decode pass (which would
-    double the bytes touched).
+    Cost of the extra fields: parity within measurement noise — a
+    1M-sample WAV on local[32] timed 0.52 s warm median-of-3 for this
+    fold vs 0.68 s for the base fold (same run order each rep), and a
+    superset fold cannot truly be faster than its subset, so the only
+    supportable claim is that the delta is inside run-to-run spread
+    (ADVICE r11): the fold stays inside :func:`wav_pcm_windows`'
+    measured linear envelope, and the feature columns cost nothing
+    measurable relative to a second decode pass (which would double
+    the bytes touched).
 
     Output: ``file_name, win, sample_rate, n_samples, peak, rms, zc,
     zcr, ac1`` — a superset of :func:`wav_pcm_windows`' columns, equal
@@ -1200,9 +1203,12 @@ def png_filtered_pixel_stats(
 
     Scale: the explode is bounded by ``max_px·bpp ≤ 196k`` rows per
     file before any shuffle; the two window specs induce two bounded
-    shuffles keyed to co-locate exactly the dependence chains
-    (per-row lanes, then per-column), and everything from raw bytes to
-    channel stats is JVM built-ins — zero Python, zero UDFs.  At a
+    byte-row shuffles keyed to co-locate exactly the dependence chains
+    (per-row lanes, then per-column), the only OTHER exchange is the
+    final per-(file, channel) aggregation — the palette-stray check
+    rides that groupBy as a ``max`` indicator rather than adding a
+    third per-file window (ADVICE r11) — and everything from raw bytes
+    to channel stats is JVM built-ins — zero Python, zero UDFs.  At a
     thumbnail-lake's file counts the shuffle rows are
     |files|·pixels — the same order as the decode output itself.
     MEASURED at the pixel cap (a 256×256 all-Sub grayscale, checked
@@ -1334,22 +1340,27 @@ def png_filtered_pixel_stats(
         )
     )
     pxr = px3.withColumn("v0", recon)
-    # palette stray: any index past the PLTE end drops the whole FILE
-    bad = F.max(
-        F.when(
-            (F.col("ct") == 3) & (6 * F.col("v0") >= F.length("plte")), 1
-        ).otherwise(0)
-    ).over(Window.partitionBy("file_name"))
-    good = pxr.withColumn("bad", bad).filter(F.col("bad") == 0)
+    # palette stray: any index past the PLTE end drops the whole FILE —
+    # the indicator rides each row into the final per-(file, channel)
+    # aggregation instead of a third per-file window (ADVICE r11: fold
+    # the check into the existing groupBy).  Correctness is unchanged:
+    # for ct=3 the indicator is channel-independent, so every group of
+    # a stray file aggregates max(stray)=1 and drops; a dropped group's
+    # sum/min/max may see the stray row's garbage lookup, but dropped
+    # groups never reach the output.
+    stray = F.when(
+        (F.col("ct") == 3) & (6 * F.col("v0") >= F.length("plte")), 1
+    ).otherwise(0)
     # channel mapping: an RGB byte belongs to exactly one channel
     # (xb % 3); gray/palette bytes fan out to every output channel
-    chan = good.select(
+    chan = pxr.withColumn("stray", stray).select(
         "file_name",
         "w",
         "h",
         "ct",
         "plte",
         "v0",
+        "stray",
         F.explode(
             F.when(
                 F.col("ct") == 2, F.array(F.pmod(F.col("xb"), F.lit(3)))
@@ -1359,6 +1370,7 @@ def png_filtered_pixel_stats(
         "file_name",
         "w",
         "h",
+        "stray",
         F.col("channel").cast("long").alias("channel"),
         F.when(
             F.col("ct") == 3,
@@ -1374,7 +1386,8 @@ def png_filtered_pixel_stats(
         F.sum("v").alias("sum_val"),
         F.min("v").alias("min_val"),
         F.max("v").alias("max_val"),
-    ).select(
+        F.max("stray").alias("stray"),
+    ).filter(F.col("stray") == 0).select(
         "file_name",
         "channel",
         "w",

@@ -1479,11 +1479,27 @@ def _input_key(sf_dir: str) -> str:
     """Deterministic run key for one sf input: the orders file's
     (mtime_ns, size) — so a regenerated testdata set invalidates the
     materialization instead of silently serving stale partitions (the
-    ``_SUCCESS`` skip is existence-based)."""
+    ``_SUCCESS`` skip is existence-based).  When ``orders.parquet`` is
+    a DIRECTORY of part files (the common layout for engine-written
+    tables), every file under it contributes: an in-place part-file
+    rewrite does not bump the directory's own mtime, so keying on the
+    directory stat alone would serve stale partitions (ADVICE r11)."""
     import os
 
+    path = os.path.join(sf_dir, "orders.parquet")
     try:
-        st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+        if os.path.isdir(path):
+            parts = []
+            for root, _dirs, files in os.walk(path):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{st.st_mtime_ns}_{st.st_size}")
+            if not parts:
+                return "nokey"
+            import hashlib
+
+            return hashlib.md5("|".join(parts).encode()).hexdigest()[:24]
+        st = os.stat(path)
         return f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         return "nokey"
