@@ -1644,27 +1644,41 @@ def q_dpp_top_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition column by a dim predicate ("this campaign's weeks",
     "the audited regions"), not by constants.
 
-    Plan shape (asserted in tests/test_plans.py): the o_year-
-    partitioned fact scan carries ``dynamicpruning#`` inside its
-    PartitionFilters — Catalyst builds the dim side (years ranked by
-    order count, ``row_number() <= {DPP_TOP_YEARS}``), broadcasts it
-    for the join, and REUSES that broadcast as a runtime IN-filter on
-    the fact's partition directories (the plan test also asserts the
-    pruning subquery is a ``ReusedExchange``/``ReusedSubquery`` of the
-    join's own broadcast, so the dim side is built ONCE), so only the
-    qualifying year dirs are listed and read — MEASURED at sf0.1: the
-    layout has 7 ``o_year=N`` dirs, the executed scan carries
-    ``dynamicpruningexpression(o_year IN dynamicpruning#…)`` with
-    empty DataFilters and reads the 2 qualifying dirs (warm
-    median-of-5 0.70 s end-to-end on local[32], including the dim
-    rank).  With daily partitions at 100 TB this is the difference
-    between scanning two campaign-months and scanning the table, with
-    zero literals in the query.
+    Plan shape (asserted in tests/test_plans.py, on the EXECUTED
+    final plan): the o_year-partitioned fact scan carries
+    ``dynamicpruning#`` inside its PartitionFilters, the pruning
+    subquery's final plan is a ``ReusedExchange`` of the join's own
+    broadcast (the dim side is built ONCE), and the scan's own
+    metrics prove the pruning ran: ``staticFilesNum`` = all 7
+    ``o_year=N`` dirs, ``numFiles`` = the {DPP_TOP_YEARS} qualifying
+    dirs actually read.  With daily partitions at 100 TB this is the
+    difference between scanning two campaign-months and scanning the
+    table, with zero literals in the query.
+
+    WHY THE CHECKPOINT (round-12 fix — the window-shaped dim was
+    silently NOT pruning at runtime): under AQE,
+    ``PlanAdaptiveDynamicPruningFilters`` only keeps the pruning
+    filter if a broadcast stage whose exchange ``sameResult``-matches
+    the subquery's captured build plan exists for reuse
+    (``reuseBroadcastOnly``); Catalyst rewrites the JOIN side's rank
+    filter through ``TakeOrderedAndProject`` but leaves the captured
+    subquery build plan as the un-rewritten Sort+Window shape, the
+    match fails, and the filter degrades to
+    ``dynamicpruningexpression(true)`` — all 7 dirs read, no error,
+    no warning (measured: numFiles 7→2 from this change alone).
+    Pinning the ranked dim with ``localCheckpoint`` makes both sides
+    the same LogicalRDD scan, so the match is structural; the rank
+    computes exactly once by construction.  The ``o_year >= 0``
+    domain guard exists because ``PartitionPruning``'s
+    selectivity heuristic does not look through checkpoint
+    boundaries — a bare LogicalRDD dim gets no DPP filter at all;
+    semantically it is a no-op (years are CE calendar years).
 
     The dim derives from the RAW orders view (one small aggregate —
-    |years| rows), so both engines rank the same input; ties break on
-    year.  Money through decimal(18,2), counts BIGINT, year cast to
-    BIGINT on both sides (driver dtype gate)."""
+    |years| rows, so the single-partition rank window and the eager
+    checkpoint are both benign), so both engines rank the same input;
+    ties break on year.  Money through decimal(18,2), counts BIGINT,
+    year cast to BIGINT on both sides (driver dtype gate)."""
     from pyspark.sql import Window
 
     part = _orders_partitioned(spark, sf_dir)
@@ -1678,6 +1692,8 @@ def q_dpp_top_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         yd.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= DPP_TOP_YEARS)
         .select("o_year")
+        .localCheckpoint(eager=True)
+        .filter(F.col("o_year") >= 0)
     )
     joined = part.join(F.broadcast(top), on="o_year")
     return (

