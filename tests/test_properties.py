@@ -1996,6 +1996,86 @@ def test_cms_merge_associativity(spark, toks, tmp_path_factory):
 
 
 @given(
+    toks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # source index
+            st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kmv_merge_retain_k_law(spark, toks, tmp_path_factory):
+    """The order-statistics merge law behind the staged
+    ``kmv_merge_parity`` (r11 verdict item 4, completing the merge-law
+    QUARTET with the histogram-ADD, HLL-MAX, and CMS-ADD models
+    above): for every random split of tokens across sources, the
+    union-then-retain-k-smallest merge of per-source k-min sets must
+    equal the global k-min set BIT-IDENTICALLY — hash by hash, rank by
+    rank — against a plain-Python sorted-set model built from the raw
+    tokens.  Unlike the three pointwise laws, truncation is lossless
+    only because every global survivor is among the k smallest of
+    whichever source saw it; the model recomputes that from scratch.
+    The law is idempotent (re-merging a partial is a no-op — the
+    streaming test pins that), and the estimate both sets imply is
+    the same deterministic function of the set."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark_pipelining_spark.queries_staged import (
+        KMVP_K,
+        q_kmv_merge_parity,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("kmvmerge_sf"))
+    by_source: dict[int, list[str]] = {}
+    for s, t in toks:
+        by_source.setdefault(s, []).append(t)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(by_source)),
+            "text": [" ".join(ts) for ts in by_source.values()],
+            "lang": "en",
+            "source": [f"s{s}" for s in by_source],
+            "n_chars": [len(" ".join(ts)) for ts in by_source.values()],
+        }
+    ).to_parquet(f"{sf_dir}/documents.parquet")
+    rows = q_kmv_merge_parity(spark, sf_dir).collect()
+    assert rows
+
+    def h60(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    # plain-Python model: per-source truncated partials, then the
+    # union's k smallest — must equal the untruncated global k-min
+    partials: set[int] = set()
+    for ts in by_source.values():
+        hs = sorted({h60(t) for t in ts})
+        partials.update(hs[: KMVP_K])
+    model_merged = sorted(partials)[: KMVP_K]
+    distinct = sorted({h60(t) for _s, t in toks})
+    model_direct = distinct[: KMVP_K]
+    assert model_merged == model_direct  # the law itself, in the model
+    # the query reproduced the model set on BOTH branches
+    assert [r["h_merged"] for r in rows] == model_direct
+    assert [r["h_direct"] for r in rows] == model_direct
+    assert [r["rank"] for r in rows] == list(range(1, len(model_direct) + 1))
+    assert all(r["n_set_mismatch"] == 0 for r in rows)
+    assert rows[0]["n_distinct_exact"] == len(distinct)
+    # consumer-level: the estimate is a pure function of the set
+    nd = len(distinct)
+    if nd < KMVP_K:
+        model_est = float(nd)
+        assert rows[0]["est_merged"] == rows[0]["est_direct"] == model_est
+    else:
+        model_est = float((KMVP_K - 1) * (1 << 60)) / float(model_direct[-1])
+        assert rows[0]["est_merged"] == rows[0]["est_direct"]
+        assert abs(rows[0]["est_merged"] - model_est) <= 2e-6
+
+
+@given(
     shape=st.tuples(
         st.integers(min_value=1, max_value=6),   # width
         st.integers(min_value=1, max_value=5),   # height

@@ -1036,6 +1036,72 @@ def test_staged_cms_merge_parity_streams_foreachbatch(spark, tmp_path):
         assert est[r["token"]] == r["est_merged"] == r["est_direct"]
 
 
+def test_staged_kmv_merge_parity_streams_foreachbatch(spark, tmp_path):
+    """Streaming one-plan proof for the fourth merge law (the staged
+    ``kmv_merge_parity`` — r11 verdict item 4): each micro-batch lands
+    its own k-min set via the SAME hash plan the staged callable uses
+    (``_kmv_source_hashes``), and the sink merges by
+    UNION-THEN-RETAIN-K-SMALLEST — an order-statistics truncation,
+    not a pointwise fold.  The law is IDEMPOTENT (re-merging a
+    partial is a no-op, so at-least-once delivery is safe — pinned
+    here by re-applying the final batch and asserting the state is
+    unchanged, the property CMS addition does NOT have), and the
+    stream-merged set must equal the staged query's ranked
+    ``h_merged`` column bit-for-bit."""
+    from pyspark_pipelining_spark.queries_staged import (
+        KMVP_K,
+        _kmv_source_hashes,
+        q_kmv_merge_parity,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "docs_stream")
+    load_table(spark, SF_SMOKE, "documents").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    state: list[int] = []
+    last_partial: list[list[int]] = [[]]
+    n_batches = [0]
+
+    def merge(cur: list[int], partial: list[int]) -> list[int]:
+        return sorted(set(cur) | set(partial))[:KMVP_K]
+
+    def sink(batch_df, _batch_id):
+        n_batches[0] += 1
+        hs = sorted(
+            r["h"] for r in _kmv_source_hashes(batch_df).select("h").distinct().collect()
+        )
+        partial = hs[:KMVP_K]
+        last_partial[0] = partial
+        state[:] = merge(state, partial)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sq = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination(120)
+    finally:
+        if sq.isActive:
+            sq.stop()
+
+    assert n_batches[0] > 1  # a single batch would not exercise the merge
+    # idempotence: re-delivering the final micro-batch changes nothing
+    assert merge(state, last_partial[0]) == state
+    want = q_kmv_merge_parity(spark, SF_SMOKE).collect()
+    assert want and want[0]["n_set_mismatch"] == 0
+    assert [r["h_merged"] for r in want] == state
+    assert want[0]["est_merged"] == want[0]["est_direct"]
+
+
 def test_registered_doclen_sketch_merge_streams_foreachbatch(spark, tmp_path):
     """Streaming one-plan proof for the histogram member of the
     mergeable-sketch trio (HLL max-merge and CMS sum-merge have theirs

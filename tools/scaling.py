@@ -1,0 +1,110 @@
+"""Measured scaling curves for the suite's most expensive queries —
+the cheapest possible early warning before any real scale-up (r11
+verdict item 6): the 100 TB arguments elsewhere in the repo are design
+arguments plus single-sf timings, and the testdata ships three
+committed scales (sf0.001/0.01/0.1, 100× end to end), so the scaling
+EXPONENT is directly measurable:
+
+    python tools/scaling.py [query ...] [--reps 3]
+
+Defaults to the five most expensive bench queries (`corpus_prep`,
+`dedup_clusters`, `dedup_impact`, `node_jaccard`, `harmonic_2hop`).
+Methodology mirrors tools/bracket.py (one untimed warm-up per
+(query, sf), then median of N timed repeats to a noop sink, persist
+handles and session cache dropped between repeats, ambient load
+recorded before the JVM starts).  For each adjacent sf decade it
+prints the fitted exponent e in t ∝ sf^e — e ≈ 1 is linear, e well
+over 1 is the superlinear surprise this tool exists to catch.
+
+Reading the exponents honestly: at the small end, the per-query
+scheduling floor (stage dispatch, planning, the ~40-stage iterative
+DAGs) dominates wall clock, so the 0.001→0.01 exponent UNDERSTATES
+data-work growth (time barely moves while data 10×es); the 0.01→0.1
+decade carries most of the signal.  Expected shapes from the design
+arguments: ~linear (e ≲ 1 after the floor) for the dedup/corpus
+family (band-bucketed joins, pointer jumping with O(log n) bounded
+rounds), Σdeg²-bounded for the graph pair (wedge joins — testdata
+degree distributions keep Σdeg² near-linear in sf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import statistics
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+DEFAULT_QUERIES = [
+    "corpus_prep",
+    "dedup_clusters",
+    "dedup_impact",
+    "node_jaccard",
+    "harmonic_2hop",
+]
+
+SFS = [
+    ("/root/testdata/sf0.001", 0.001),
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+]
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args(argv)
+    names = args.queries or DEFAULT_QUERIES
+
+    try:
+        with open("/proc/loadavg") as fh:
+            ambient = fh.read().split()[:2]
+    except OSError:
+        ambient = ["?", "?"]
+
+    from pyspark_pipelining_spark import cache
+    from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.session import get_spark
+
+    unknown = [q for q in names if q not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"ambient load1/load5 before JVM: {ambient[0]}/{ambient[1]}")
+
+    results: dict[str, dict[float, float]] = {}
+    for name in names:
+        fn = QUERIES[name]
+        results[name] = {}
+        for sf_dir, sf in SFS:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cache.release_all()
+            times = []
+            for _ in range(args.reps):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times.append(time.monotonic() - t0)
+                cache.release_all()
+            results[name][sf] = statistics.median(times)
+        ts = results[name]
+        e_small = math.log(ts[0.01] / ts[0.001]) / math.log(10)
+        e_big = math.log(ts[0.1] / ts[0.01]) / math.log(10)
+        print(
+            f"{name}: t(0.001)={ts[0.001]:.3f} t(0.01)={ts[0.01]:.3f}"
+            f" t(0.1)={ts[0.1]:.3f}"
+            f"  exp[0.001->0.01]={e_small:.2f} exp[0.01->0.1]={e_big:.2f}"
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
