@@ -397,6 +397,7 @@ def _wav_window_chunks(
     window_samples: int,
     path_col: str,
     max_data_bytes: int,
+    n_channels: int = 1,
 ) -> DataFrame:
     """Shared front half of the codec-free WAV ladder — canonical
     RIFF/WAVE header parse, stray filtering, window chunking, and the
@@ -447,8 +448,22 @@ def _wav_window_chunks(
     ``audio_window_plan`` path, chunked upstream.  Gate with
     ``load_binary_files(..., max_bytes=...)``, which skips oversized
     payloads at the format level.
+
+    ``n_channels``: 1 (default) keeps the historical mono shape —
+    every generated expression string is IDENTICAL to the
+    pre-parameter version (``bpf = 2`` reproduces the same literals),
+    so the registered ``wav_pcm_windows`` / ``wav_window_features``
+    plans are untouched (oracle-gated every pytest run).  2 selects
+    canonical interleaved stereo: a FRAME is ``bpf = 4`` bytes (L
+    sample then R), ``n_total`` counts frames, a window is
+    ``window_samples`` frames, and each chunk carries the window's
+    interleaved bytes once — the per-channel stride-2 decode happens
+    in the caller's fold (``wav_stereo_features``), not by slicing
+    channels apart here (which would double the slice passes).
     """
     ws = int(window_samples)
+    nch = int(n_channels)
+    bpf = 2 * nch  # bytes per frame (2-byte samples × channels)
     # size gate on the cheap length metadata column, pushed to the
     # binaryFile scan (plan-asserted): filtering length here is the
     # placement that delivers "filtered, never errored" — length <=
@@ -506,25 +521,26 @@ def _wav_window_chunks(
     pcm = hdr.filter(
         F.col("canonical")
         & (F.col("audio_fmt") == 1)
-        & (F.col("channels") == 1)
+        & (F.col("channels") == nch)
         & (F.col("bits") == 16)
         # degenerate-chunk guards (lake-scan contract: filtered, never
-        # errored or silently NULL): at least one whole sample, and the
+        # errored or silently NULL): at least one whole frame, and the
         # declared data chunk actually present in the payload — an
         # empty chunk would fabricate a zero-sample window and an
         # overstated data_bytes would decode '' into NULL samples
-        & (F.col("data_bytes") >= 2)
+        & (F.col("data_bytes") >= bpf)
         & (F.col("data_bytes") <= F.col("n_bytes") - 44)
-    ).withColumn("n_total", F.expr("data_bytes div 2"))
+    ).withColumn("n_total", F.expr(f"data_bytes div {bpf}"))
     # all window chunks cut in ONE pass over the lambda-bound binary
     # payload (data section starts at 0-based byte 44 → 1-based 45;
-    # 2 bytes/sample), then exploded — window rows never carry the
-    # payload, only their own ~2·window_samples-byte hex slice
+    # bpf bytes/frame; a trailing partial frame is truncated by the
+    # div, mirrored in the oracle), then exploded — window rows never
+    # carry the payload, only their own ~bpf·window_samples-byte slice
     chunk_arr = (
         f"transform(array(content), c -> transform("
         f" sequence(CAST(0 AS BIGINT), (n_total - 1) div {ws}), w ->"
-        f" hex(substring(c, CAST(45 + w * {2 * ws} AS INT),"
-        f" CAST(2 * least({ws}, n_total - w * {ws}) AS INT)))))[0]"
+        f" hex(substring(c, CAST(45 + w * {bpf * ws} AS INT),"
+        f" CAST({bpf} * least({ws}, n_total - w * {ws}) AS INT)))))[0]"
     )
     wins = pcm.select(
         "file_name",
@@ -694,6 +710,119 @@ def wav_window_features(
     ).select(
         "file_name",
         "win",
+        "sample_rate",
+        "n_samples",
+        F.col("st.peak").alias("peak"),
+        F.round(
+            F.sqrt(F.col("st.ss").cast("double") / F.col("n_samples").cast("double")),
+            6,
+        ).alias("rms"),
+        F.col("st.zc").alias("zc"),
+        F.round(
+            F.col("st.zc").cast("double")
+            / F.greatest(F.col("n_samples") - F.lit(1), F.lit(1)).cast("double"),
+            6,
+        ).alias("zcr"),
+        F.round(
+            F.when(
+                F.col("st.ss") > 0,
+                F.col("st.ac").cast("double") / F.col("st.ss").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ac1"),
+    )
+
+
+# little-endian signed int16 sample of frame j, channel `channel`
+# (interleaved stereo: frame j holds sample 2j+channel, hex position
+# 8j + 4·channel + 1) — the stride-2 counterpart of _WAV_V
+_WAV_STEREO_U = (
+    "CAST(conv(concat("
+    "substring(chunk, CAST(8 * j + 4 * channel + 3 AS INT), 2),"
+    " substring(chunk, CAST(8 * j + 4 * channel + 1 AS INT), 2)),"
+    " 16, 10) AS BIGINT)"
+)
+_WAV_STEREO_V = (
+    f"({_WAV_STEREO_U} - CASE WHEN {_WAV_STEREO_U} >= 32768"
+    f" THEN 65536 ELSE 0 END)"
+)
+
+
+def wav_stereo_features(
+    files: DataFrame,
+    window_samples: int = 256,
+    path_col: str = "path",
+    max_data_bytes: int = WAV_INT32_SAFE_DATA_BYTES,
+) -> DataFrame:
+    """:func:`wav_window_features` for canonical interleaved STEREO
+    PCM16 (r11 verdict item 8, stretch): real media lakes are mostly
+    stereo, and interleaved LR frames are the same binary-slice shape
+    with stride 2 — ONE decode front half (``_wav_window_chunks`` with
+    ``n_channels=2``: a window's chunk carries its interleaved bytes
+    once), a per-(window, channel) fold, and ``channel`` as an output
+    column.
+
+    Plan shape: the shared front half cuts one chunk row per (file,
+    window) and spreads on (file, win); the channel fanout is a 2-row
+    explode AFTER the spread (both channel folds of a window run
+    co-located — spread granularity is windows, and a window's two
+    folds together cost what one mono fold of 2·ws samples costs), and
+    each channel row evaluates the SAME single ``aggregate`` fold the
+    mono twin uses, just reading samples at hex position
+    ``8j + 4·channel + 1`` instead of ``4j + 1`` — stride-2 slices of
+    the lambda-bound chunk, still zero Python, one ``aggregate``
+    occurrence in the executed plan (plan-asserted).
+
+    Feature semantics are per channel and otherwise IDENTICAL to
+    :func:`wav_window_features` (strict sign flips, NULL-seeded
+    ``prev`` so pairs never span a window boundary — and channels
+    never mix: each fold sees only its own channel's samples); all
+    sums exact int64, ONE double division per feature, 1-frame-tail
+    and all-zero windows pin to 0.0.  A mono (or any non-2-channel)
+    file is FILTERED by the shared header gate, never errored — the
+    committed mono stray in ``fixtures/audio_stereo/`` pins that; a
+    trailing partial frame (``data_bytes % 4 != 0``) truncates, on
+    both engines.
+
+    Output: ``file_name, win, channel, sample_rate, n_samples, peak,
+    rms, zc, zcr, ac1`` — ``n_samples`` counts FRAMES in the window
+    (per-channel samples), so shared columns line up with the mono
+    twin's semantics.
+    """
+    wins = _wav_window_chunks(
+        files, int(window_samples), path_col, max_data_bytes, n_channels=2
+    )
+    v = _WAV_STEREO_V
+    chan = wins.select(
+        "file_name",
+        "win",
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "chunk",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("channel"),
+    )
+    return chan.select(
+        "file_name",
+        "win",
+        F.col("channel").cast("long").alias("channel"),
+        "sample_rate",
+        "n_samples",
+        F.expr(
+            f"aggregate(transform(sequence(0, CAST(n_samples AS INT) - 1),"
+            f" j -> {v}),"
+            " named_struct('peak', 0L, 'ss', 0L, 'zc', 0L, 'ac', 0L,"
+            "              'prev', CAST(NULL AS BIGINT)),"
+            " (acc, x) -> named_struct("
+            "   'peak', greatest(acc.peak, abs(x)),"
+            "   'ss', acc.ss + x * x,"
+            "   'zc', acc.zc + CASE WHEN acc.prev * x < 0 THEN 1L ELSE 0L END,"
+            "   'ac', acc.ac + coalesce(acc.prev * x, 0L),"
+            "   'prev', x))"
+        ).alias("st"),
+    ).select(
+        "file_name",
+        "win",
+        "channel",
         "sample_rate",
         "n_samples",
         F.col("st.peak").alias("peak"),

@@ -224,10 +224,155 @@ ORDER BY rank
 SQL_KMV_MERGE_PARITY = _sql_kmv_merge_parity()
 
 
+# ---------------------------------------------------------------------------
+# 2. Stereo WAV window features: per-channel ZCR/ac1 from interleaved frames
+# ---------------------------------------------------------------------------
+
+from pyspark_pipelining_spark.sources.registry import (  # noqa: E402
+    fixtures_dir as _fixtures_dir,
+)
+from pyspark_pipelining_spark.sources.registry import sql_str_literal  # noqa: E402
+
+WAV_STEREO_FIXTURE_DIR = _fixtures_dir("audio_stereo")
+WAV_STEREO_WINDOW = 256
+
+
+def q_wav_stereo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wav_window_features`` for interleaved STEREO PCM16 (r11
+    verdict item 8, stretch — real media lakes are mostly stereo):
+    one decode front half (``_wav_window_chunks(n_channels=2)``, a
+    window's chunk carries its interleaved bytes once), a
+    per-(window, channel) fold reading samples at stride 2, and
+    ``channel`` as an output column — over its OWN committed fixture
+    lake (``fixtures/audio_stereo/``: L-triangle/R-noise,
+    ramp/negated-ramp, a mono stray the channels==2 gate must FILTER,
+    and a trailing-partial-frame file both engines truncate
+    identically).
+
+    All feature semantics and exactness contracts are the mono twin's,
+    per channel (exact int64 sums, ONE double division per feature,
+    NULL-seeded ``prev`` so pairs never span a window — nor a channel:
+    each fold sees only its own channel's samples).  The DuckDB oracle
+    is fully independent: hex-pair stride-2 decode + ``lag() OVER
+    (PARTITION BY file_name, win, channel ORDER BY j)`` + GROUP BY."""
+    from pyspark_pipelining_spark.operators.multimodal import wav_stereo_features
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, WAV_STEREO_FIXTURE_DIR, glob="*.wav")
+    return wav_stereo_features(files, window_samples=WAV_STEREO_WINDOW).orderBy(
+        "file_name", "win", "channel"
+    )
+
+
+def _sql_wav_stereo_features() -> str:
+    from pyspark_pipelining_spark.operators.multimodal import (
+        WAV_HEX_SAFE_FILE_BYTES,
+        WAV_INT32_SAFE_DATA_BYTES,
+    )
+
+    ws = WAV_STEREO_WINDOW
+    cap = min(WAV_INT32_SAFE_DATA_BYTES + 44, WAV_HEX_SAFE_FILE_BYTES)
+    u = (
+        "CAST('0x' || substring(chunk, 8 * j + 4 * channel + 3, 2)"
+        " || substring(chunk, 8 * j + 4 * channel + 1, 2) AS BIGINT)"
+    )
+    # header/window CTEs mirror SQL_WAV_WINDOW_FEATURES with the
+    # channels=2 gate and FRAME accounting (data_bytes // 4; a
+    # trailing partial frame truncates); the per-channel fanout is an
+    # unnest over [0, 1] and the feature pairs come from lag() OVER
+    # the per-(window, channel) sample order, so pairs never span a
+    # window NOR a channel — matching the Spark fold's scope.
+    return f"""
+WITH wav AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           octet_length(content) AS n_bytes,
+           hex(content) AS h
+    FROM read_blob('{sql_str_literal(WAV_STEREO_FIXTURE_DIR)}/*.wav')
+    WHERE octet_length(content) <= {cap}
+),
+hdr AS (
+    SELECT file_name, n_bytes, h,
+           CAST('0x' || substring(h, 43, 2) || substring(h, 41, 2) AS INT)
+               AS audio_fmt,
+           CAST('0x' || substring(h, 47, 2) || substring(h, 45, 2) AS INT)
+               AS channels,
+           CAST('0x' || substring(h, 55, 2) || substring(h, 53, 2)
+                || substring(h, 51, 2) || substring(h, 49, 2) AS INT)
+               AS sample_rate,
+           CAST('0x' || substring(h, 71, 2) || substring(h, 69, 2) AS INT)
+               AS bits,
+           CAST('0x' || substring(h, 87, 2) || substring(h, 85, 2)
+                || substring(h, 83, 2) || substring(h, 81, 2) AS BIGINT)
+               AS data_bytes
+    FROM wav
+    WHERE substring(h, 1, 8) = '52494646'
+      AND substring(h, 17, 8) = '57415645'
+      AND substring(h, 25, 8) = '666D7420'
+      AND substring(h, 73, 8) = '64617461'
+),
+wins AS (
+    SELECT file_name, sample_rate, data_bytes // 4 AS n_total, h,
+           unnest(range(0, (data_bytes // 4 - 1) // {ws} + 1)) AS win
+    FROM hdr
+    WHERE audio_fmt = 1 AND channels = 2 AND bits = 16
+      AND data_bytes >= 4 AND data_bytes <= n_bytes - 44
+),
+chunks AS (
+    SELECT file_name, sample_rate, win,
+           least({ws}, n_total - win * {ws}) AS n_samples,
+           substring(h, CAST(89 + win * {8 * ws} AS BIGINT),
+                     CAST(8 * least({ws}, n_total - win * {ws}) AS BIGINT))
+               AS chunk
+    FROM wins
+),
+chans AS (
+    SELECT file_name, sample_rate, win, n_samples, chunk,
+           unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS channel
+    FROM chunks
+),
+samp AS (
+    SELECT file_name, sample_rate, win, channel, n_samples, chunk,
+           unnest(range(0, n_samples)) AS j
+    FROM chans
+),
+vals AS (
+    SELECT file_name, sample_rate, win, channel, n_samples, j,
+           {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END AS v
+    FROM samp
+),
+pairs AS (
+    SELECT file_name, sample_rate, win, channel, n_samples, v,
+           lag(v) OVER (PARTITION BY file_name, win, channel ORDER BY j) AS vp
+    FROM vals
+)
+SELECT file_name, CAST(win AS BIGINT) AS win,
+       CAST(channel AS BIGINT) AS channel,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n_samples), 6) AS rms,
+       CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+       round(CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(n_samples - 1, 1), 6) AS zcr,
+       round(CASE WHEN sum(v * v) > 0
+                  THEN CAST(sum(coalesce(vp, 0) * v) AS DOUBLE)
+                       / CAST(sum(v * v) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ac1
+FROM pairs
+GROUP BY file_name, win, channel, sample_rate, n_samples
+ORDER BY file_name, win, channel
+"""
+
+
+SQL_WAV_STEREO_FEATURES = _sql_wav_stereo_features()
+
+
 QUERIES_STAGED: dict[str, QueryFn] = {
     "kmv_merge_parity": q_kmv_merge_parity,
+    "wav_stereo_features": q_wav_stereo_features,
 }
 
 ORACLES_STAGED: dict[str, str] = {
     "kmv_merge_parity": SQL_KMV_MERGE_PARITY,
+    "wav_stereo_features": SQL_WAV_STEREO_FEATURES,
 }

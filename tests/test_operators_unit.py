@@ -1720,15 +1720,115 @@ def test_wav_pcm_windows_filters_strays_not_errors(spark, tmp_path):
 
 def test_wav_fixture_generator_is_deterministic(tmp_path, monkeypatch):
     """Re-running tools/gen_wav_fixtures.py must reproduce the committed
-    bytes exactly (the cross-engine byte contract the oracle relies on)."""
+    bytes exactly (the cross-engine byte contract the oracle relies on)
+    — both the mono lake and the round-12 stereo lake."""
     import tools.gen_wav_fixtures as gen
 
-    monkeypatch.setattr(gen, "OUT_DIR", str(tmp_path))
+    monkeypatch.setattr(gen, "OUT_DIR", str(tmp_path / "audio"))
+    monkeypatch.setattr(gen, "STEREO_DIR", str(tmp_path / "audio_stereo"))
     gen.main()
     for name in ("tone_triangle.wav", "tone_ramp.wav", "noise_lcg.wav"):
         with open(f"{gen.HERE}/fixtures/audio/{name}", "rb") as committed:
-            with open(tmp_path / name, "rb") as fresh:
+            with open(tmp_path / "audio" / name, "rb") as fresh:
                 assert committed.read() == fresh.read(), name
+    for name in (
+        "stereo_tri_noise.wav",
+        "stereo_ramp_inv.wav",
+        "mono_stray.wav",
+        "stereo_partial_tail.wav",
+    ):
+        with open(f"{gen.HERE}/fixtures/audio_stereo/{name}", "rb") as committed:
+            with open(tmp_path / "audio_stereo" / name, "rb") as fresh:
+                assert committed.read() == fresh.read(), name
+
+
+def test_wav_stereo_features_matches_stdlib_decode(spark):
+    """The staged ``wav_stereo_features`` (r11 verdict item 8) over
+    the committed stereo lake must equal a stdlib wave+struct
+    per-channel pair model row-for-row, and the lake's designed pins
+    must hold: the mono stray is FILTERED by the channels==2 gate
+    (never errored), the trailing-partial-frame file truncates to
+    whole frames, R = −L symmetry leaves rms/zc/zcr/ac1 equal between
+    channels (products and squares are sign-blind), and the
+    L-triangle/R-noise file separates the channels' ac1 exactly as
+    the mono semantic pins do — per channel, from ONE interleaved
+    decode."""
+    import math
+    import struct
+    import wave
+
+    from pyspark_pipelining_spark.operators.multimodal import wav_stereo_features
+    from pyspark_pipelining_spark.queries_staged import (
+        WAV_STEREO_FIXTURE_DIR,
+        WAV_STEREO_WINDOW,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, WAV_STEREO_FIXTURE_DIR, glob="*.wav")
+    got = [
+        tuple(r)
+        for r in wav_stereo_features(files, window_samples=WAV_STEREO_WINDOW)
+        .orderBy("file_name", "win", "channel")
+        .collect()
+    ]
+    names = {g[0] for g in got}
+    assert "mono_stray.wav" not in names  # gate filters, never errors
+    assert names == {
+        "stereo_tri_noise.wav",
+        "stereo_ramp_inv.wav",
+        "stereo_partial_tail.wav",
+    }
+    ws = WAV_STEREO_WINDOW
+    want = []
+    import os
+
+    for name in sorted(names):
+        w = wave.open(os.path.join(WAV_STEREO_FIXTURE_DIR, name))
+        assert w.getnchannels() == 2
+        raw = w.readframes(w.getnframes())
+        flat = struct.unpack(f"<{len(raw) // 2}h", raw)
+        chans = [flat[0::2], flat[1::2]]
+        n_frames = len(flat) // 2
+        for wi in range((n_frames + ws - 1) // ws):
+            for c in (0, 1):
+                seg = chans[c][wi * ws : (wi + 1) * ws]
+                ss = sum(x * x for x in seg)
+                zc = sum(1 for a, b in zip(seg, seg[1:]) if a * b < 0)
+                ac = sum(a * b for a, b in zip(seg, seg[1:]))
+                want.append(
+                    (
+                        name,
+                        wi,
+                        c,
+                        w.getframerate(),
+                        len(seg),
+                        max(abs(x) for x in seg),
+                        round(math.sqrt(ss / len(seg)), 6),
+                        zc,
+                        round(zc / max(len(seg) - 1, 1), 6),
+                        round(ac / ss, 6) if ss > 0 else 0.0,
+                    )
+                )
+    assert got == want
+    # partial tail: 64 full frames + 2 stray bytes → ONE 64-frame
+    # window per channel (the stdlib model saw the same truncation:
+    # wave reports whole frames only)
+    tail = [g for g in got if g[0] == "stereo_partial_tail.wav"]
+    assert len(tail) == 2 and all(g[4] == 64 for g in tail)
+    # R = −L: every per-window feature except nothing differs
+    inv = [g for g in got if g[0] == "stereo_ramp_inv.wav"]
+    left = [g for g in inv if g[2] == 0]
+    right = [g for g in inv if g[2] == 1]
+    assert [g[5:] for g in left] == [g[5:] for g in right]
+    # voiced/unvoiced separation per channel from one decode
+    tn = [g for g in got if g[0] == "stereo_tri_noise.wav"]
+
+    def mean_ac1(c):
+        rows = [g for g in tn if g[2] == c]
+        return sum(g[9] for g in rows) / len(rows)
+
+    assert mean_ac1(0) > 0.9  # L: triangle
+    assert abs(mean_ac1(1)) < 0.2  # R: LCG noise
 
 
 def _python_png_walk(name: str, b: bytes) -> list[tuple]:

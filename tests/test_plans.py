@@ -1102,3 +1102,27 @@ def test_wav_window_features_one_fold_one_decode(spark):
     assert "REPARTITION_BY_NUM" in plan
     assert re.search(r"hex\(substring\(content#\d+, 1, 44\)\)", plan)
     assert "hex(content" not in plan
+
+
+def test_wav_stereo_features_one_fold_one_decode(spark):
+    """The staged stereo twin keeps the mono plan's every structural
+    property: exactly ONE sample fold (both channels evaluate the same
+    aggregate expression on their own 2-row explode of the shared
+    chunk — no per-channel re-slice of the payload, no second decode
+    pass), the REPARTITION_BY_NUM spread, header-only hexing, and the
+    payload never hexed whole."""
+    from pyspark_pipelining_spark.queries_staged import q_wav_stereo_features
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        q_wav_stereo_features(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("aggregate(transform(sequence(0,") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert re.search(r"hex\(substring\(content#\d+, 1, 44\)\)", plan)
+    assert "hex(content" not in plan
+    # the channel fanout is a 2-literal explode, not a chunk re-cut
+    assert plan.count("explode([0,1])") == 1, plan

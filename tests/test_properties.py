@@ -1736,6 +1736,76 @@ def test_wav_window_features_roundtrip_random_samples(
 
 
 @given(
+    frames=st.lists(
+        st.tuples(
+            st.one_of(
+                st.integers(min_value=-32768, max_value=32767),
+                st.sampled_from([0, 0, -32768, 32767, -1, 1]),
+            ),
+            st.one_of(
+                st.integers(min_value=-32768, max_value=32767),
+                st.sampled_from([0, 0, -32768, 32767, -1, 1]),
+            ),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    ws=st.sampled_from([64, 100]),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_wav_stereo_features_roundtrip_random_frames(
+    spark, frames, ws, tmp_path_factory
+):
+    """The staged ``wav_stereo_features``' per-channel features must
+    match a plain-Python pair model on ARBITRARY interleaved int16 LR
+    frames — the stride-2 decode must never mix channels (a pair is
+    (prev, x) WITHIN a channel), zero-runs exercise the strict-flip
+    and silent-window branches per channel, and short final windows
+    truncate per channel identically (mirrors the mono roundtrip
+    above; the staged DuckDB oracle is the third engine)."""
+    import math
+
+    from pyspark_pipelining_spark.operators.multimodal import wav_stereo_features
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+    from tools.gen_wav_fixtures import _interleave, wav_bytes
+
+    left = [f[0] for f in frames]
+    right = [f[1] for f in frames]
+    d = tmp_path_factory.mktemp("wav_stereo_rt")
+    (d / "t.wav").write_bytes(wav_bytes(_interleave(left, right), channels=2))
+    got = [
+        tuple(r)
+        for r in wav_stereo_features(
+            load_binary_files(spark, str(d), glob="*.wav"), window_samples=ws
+        )
+        .orderBy("win", "channel")
+        .collect()
+    ]
+    want = []
+    for wi in range((len(frames) + ws - 1) // ws):
+        for c, chan in enumerate((left, right)):
+            seg = chan[wi * ws : (wi + 1) * ws]
+            ss = sum(x * x for x in seg)
+            zc = sum(1 for a, b in zip(seg, seg[1:]) if a * b < 0)
+            ac = sum(a * b for a, b in zip(seg, seg[1:]))
+            want.append(
+                (
+                    "t.wav",
+                    wi,
+                    c,
+                    8000,
+                    len(seg),
+                    max(abs(x) for x in seg),
+                    round(math.sqrt(ss / len(seg)), 6),
+                    zc,
+                    round(zc / max(len(seg) - 1, 1), 6),
+                    round(ac / ss, 6) if ss > 0 else 0.0,
+                )
+            )
+    assert got == want
+
+
+@given(
     gaps_min=st.lists(
         st.sampled_from([1, 29, 30, 31, 45, 90]),  # exact-boundary planted
         min_size=1,
