@@ -1025,3 +1025,152 @@ def bq_rerank_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def sq8_stats(
+    emb_df: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Corpus-calibrated per-dimension quantization bounds for
+    :func:`sq8_encode`: ONE row carrying ``mins`` / ``maxs`` arrays of
+    length ``dim`` (doubles).
+
+    Scale shape: posexplode fans rows ×dim, but the groupBy has
+    exactly ``dim`` keys, so partial aggregation combines map-side and
+    the shuffle carries ≤ dim × partitions rows — per-dim stats cost a
+    scan, never a wide shuffle.  The single row is meant to be
+    ``F.broadcast``-crossJoined onto both encode sides (the repo's
+    1-row lazy scalar convention), which is also what makes the
+    calibration CONSISTENT: corpus and queries quantize against the
+    same bounds."""
+    ex = spread(emb_df).select(
+        F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select("i", F.col("x").cast("double").alias("x"))
+    dims = ex.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    return dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mn"))).alias("_a"),
+        F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("_b"),
+    ).select(
+        F.expr("transform(_a, s -> s.mn)").alias("mins"),
+        F.expr("transform(_b, s -> s.mx)").alias("maxs"),
+    )
+
+
+def sq8_encode(
+    emb_df: DataFrame,
+    stats_df: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar quantization to int8-range codes — the classic SQ8 rung
+    between binary quantization (:func:`bq_encode`, 1 bit/dim) and
+    product quantization (:func:`pq_train_codes`, sub-byte/dim with a
+    trained codebook): each dimension maps affinely onto [0, 255]
+    against the corpus-calibrated per-dim bounds, a 4× shrink of a
+    float32 vector with no codebook to train.
+
+    Cross-engine exactness: the code is
+    ``least(255, floor((x − mn) · 256 / (mx − mn)))`` (0 when the
+    dimension is constant) — floor, not round, because IEEE-double
+    ``floor`` is bit-deterministic given identical inputs while
+    half-way ``round`` ties break differently across engines
+    (HALF_UP vs half-away vs banker's — the repo's decimal-discipline
+    class of hazard, avoided rather than argued about).  Both engines
+    compute the same three double ops in the same order, so codes are
+    bit-identical by construction.
+
+    Output: ``<id_col>, sq`` (array<int> of length ``dim``, values in
+    [0, 255]); encoding is one map-side ``transform`` against the
+    broadcast 1-row stats — nothing shuffles."""
+    code = (
+        f"transform(sequence(0, {dim - 1}), i -> CASE"
+        f" WHEN element_at(maxs, i + 1) > element_at(mins, i + 1) THEN"
+        f" least(255, CAST(floor((CAST(element_at({vec_col}, i + 1) AS DOUBLE)"
+        f" - element_at(mins, i + 1)) * 256.0D"
+        f" / (element_at(maxs, i + 1) - element_at(mins, i + 1))) AS INT))"
+        f" ELSE 0 END)"
+    )
+    return (
+        emb_df.crossJoin(F.broadcast(stats_df))
+        .select(F.col(id_col), F.expr(code).alias("sq"))
+    )
+
+
+def sq8_rerank_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production SQ8 deployment (the FAISS ``SQ8`` /
+    vector-store "scalar quantization" mode): a SYMMETRIC
+    integer-dot shortlist over int8-range codes, then exact cosine
+    re-scoring of the survivors — the same two-stage shape as
+    :func:`bq_rerank_topk` one precision rung up (8 bits/dim instead
+    of 1), with the corpus flowing as ``dim`` bytes per vector instead
+    of ``4·dim`` float bytes.
+
+    Shortlist score: ``Σ (c_i − 128)(q_i − 128)`` — centering the
+    [0, 255] codes makes the integer dot track the cosine's signed
+    geometry (an uncentered code dot is dominated by the all-positive
+    offset); every term is |·| ≤ 128², the sum ≤ dim·2¹⁴ — exact int64
+    on any engine, so the shortlist is deterministic and
+    oracle-reproducible bit-for-bit (ties break on id).  Stage 2 is
+    one broadcast hash join of the |q|·shortlist id list against the
+    float vectors — full precision touched for shortlisted rows only.
+
+    Scale shape: both sides quantize against the SAME broadcast 1-row
+    corpus calibration (:func:`sq8_stats` — one dim-keyed map-side
+    aggregate); the scan side of the shortlist carries codes, never
+    vectors; everything is whole-stage-codegen integer MACs.
+
+    Output: ``query_id, vec_id, cosine, rank``."""
+    stats = sq8_stats(emb_df, dim=dim, vec_col=vec_col)
+    corpus = sq8_encode(spread(emb_df), stats, dim=dim, id_col=id_col, vec_col=vec_col)
+    queries = sq8_encode(
+        query_df.select(
+            F.col("query_id").alias(id_col), F.col("query_vec").alias(vec_col)
+        ),
+        stats,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias("query_id"), F.col("sq").alias("qsq"))
+    idot = F.expr(
+        "aggregate(zip_with(sq, qsq, (a, b) ->"
+        " (CAST(a AS BIGINT) - 128) * (CAST(b AS BIGINT) - 128)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, idot.alias("idot"))
+    )
+    w_s = Window.partitionBy("query_id").orderBy(F.desc("idot"), F.asc(id_col))
+    short = (
+        scored.withColumn("_rn", F.row_number().over(w_s))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", id_col)
+    )
+    vecs = spread(emb_df).select(id_col, F.col(vec_col).alias("_v"))
+    qv = query_df.select("query_id", "query_vec")
+    cos = _dot(F.col("_v"), F.col("query_vec")) / (
+        _norm(F.col("_v")) * _norm(F.col("query_vec"))
+    )
+    rer = (
+        F.broadcast(short)
+        .join(vecs, id_col)
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", id_col, F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

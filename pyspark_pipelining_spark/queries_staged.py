@@ -10,10 +10,11 @@ revalidations (CLAUDE.md: registry freeze).
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into their family
 modules (``kmv_merge_parity`` → queries_corpus beside its three
 merge-law siblings ``hll_register_merge`` / ``cms_merge_parity`` /
-the KMV queries; ``wav_stereo_features`` → queries_ann_media beside
-``wav_window_features``), reset this file, repoint the moved queries'
-tests (the streaming one-plan tests import ``_kmv_source_hashes`` and
-the stereo plan helpers from here — move them with their queries),
+the KMV queries; ``wav_stereo_features`` and ``sim_sq8_rerank`` →
+queries_ann_media beside ``wav_window_features`` and the BQ pair),
+reset this file, repoint the moved queries' tests (the streaming
+one-plan test imports ``_kmv_source_hashes`` from here — move it with
+its query; the stereo/SQ8 tests import fixture dirs and constants),
 and regenerate VALIDATION.md.  The local gates exercise everything
 here every pytest run (oracle compare at sf0.001, the pandas-dtype
 gate, and the plan-invariant gate), so staged queries are
@@ -367,12 +368,130 @@ ORDER BY file_name, win, channel
 SQL_WAV_STEREO_FEATURES = _sql_wav_stereo_features()
 
 
+# ---------------------------------------------------------------------------
+# 3. SQ8 ANN: scalar-quantized integer-dot shortlist + exact cosine rerank
+# ---------------------------------------------------------------------------
+
+SQ8_N_QUERIES = 3
+SQ8_TOPK = 5
+SQ8_SHORTLIST = 50
+SQ8_DIM = 64
+
+
+def q_sim_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS ``SQ8`` / vector-store
+    "scalar quantization" mode) — the missing precision rung in the
+    ANN ladder between binary quantization (1 bit/dim,
+    ``sim_bq_rerank``) and product quantization (trained codebooks,
+    ``sim_pq_topk``): per-dim affine int8 codes against a
+    corpus-calibrated min/max, a SYMMETRIC centered integer-dot
+    shortlist, exact cosine re-scoring of the survivors
+    (:func:`operators.similarity.sq8_rerank_topk`).  Complements the
+    registered ``embedding_sq8`` audit (r09), which quantizes each
+    vector against its OWN min/max to report code health — search
+    needs the CORPUS-calibrated per-dimension bounds here, or two
+    vectors' codes are not comparable.
+
+    Cross-engine exactness: codes use ``floor``, not ``round`` (IEEE
+    floor is bit-deterministic; half-way round ties break differently
+    across engines), and the shortlist score ``Σ (c−128)(q−128)`` is
+    exact int64 — so shortlist AND final ranking are bit-identical in
+    DuckDB, no tolerance anywhere.  Scale shape: calibration is one
+    dim-keyed map-side aggregate broadcast as a 1-row frame; the
+    shortlist scan carries dim-byte codes, never float vectors;
+    re-rank touches full floats for |q|·shortlist rows only."""
+    from pyspark_pipelining_spark.operators.similarity import sq8_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < SQ8_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq8_rerank_topk(
+        emb, qv, k=SQ8_TOPK, shortlist=SQ8_SHORTLIST, dim=SQ8_DIM
+    )
+
+
+def _sql_sim_sq8_rerank() -> str:
+    d = SQ8_DIM
+
+    def code(vec: str) -> str:
+        return (
+            f"list_transform(range({d}), i -> CASE"
+            f" WHEN s.mxs[i + 1] > s.mins[i + 1] THEN"
+            f" least(255, CAST(floor((CAST({vec}[i + 1] AS DOUBLE) - s.mins[i + 1])"
+            f" * 256.0 / (s.mxs[i + 1] - s.mins[i + 1])) AS BIGINT))"
+            f" ELSE 0 END)"
+        )
+
+    dot = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        " CAST(q.query_vec AS DOUBLE[]))"
+    )
+    ne = (
+        "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        " CAST(e.embedding AS DOUBLE[])))"
+    )
+    nq = (
+        "sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]),"
+        " CAST(q.query_vec AS DOUBLE[])))"
+    )
+    return f"""
+WITH dims AS (
+    SELECT t.i,
+           min(CAST(embedding[t.i + 1] AS DOUBLE)) AS mn,
+           max(CAST(embedding[t.i + 1] AS DOUBLE)) AS mx
+    FROM embeddings, range({d}) t(i)
+    GROUP BY t.i
+),
+stats AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS mxs FROM dims),
+corpus AS (
+    SELECT vec_id, {code('embedding')} AS sq
+    FROM embeddings CROSS JOIN stats s
+),
+qc AS (
+    SELECT vec_id AS query_id, {code('embedding')} AS qsq
+    FROM embeddings CROSS JOIN stats s
+    WHERE vec_id < {SQ8_N_QUERIES}
+),
+short AS (
+    SELECT qc.query_id, c.vec_id
+    FROM corpus c, qc WHERE c.vec_id != qc.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY qc.query_id
+        ORDER BY list_sum(list_transform(range({d}),
+                          i -> (c.sq[i + 1] - 128) * (qc.qsq[i + 1] - 128))) DESC,
+                 c.vec_id ASC) <= {SQ8_SHORTLIST}
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec
+    FROM embeddings WHERE vec_id < {SQ8_N_QUERIES}
+),
+rer AS (
+    SELECT s.query_id, s.vec_id, round({dot} / ({ne} * {nq}), 6) AS cosine
+    FROM short s
+    JOIN embeddings e ON s.vec_id = e.vec_id
+    JOIN q ON s.query_id = q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+FROM rer
+QUALIFY rank <= {SQ8_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+SQL_SIM_SQ8_RERANK = _sql_sim_sq8_rerank()
+
+
 QUERIES_STAGED: dict[str, QueryFn] = {
     "kmv_merge_parity": q_kmv_merge_parity,
     "wav_stereo_features": q_wav_stereo_features,
+    "sim_sq8_rerank": q_sim_sq8_rerank,
 }
 
 ORACLES_STAGED: dict[str, str] = {
     "kmv_merge_parity": SQL_KMV_MERGE_PARITY,
     "wav_stereo_features": SQL_WAV_STEREO_FEATURES,
+    "sim_sq8_rerank": SQL_SIM_SQ8_RERANK,
 }

@@ -1330,6 +1330,78 @@ def test_bq_rerank_recall_vs_bruteforce(spark):
     assert full == truth  # whole-corpus shortlist == brute force
 
 
+def test_sq8_codes_match_python_model_and_recall(spark):
+    """The staged SQ8 rung (scalar quantization — the precision step
+    between BQ's sign bits and PQ's trained codebooks): (a) every code
+    equals a plain-Python floor-affine model against the per-dim
+    corpus min/max (the floor-not-round determinism contract), (b) the
+    shortlist+rerank recovers most of the true top-5 at the staged
+    shortlist and ALL of it when the shortlist is the whole corpus,
+    and (c) SQ8's 8-bit shortlist is at least as good as BQ's 1-bit
+    one at the same shortlist size (the precision-ladder claim)."""
+    import math
+
+    from pyspark_pipelining_spark.operators.similarity import (
+        bq_rerank_topk,
+        cosine_topk,
+        sq8_encode,
+        sq8_rerank_topk,
+        sq8_stats,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # (a) code model
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    dim = 64
+    mins = [min(v[i] for v in vecs.values()) for i in range(dim)]
+    maxs = [max(v[i] for v in vecs.values()) for i in range(dim)]
+    got = {
+        r["vec_id"]: list(r["sq"])
+        for r in sq8_encode(emb, sq8_stats(emb)).collect()
+    }
+    for vid, v in vecs.items():
+        want = [
+            min(
+                255,
+                math.floor(
+                    (float(v[i]) - float(mins[i]))
+                    * 256.0
+                    / (float(maxs[i]) - float(mins[i]))
+                ),
+            )
+            if maxs[i] > mins[i]
+            else 0
+            for i in range(dim)
+        ]
+        assert got[vid] == want, vid
+        assert all(0 <= c <= 255 for c in want)
+    # (b) recall floor + exactness ceiling
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qv, k=5).collect()
+    }
+    sq50 = {
+        (r["query_id"], r["vec_id"])
+        for r in sq8_rerank_topk(emb, qv, k=5, shortlist=50).collect()
+    }
+    assert len(sq50 & truth) / len(truth) >= 0.8  # 8-bit floor
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in sq8_rerank_topk(emb, qv, k=5, shortlist=10_000).collect()
+    }
+    assert full == truth
+    # (c) at the same shortlist, 8 bits never recalls less than 1 bit
+    bq50 = {
+        (r["query_id"], r["vec_id"])
+        for r in bq_rerank_topk(emb, qv, k=5, shortlist=50).collect()
+    }
+    assert len(sq50 & truth) >= len(bq50 & truth)
+
+
 def test_hll_windowed_distinct_tracks_exact_sliding_counts(spark):
     """7-day register merges must estimate each full window's exact
     distinct-user count within HLL tolerance, and merging must never

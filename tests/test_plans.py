@@ -970,7 +970,18 @@ def test_dpp_top_year_revenue_scan_carries_dynamic_pruning(spark):
     from tests.conftest import SF_SMOKE
 
     df = q_dpp_top_year_revenue(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # FileScan metadata values are truncated at
+    # spark.sql.maxMetadataStringLength (default 100) when the tree
+    # renders — in a long session the attribute ids grow wide enough
+    # to cut "IN dynamicpruning#N" mid-token (observed: the full suite
+    # at ~24k expression ids truncated to "IN dynamicpr…" and failed a
+    # match that passes in isolation).  Widen for the render only.
+    old_len = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
     scans = [
         l
         for l in plan.splitlines()
