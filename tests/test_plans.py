@@ -13,11 +13,42 @@ from pyspark_pipelining_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
 
-def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_SMOKE)
+def formatted_plan(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def plan_of(spark, name: str) -> str:
+    return formatted_plan(spark, QUERIES[name](spark, SF_SMOKE))
+
+
+@pytest.fixture(scope="module")
+def all_plan_texts(spark):
+    """Formatted explain of EVERY registered + staged query, built once
+    per module and shared by the repo-wide invariant gates and the
+    plan-shape lock gate (building 200+ plans — the iterative ones
+    execute their loops during construction — is the expensive part,
+    so the three gates split one pass).
+
+    Each build is cache-isolated (clearCache before it): query builders
+    persist() internal frames and never unpersist, so without this a
+    later query's plan can pick up an InMemoryTableScan from an earlier
+    query's cache entry, making the plan text depend on build ORDER —
+    the lock gate needs order-independent shapes (the standalone tool
+    builds in sorted order, this fixture in registration order)."""
+    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+
+    texts = {}
+    for name in QUERIES:
+        spark.catalog.clearCache()
+        texts[name] = plan_of(spark, name)
+    for name, fn in QUERIES_STAGED.items():
+        assert name not in texts, f"staged name collides with registered: {name}"
+        spark.catalog.clearCache()
+        texts[name] = formatted_plan(spark, fn(spark, SF_SMOKE))
+    spark.catalog.clearCache()
+    return texts
 
 
 def test_pricing_summary_pushes_date_filter_and_prunes_columns(spark):
@@ -521,7 +552,7 @@ def test_char_diversity_has_partial_aggregation(spark):
     assert "partial_count" in plan
 
 
-def test_no_query_has_cartesian_or_python_row_udf(spark):
+def test_no_query_has_cartesian_or_python_row_udf(spark, all_plan_texts):
     """Repo-wide invariants over every registered query's physical
     plan: (1) no CartesianProduct — scalar stitches must broadcast, so
     they compile to BroadcastNestedLoopJoin over one row, never a
@@ -531,7 +562,7 @@ def test_no_query_has_cartesian_or_python_row_udf(spark):
     allowed)."""
     offenders = {}
     for name in QUERIES:
-        plan = plan_of(spark, name)
+        plan = all_plan_texts[name]
         bad = []
         if "CartesianProduct" in plan:
             bad.append("CartesianProduct")
@@ -701,20 +732,15 @@ def test_convergence_probes_are_bounded_actions_on_checkpointed_state(
         assert "LogicalRDD" in plan and "Join" not in plan, plan
 
 
-def test_staged_plans_have_no_cartesian_or_python_row_udf(spark):
+def test_staged_plans_have_no_cartesian_or_python_row_udf(spark, all_plan_texts):
     """The repo-wide plan invariant, applied to the current staging
     area BEFORE registration (same gate every staged set since round 7
     has passed): no CartesianProduct, no BatchEvalPython."""
     from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
-    from tests.conftest import SF_SMOKE
 
     offenders = {}
-    for name, fn in QUERIES_STAGED.items():
-        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
+    for name in QUERIES_STAGED:
+        plan = all_plan_texts[name]
         bad = [
             marker
             for marker in ("CartesianProduct", "BatchEvalPython")
@@ -723,6 +749,83 @@ def test_staged_plans_have_no_cartesian_or_python_row_udf(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"staged plan invariant violations: {offenders}"
+
+
+def test_fingerprint_parser_buckets_and_ignores():
+    """Pure parse check: node kinds bucket correctly, codegen tags and
+    expression ids are ignored, scan variants all land in `scans`, and
+    non-cost nodes (Project/Filter) don't appear at all."""
+    from pyspark_pipelining_spark.plans.fingerprint import (
+        diff_locks,
+        fingerprint_plan_text,
+    )
+
+    text = "\n".join(
+        [
+            "== Physical Plan ==",
+            "AdaptiveSparkPlan (9)",
+            "(1) Scan parquet ",
+            "(2) Filter [codegen id : 1]",
+            "(3) Project [codegen id : 1]",
+            "(4) HashAggregate [codegen id : 1]",
+            "(5) Exchange",
+            "(6) HashAggregate [codegen id : 2]",
+            "(7) BroadcastExchange",
+            "(8) BroadcastHashJoin [codegen id : 2]",
+            "===== Subqueries =====",
+            "(10) Scan ExistingRDD",
+            "(11) ReusedExchange [Reuses operator id: 7]",
+        ]
+    )
+    fp = fingerprint_plan_text(text)
+    assert fp == {
+        "bhj": 1,
+        "broadcasts": 1,
+        "hash_aggs": 2,
+        "reused": 1,
+        "scans": 2,
+        "shuffles": 1,
+    }
+    drift = diff_locks({"q": fp}, {"q": {**fp, "shuffles": 2}})
+    assert drift == ["q: shuffles 1 -> 2"]
+    assert diff_locks({"q": fp}, {"q": dict(fp)}) == []
+
+
+def test_plan_shapes_match_committed_lock(spark, all_plan_texts):
+    """Every registered and staged query's physical-plan SHAPE — its
+    counts of shuffle exchanges, broadcasts, join strategies, windows,
+    aggregates, scans, generates — must match the committed lock
+    (`tools/plan_lock.json`).  Motivation is the round-12 DPP finding:
+    plans can degrade silently while every value-level oracle stays
+    green, and per-query text assertions only pin the handful of
+    queries someone thought to pin.  The lock pins all of them; an
+    INTENTIONAL plan change regenerates it in the same commit
+    (`python tools/plan_lock.py --write`) so the JSON diff is the
+    review artifact.  Shape is taken from the AQE-initial plan (the
+    deterministic part); runtime behaviors (coalescing, skew splits,
+    DPP metrics, exchange reuse) have their own executed-plan tests."""
+    import json
+    import os
+
+    from pyspark_pipelining_spark.plans.fingerprint import (
+        diff_locks,
+        fingerprint_plan_text,
+    )
+
+    lock_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "plan_lock.json",
+    )
+    with open(lock_path) as fh:
+        locked = json.load(fh)
+    current = {name: fingerprint_plan_text(t) for name, t in all_plan_texts.items()}
+    diffs = diff_locks(locked, current)
+    assert not diffs, (
+        "plan shapes drifted from tools/plan_lock.json — if intentional, "
+        "regenerate with `python tools/plan_lock.py --write` and commit the "
+        "JSON diff alongside the change:\n" + "\n".join(diffs)
+    )
 
 
 def test_tfidf_cosine_postings_are_cached_for_reuse(spark):

@@ -875,6 +875,26 @@ LAYOUT_SENSITIVE = [
     "jaccard_prefix_pairs",
     "sim_lsh_multitable",
     "hll_window_users",
+    # round-12 registrations: counter-addition merges and a
+    # dynamically-pruned scan (split boundaries must not change which
+    # partitions DPP admits), plus the two fixture-fed decode ladders
+    # whose window prefix scans ride byte-row ordering
+    "cms_merge_parity",
+    "dpp_top_year_revenue",
+    "png_filter_pixel_stats",
+    "wav_window_features",
+]
+
+# round-13 staged queries, swept under the same contract before they
+# ever see a driver row: KMV's union-then-retain-k is an
+# order-STATISTICS truncation (the classic place a shuffle-order
+# dependence hides), SQ8's integer-dot shortlist must tiebreak
+# deterministically, and the stereo fold adds a channel fanout on top
+# of the mono window spread
+LAYOUT_SENSITIVE_STAGED = [
+    "kmv_merge_parity",
+    "sim_sq8_rerank",
+    "wav_stereo_features",
 ]
 
 
@@ -886,25 +906,33 @@ def test_layout_invariance_sweep(spark):
     import pytest as _pytest
 
     from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
     from tests.conftest import SF_SMOKE
 
+    registry = {**QUERIES, **QUERIES_STAGED}
+    # staged names keep resolving after they migrate into QUERIES at
+    # the next round's registration — coverage never silently drops
+    names = LAYOUT_SENSITIVE + LAYOUT_SENSITIVE_STAGED
+    missing = [n for n in names if n not in registry]
+    assert not missing, f"sweep names not in any registry: {missing}"
+
     def run(name):
-        return sorted(tuple(str(x) for x in r) for r in QUERIES[name](spark, SF_SMOKE).collect())
+        return sorted(tuple(str(x) for x in r) for r in registry[name](spark, SF_SMOKE).collect())
 
     base, hostile = {}, {}
-    for name in LAYOUT_SENSITIVE:
+    for name in names:
         base[name] = run(name)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     old_mb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
-        for name in LAYOUT_SENSITIVE:
+        for name in names:
             hostile[name] = run(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mb)
-    diffs = [n for n in LAYOUT_SENSITIVE if base[n] != hostile[n]]
+    diffs = [n for n in names if base[n] != hostile[n]]
     assert not diffs, f"layout-dependent results: {diffs}"
 
 

@@ -77,6 +77,14 @@ SENSITIVE = [
     # like png_chunks — sf does not scale them)
     "cms_merge_parity",
     "dpp_top_year_revenue",
+    # r13 staging: KMV's k-min hash sets drawn from ~100x more distinct
+    # tokens (the retained order statistics change entirely with scale;
+    # both engines must agree bit-exact), and SQ8's corpus-calibrated
+    # min/max bounds + exact int64 centered dots over the full sf0.1
+    # embedding table (wav_stereo_features is fixture-fed, like
+    # png_chunks — sf does not scale it)
+    "kmv_merge_parity",
+    "sim_sq8_rerank",
 ]
 
 
