@@ -15,7 +15,10 @@ queries_ann_media beside ``wav_window_features`` and the BQ pair),
 reset this file, repoint the moved queries' tests (the streaming
 one-plan test imports ``_kmv_source_hashes`` from here — move it with
 its query; the stereo/SQ8 tests import fixture dirs and constants),
-and regenerate VALIDATION.md.  The local gates exercise everything
+regenerate VALIDATION.md, and re-verify the plan lock (``python
+tools/plan_lock.py`` — keys are query names, so a pure module move
+leaves it green; regenerate with ``--write`` only if a plan actually
+changed).  The local gates exercise everything
 here every pytest run (oracle compare at sf0.001, the pandas-dtype
 gate, and the plan-invariant gate), so staged queries are
 pytest-green now and driver-validated next round.
