@@ -498,3 +498,78 @@ ORACLES_STAGED: dict[str, str] = {
     "wav_stereo_features": SQL_WAV_STEREO_FEATURES,
     "sim_sq8_rerank": SQL_SIM_SQ8_RERANK,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-13 staging QUEUE — ready and fully gated (oracle compare, plan
+# shape, hypothesis model in tests/test_substring_spans.py) but kept
+# OUT of QUERIES_STAGED until the current trio registers, honoring the
+# <=3-staged cadence (r11 verdict item 7).  At round-13 start: move the
+# trio to family modules, then promote this pair into the dicts.
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM_LEN = 16
+SPAN_MIN = 32
+SPAN_MAX_OCC = 1024
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022 semantics) as
+    diagonal islands over positional md5 grams —
+    ``operators/dedup.exact_substring_spans``.  Complements the
+    doc-level MinHash/SimHash families: it finds verbatim repeated
+    PASSAGES inside otherwise-distinct documents."""
+    from pyspark_pipelining_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(
+        docs,
+        gram_len=SPAN_GRAM_LEN,
+        min_span=SPAN_MIN,
+        max_gram_occurrences=SPAN_MAX_OCC,
+        # one small parquet file = one scan partition; spread the gram
+        # stage across the session (operator docstring: leave None on
+        # a real multi-file lake)
+        spread=spark.sparkContext.defaultParallelism,
+    ).orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
+def _sql_exact_substring_spans() -> str:
+    # generate_series spine bounded at 1024 (committed corpus max doc
+    # length is 577; the WHERE keeps positions in-document), the
+    # chunk_overlap oracle pattern.  Island key: pa minus its rank
+    # within the (pair, diagonal) group — identical window on both
+    # engines; every output column BIGINT.
+    return f"""
+WITH grams AS (
+  SELECT doc_id AS doc, CAST(g.i AS BIGINT) AS pos,
+         ('0x' || substr(md5(substring(text, CAST(g.i AS INT), {SPAN_GRAM_LEN})), 1, 15))::BIGINT AS h
+  FROM documents, generate_series(1, 1024) AS g(i)
+  WHERE g.i <= length(text) - {SPAN_GRAM_LEN} + 1
+),
+kept AS (
+  SELECT * FROM grams
+  WHERE h NOT IN (SELECT h FROM grams GROUP BY h HAVING count(*) > {SPAN_MAX_OCC})
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kept a JOIN kept b USING (h)
+  WHERE a.doc < b.doc
+),
+isl AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS k
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS start_a,
+       CAST(min(pb) AS BIGINT) AS start_b,
+       CAST(count(*) + {SPAN_GRAM_LEN} - 1 AS BIGINT) AS span_len
+FROM isl
+GROUP BY doc_a, doc_b, diag, k
+HAVING count(*) + {SPAN_GRAM_LEN} - 1 >= {SPAN_MIN}
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
+SQL_EXACT_SUBSTRING_SPANS = _sql_exact_substring_spans()

@@ -1,0 +1,191 @@
+"""exact_substring_spans — span-level exact-substring dedup (queued for
+round-13 staging; see the queue section of queries_staged.py).
+
+Three layers, mirroring the repo's gate stack so promotion to
+QUERIES_STAGED is a two-line move:
+
+* DuckDB oracle compare + pandas-dtype parity at sf0.001 (what the
+  staged oracle gate will run);
+* a quadratic pure-Python char-run reference model under hypothesis —
+  proving the diagonal-island gram construction EQUALS plain
+  "maximal matching character run >= max(L, min_span)" semantics;
+* plan shape: broadcast anti-join for the boilerplate cap, exactly
+  four shuffle exchanges (hot-gram count, two self-join sides, the
+  island window — the final aggregate must REUSE the window's
+  partitioning), no cartesian, no row UDF.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pyspark_pipelining_spark.operators.dedup import exact_substring_spans
+from pyspark_pipelining_spark.queries_staged import (
+    SQL_EXACT_SUBSTRING_SPANS,
+    q_exact_substring_spans,
+)
+from tests.conftest import SF_SMOKE
+
+COLS = ["doc_a", "doc_b", "start_a", "start_b", "span_len"]
+
+
+def model_spans(docs: dict[int, str], L: int, min_span: int) -> list[tuple]:
+    """Quadratic reference: maximal cross-doc matching char runs of
+    length >= max(L, min_span), walked per (pair, diagonal)."""
+    out = []
+    for a, b in itertools.combinations(sorted(docs), 2):
+        ta, tb = docs[a], docs[b]
+        for d in range(-(len(tb) - 1), len(ta)):
+            run = 0
+            for pb in range(1, len(tb) + 1):
+                pa = pb + d
+                if 1 <= pa <= len(ta) and ta[pa - 1] == tb[pb - 1]:
+                    run += 1
+                else:
+                    if run >= max(L, min_span):
+                        out.append((a, b, pb - run + d, pb - run, run))
+                    run = 0
+            if run >= max(L, min_span):
+                sb = len(tb) + 1 - run
+                out.append((a, b, sb + d, sb, run))
+    return sorted(out)
+
+
+def spark_spans(spark, docs: dict[int, str], L: int, min_span: int, cap: int = 10**9):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], ["doc_id", "text"]
+    )
+    rows = exact_substring_spans(
+        df, gram_len=L, min_span=min_span, max_gram_occurrences=cap
+    ).collect()
+    return sorted(tuple(r[c] for c in COLS) for r in rows)
+
+
+def test_known_spans(spark):
+    """Hand-checked: one embedded shared passage, one full-prefix
+    overlap, one doc with no long overlap."""
+    shared = "the quick brown fox jumps over the lazy dog!"
+    docs = {
+        1: "AAA " + shared + " tail one",
+        2: "completely different lead-in;" + shared + "and more",
+        3: "no overlap here at all, nothing shared anywhere",
+    }
+    got = spark_spans(spark, docs, L=8, min_span=10)
+    assert got == model_spans(docs, 8, 10)
+    # the shared passage surfaces once, at the right offsets
+    assert (1, 2, 5, 30, len(shared)) in got
+    assert not [g for g in got if 3 in (g[0], g[1])]
+
+
+def test_min_span_below_gram_len_rejected(spark):
+    df = spark.createDataFrame([(1, "x" * 50)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_span"):
+        exact_substring_spans(df, gram_len=16, min_span=8)
+
+
+def test_gram_cap_drops_boilerplate_spans(spark):
+    """With the occurrence cap binding on a universal gram, spans split
+    or vanish exactly where the capped grams fall — and the degenerate
+    cap=1 (every cross-doc gram is >= 2 occurrences) yields nothing."""
+    docs = {1: "abcdefghij KLMNO abcdefghij", 2: "abcdefghij PQRST abcdefghij"}
+    full = spark_spans(spark, docs, L=5, min_span=5)
+    assert full  # uncapped: the 10-char prefix/suffix spans exist
+    assert spark_spans(spark, docs, L=5, min_span=5, cap=1) == []
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=40), min_size=2, max_size=4
+    ),
+    L=st.integers(3, 5),
+    extra=st.integers(0, 4),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_spans_match_char_run_model(spark, texts, L, extra):
+    """The gram/diagonal-island construction equals the plain char-run
+    definition on arbitrary small-alphabet inputs (small alphabets
+    maximize accidental overlaps, islands that touch string ends,
+    multi-diagonal repetitive structure)."""
+    docs = dict(enumerate(texts))
+    assert spark_spans(spark, docs, L, L + extra) == model_spans(docs, L, L + extra)
+
+
+def test_oracle_compare_and_dtypes(spark):
+    """The queued query against its DuckDB oracle at sf0.001 — the same
+    compare + integer-dtype gates the staged set runs, ahead of
+    promotion.  Output must be non-empty (the corpus HAS verbatim
+    repeated passages) and all five columns int64 on both engines."""
+    from tests.oracle_utils import compare, duck_connection
+
+    compare(spark, SF_SMOKE, q_exact_substring_spans, SQL_EXACT_SUBSTRING_SPANS)
+    sdf = q_exact_substring_spans(spark, SF_SMOKE)
+    assert sdf.count() > 0
+    assert all(t == "bigint" for _, t in sdf.dtypes), sdf.dtypes
+    con = duck_connection(SF_SMOKE)
+    ddf = con.execute(SQL_EXACT_SUBSTRING_SPANS).df()
+    assert all(str(dt) == "int64" for dt in ddf.dtypes), ddf.dtypes
+
+
+def _plan(spark):
+    return (
+        q_exact_substring_spans(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+
+
+def test_plan_shape(spark):
+    """Smoke-layout shape: no cartesian / row UDF / generate (the
+    explode ran before the checkpoint, so the plan reads the
+    checkpointed gram RDD), the boilerplate cap is a broadcast
+    LeftAnti, and — the reason ``hot`` is checkpointed — the corpus
+    occurrence count appears ZERO times in the final plan instead of
+    being cloned into each self-join side (hash_aggs == 2 is the
+    island aggregate's partial+final pair only)."""
+    from pyspark_pipelining_spark.plans.fingerprint import fingerprint_plan_text
+
+    plan = _plan(spark)
+    fp = fingerprint_plan_text(plan)
+    assert "cartesian" not in fp and "row_udfs" not in fp
+    assert "generates" not in fp
+    assert "Scan ExistingRDD" in plan
+    assert "LeftAnti" in plan
+    assert fp["hash_aggs"] == 2, fp
+    assert fp["windows"] == 1, fp
+
+
+def test_plan_shape_at_scale_regime(spark):
+    """The 100 TB shape, forced by disabling size-based broadcast: the
+    gram self-join becomes ONE SortMergeJoin on the hash, and total
+    shuffles are exactly four — both join sides, the island window,
+    and the display sort.  Four is the proof of the docstring's reuse
+    claim: the island aggregate's keys are a superset of the window's
+    partition keys, so an exchange between window and aggregate (which
+    would make five) must not exist.  The anti-join cap stays a
+    broadcast (explicit hint, never size-based)."""
+    from pyspark_pipelining_spark.plans.fingerprint import fingerprint_plan_text
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    fp = fingerprint_plan_text(plan)
+    assert fp["smj"] == 1, fp
+    assert fp["shuffles"] == 4, fp
+    assert fp["bhj"] == 2 and "LeftAnti" in plan, fp
+    assert fp["windows"] == 1 and fp["hash_aggs"] == 2, fp
