@@ -687,6 +687,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     spread: int | None = None,
+    winnow: int | None = None,
 ) -> DataFrame:
     """Maximal cross-document EXACT repeated character spans — the
     span-level exact-substring dedup of Lee et al. 2022
@@ -754,9 +755,32 @@ def exact_substring_spans(
     1.3 s for the sf0.1 gram stage).  Leave ``None`` on a real lake:
     the scan is already thousands of partitions, and the repartition
     would pointlessly shuffle every text byte.
+
+    ``winnow=w`` is that published lever, implemented so it costs NO
+    exactness: candidate pairs come from winnowed minimizer grams only
+    (per doc, keep a position iff it achieves the minimum of SOME full
+    ``w``-gram window containing it — two chained per-doc windows, see
+    the inline derivation), and the full positional stream then runs
+    the exact island stage restricted to candidate DOCS (semi-join)
+    and candidate PAIRS (semi-join before the window).  The Schleimer/Winnowing guarantee: two documents sharing
+    a span of length >= gram_len + w - 1 share a run of >= w aligned
+    gram hashes, some length-``w`` window lies entirely inside the run
+    in BOTH documents, and the run's minimum hash is the minimum of
+    that window in both — so the pair always collides.  Requiring
+    ``min_span >= gram_len + winnow - 1`` (enforced) therefore makes
+    winnowed output BIT-IDENTICAL to full mode — property-tested —
+    while the join input shrinks to ~1/w of the positional stream and
+    non-candidate documents never reach the pair join at all (at
+    100 TB almost all of them).
     """
     if min_span < gram_len:
         raise ValueError(f"min_span {min_span} must be >= gram_len {gram_len}")
+    if winnow is not None and winnow > 1 and min_span < gram_len + winnow - 1:
+        raise ValueError(
+            f"winnow={winnow} only guarantees spans >= gram_len + winnow - 1"
+            f" = {gram_len + winnow - 1}; min_span {min_span} is below that"
+            " (raise min_span or lower winnow)"
+        )
     if spread:
         df = df.repartition(spread)
     grams = (
@@ -796,6 +820,49 @@ def exact_substring_spans(
         .localCheckpoint(eager=True)
     )
     kept = grams.join(F.broadcast(hot), "h", "left_anti")
+    cand = None
+    if winnow is not None and winnow > 1:
+        # minimizer selection — position q is kept iff it achieves the
+        # minimum of SOME full w-window containing it.  Two chained
+        # per-doc windows implement exactly that: m[p] = min of the
+        # window STARTING at p; q is a window-min iff some p in q's
+        # lookback has m[p] == h[q], and since every m in the lookback
+        # is <= h[q] (q lies in each of those windows), the exists
+        # reduces to max(m over lookback) == h[q].  (Keeping q iff
+        # h[q] == m[q] ALONE is a strictly weaker scheme that misses
+        # run minima whose own forward window leaks past the run —
+        # caught by the sf0.1 full-vs-winnow equality check, which is
+        # why the equivalence test pins ALL committed scales.)  Ties
+        # keep every achieving position; clipped windows at document
+        # edges only ever ADD selections — both are candidate
+        # supersets, never misses.  Both windows are per-doc, bounded
+        # by document length, never corpus size.
+        w_fwd = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, winnow - 1)
+        w_bwd = Window.partitionBy("doc").orderBy("pos").rowsBetween(-(winnow - 1), 0)
+        wg = (
+            kept.withColumn("m", F.min("h").over(w_fwd))
+            .withColumn("M", F.max("m").over(w_bwd))
+            .filter(F.col("h") == F.col("M"))
+            .select("doc", "h")
+        )
+        cand = (
+            wg.select(F.col("doc").alias("doc_a"), "h")
+            .join(wg.select(F.col("doc").alias("doc_b"), "h"), "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cdocs = (
+            cand.select(F.col("doc_a").alias("doc"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
+        # no broadcast hint on the candidate semi-joins: candidate
+        # volume is data-dependent (a boilerplate-heavy crawl can have
+        # many near-dup pairs), so the size-based planner / AQE picks
+        # broadcast when small and a shuffled semi-join when not
+        kept = kept.join(cdocs, "doc", "left_semi")
     a = kept.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h")
     b = kept.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h")
     # pb never shuffles: start_b is recovered from the diagonal
@@ -806,6 +873,8 @@ def exact_substring_spans(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
     )
+    if cand is not None:
+        pairs = pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = pairs.withColumn("k", F.col("pa") - F.row_number().over(w))
     return (

@@ -119,6 +119,66 @@ def test_spans_match_char_run_model(spark, texts, L, extra):
     assert spark_spans(spark, docs, L, L + extra) == model_spans(docs, L, L + extra)
 
 
+def test_winnow_mode_bit_identical_to_full(spark):
+    """The 100 TB lever costs no exactness: with min_span >=
+    gram_len + winnow - 1 (enforced), minimizer-restricted candidate
+    discovery followed by the exact island stage must return the SAME
+    rows as full mode — the Schleimer winnowing guarantee, checked on
+    corpus data at BOTH committed gate scales (the first, weaker
+    selection scheme passed at sf0.001 and only diverged at sf0.1, so
+    single-scale equality is known-insufficient here)."""
+    from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_ORACLE
+
+    P = spark.sparkContext.defaultParallelism
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        docs = load_table(spark, sf_dir, "documents")
+
+        def run(**kw):
+            rows = exact_substring_spans(
+                docs, gram_len=16, min_span=32, spread=P, **kw
+            ).collect()
+            return sorted(tuple(r[c] for c in COLS) for r in rows)
+
+        full = run()
+        assert full  # the corpus has >= 32-char verbatim repeats
+        for w in (4, 8, 17):
+            assert run(winnow=w) == full, f"winnow={w} diverged at {sf_dir}"
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=40), min_size=2, max_size=3
+    ),
+    L=st.integers(3, 4),
+    w=st.integers(2, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winnow_matches_model_on_arbitrary_input(spark, texts, L, w):
+    """Winnowed mode equals the char-run model at the guaranteed
+    threshold min_span = L + w - 1, on adversarially small alphabets
+    (maximal accidental collisions and tie-heavy hash windows)."""
+    docs = dict(enumerate(texts))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], ["doc_id", "text"]
+    )
+    got = exact_substring_spans(
+        df, gram_len=L, min_span=L + w - 1, max_gram_occurrences=10**9, winnow=w
+    ).collect()
+    got = sorted(tuple(r[c] for c in COLS) for r in got)
+    assert got == model_spans(docs, L, L + w - 1)
+
+
+def test_winnow_threshold_enforced(spark):
+    df = spark.createDataFrame([(1, "x" * 60)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="winnow"):
+        exact_substring_spans(df, gram_len=16, min_span=32, winnow=40)
+
+
 def test_oracle_compare_and_dtypes(spark):
     """The queued query against its DuckDB oracle at sf0.001 — the same
     compare + integer-dtype gates the staged set runs, ahead of
