@@ -207,6 +207,28 @@ def _plan(spark):
     )
 
 
+def test_layout_invariance(spark):
+    """The queued query under the hostile layout (prime shuffle
+    partition count + 64 KiB scan splits) — the registered sweep's
+    contract, applied before promotion: island windows and the
+    min/count aggregation must not depend on row arrival order."""
+    def run():
+        rows = q_exact_substring_spans(spark, SF_SMOKE).collect()
+        return [tuple(r[c] for c in COLS) for r in rows]
+
+    base = run()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_mb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        hostile = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mb)
+    assert base == hostile and base
+
+
 def test_plan_shape(spark):
     """Smoke-layout shape: no cartesian / row UDF / generate (the
     explode ran before the checkpoint, so the plan reads the

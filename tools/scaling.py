@@ -47,6 +47,16 @@ DEFAULT_QUERIES = [
     "harmonic_2hop",
 ]
 
+# the next cost tier, measured late round 12 (README scale notes):
+# `python tools/scaling.py --tier2` re-measures it in one command
+TIER2_QUERIES = [
+    "sim_ivfpq_rerank",
+    "graph_triangles",
+    "sparse_cosine_pairs",
+    "jaccard_prefix_pairs",
+    "price_quantile_sketch",
+]
+
 SFS = [
     ("/root/testdata/sf0.001", 0.001),
     ("/root/testdata/sf0.01", 0.01),
@@ -58,8 +68,9 @@ def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*", default=None)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--tier2", action="store_true")
     args = ap.parse_args(argv)
-    names = args.queries or DEFAULT_QUERIES
+    names = args.queries or (TIER2_QUERIES if args.tier2 else DEFAULT_QUERIES)
 
     try:
         with open("/proc/loadavg") as fh:
