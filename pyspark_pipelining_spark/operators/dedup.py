@@ -688,6 +688,7 @@ def exact_substring_spans(
     text_col: str = "text",
     spread: int | None = None,
     winnow: int | None = None,
+    include_self: bool = False,
 ) -> DataFrame:
     """Maximal cross-document EXACT repeated character spans — the
     span-level exact-substring dedup of Lee et al. 2022
@@ -710,6 +711,16 @@ def exact_substring_spans(
     start_b, span_len)`` with ``doc_a < doc_b``, 1-based starts,
     ``span_len >= max(gram_len, min_span)``.  Repetitive text yields
     one row per diagonal alignment, faithful to the definition.
+
+    ``include_self=True`` additionally emits INTRA-document repeats
+    (``doc_a == doc_b``, ``start_a > start_b`` — the positive-diagonal
+    half-plane, so each alignment appears once and the trivial
+    diagonal 0 never does): the "same passage pasted twice" quality
+    signal that ``corpus.collapse_repeats`` (adjacent lines only)
+    cannot see.  Periodic text reports one span per period offset —
+    e.g. ``"ab" * 20`` matches itself at every even shift — which is
+    the faithful reading of "alignment", and exactly what a
+    period-detection consumer wants.
 
     Scale shape (what shuffles, and why it survives 100 TB):
 
@@ -781,6 +792,14 @@ def exact_substring_spans(
             f" = {gram_len + winnow - 1}; min_span {min_span} is below that"
             " (raise min_span or lower winnow)"
         )
+    if include_self and winnow is not None and winnow > 1:
+        # the cross-doc winnowing guarantee (two disjoint aligned runs,
+        # each containing a full window) does NOT transfer cleanly to
+        # OVERLAPPING intra-doc occurrences of periodic text, where the
+        # two "runs" share windows; rather than ship a lever whose
+        # completeness is unproven for this mode, the combination is
+        # rejected — self-repeat scans use full mode
+        raise ValueError("include_self is exact-mode only (winnow must be None)")
     if spread:
         df = df.repartition(spread)
     grams = (
@@ -868,9 +887,16 @@ def exact_substring_spans(
     # pb never shuffles: start_b is recovered from the diagonal
     # (pb = pa - diag), so the pair row that feeds the window is four
     # longs, not five — ~20% off the widest shuffle in the plan
+    keep_pair = F.col("doc_a") < F.col("doc_b")
+    if include_self:
+        # positive-diagonal half-plane: each intra-doc alignment once,
+        # the trivial diagonal 0 (every position matches itself) never
+        keep_pair = keep_pair | (
+            (F.col("doc_a") == F.col("doc_b")) & (F.col("pa") > F.col("pb"))
+        )
     pairs = (
         a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(keep_pair)
         .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
     )
     if cand is not None:

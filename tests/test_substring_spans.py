@@ -34,13 +34,20 @@ from tests.conftest import SF_SMOKE
 COLS = ["doc_a", "doc_b", "start_a", "start_b", "span_len"]
 
 
-def model_spans(docs: dict[int, str], L: int, min_span: int) -> list[tuple]:
-    """Quadratic reference: maximal cross-doc matching char runs of
-    length >= max(L, min_span), walked per (pair, diagonal)."""
+def model_spans(
+    docs: dict[int, str], L: int, min_span: int, include_self: bool = False
+) -> list[tuple]:
+    """Quadratic reference: maximal matching char runs of length
+    >= max(L, min_span), walked per (pair, diagonal); self-pairs over
+    positive diagonals only when ``include_self``."""
     out = []
-    for a, b in itertools.combinations(sorted(docs), 2):
+    pairs = list(itertools.combinations(sorted(docs), 2))
+    if include_self:
+        pairs += [(i, i) for i in sorted(docs)]
+    for a, b in pairs:
         ta, tb = docs[a], docs[b]
-        for d in range(-(len(tb) - 1), len(ta)):
+        lo = 1 if a == b else -(len(tb) - 1)
+        for d in range(lo, len(ta)):
             run = 0
             for pb in range(1, len(tb) + 1):
                 pa = pb + d
@@ -56,12 +63,23 @@ def model_spans(docs: dict[int, str], L: int, min_span: int) -> list[tuple]:
     return sorted(out)
 
 
-def spark_spans(spark, docs: dict[int, str], L: int, min_span: int, cap: int = 10**9):
+def spark_spans(
+    spark,
+    docs: dict[int, str],
+    L: int,
+    min_span: int,
+    cap: int = 10**9,
+    include_self: bool = False,
+):
     df = spark.createDataFrame(
         [(i, t) for i, t in docs.items()], ["doc_id", "text"]
     )
     rows = exact_substring_spans(
-        df, gram_len=L, min_span=min_span, max_gram_occurrences=cap
+        df,
+        gram_len=L,
+        min_span=min_span,
+        max_gram_occurrences=cap,
+        include_self=include_self,
     ).collect()
     return sorted(tuple(r[c] for c in COLS) for r in rows)
 
@@ -117,6 +135,56 @@ def test_spans_match_char_run_model(spark, texts, L, extra):
     multi-diagonal repetitive structure)."""
     docs = dict(enumerate(texts))
     assert spark_spans(spark, docs, L, L + extra) == model_spans(docs, L, L + extra)
+
+
+def test_self_repeats_known_cases(spark):
+    """Intra-document repeats: a pasted-twice passage surfaces as one
+    self-span at the paste offset; periodic text yields one span per
+    period multiple (the faithful alignment reading — a period
+    detector's input); trivial diagonal 0 and mirrored alignments
+    never appear; cross-doc output is unchanged by the flag."""
+    passage = "copy of the very same paragraph body"
+    docs = {1: passage + " ... " + passage, 2: "ab" * 12 + "Z", 3: "unrelated"}
+    got = spark_spans(spark, docs, L=6, min_span=8, include_self=True)
+    assert got == model_spans(docs, 6, 8, include_self=True)
+    # the pasted passage: start_a = second copy, start_b = first copy
+    assert (1, 1, len(passage) + 6, 1, len(passage)) in got
+    assert all(g[2] > g[3] for g in got if g[0] == g[1])  # half-plane only
+    # periodic doc 2: one span per even shift, each maximal to the tail
+    per = [g for g in got if g[0] == 2]
+    assert per == [(2, 2, 1 + d, 1, 24 - d) for d in range(2, 17, 2)]
+    # cross-doc rows identical with and without the flag
+    no_self = spark_spans(spark, docs, L=6, min_span=8)
+    assert [g for g in got if g[0] != g[1]] == no_self
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30), min_size=1, max_size=3
+    ),
+    L=st.integers(3, 4),
+    extra=st.integers(0, 3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_self_spans_match_char_run_model(spark, texts, L, extra):
+    """include_self equals the model on adversarial repetitive inputs
+    (small alphabets are near-periodic, the hardest self-repeat case)."""
+    docs = dict(enumerate(texts))
+    assert spark_spans(
+        spark, docs, L, L + extra, include_self=True
+    ) == model_spans(docs, L, L + extra, include_self=True)
+
+
+def test_self_with_winnow_rejected(spark):
+    df = spark.createDataFrame([(1, "y" * 60)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="include_self"):
+        exact_substring_spans(
+            df, gram_len=8, min_span=20, winnow=4, include_self=True
+        )
 
 
 def test_winnow_mode_bit_identical_to_full(spark):
