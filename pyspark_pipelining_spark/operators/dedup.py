@@ -688,7 +688,7 @@ def exact_substring_spans(
     text_col: str = "text",
     spread: int | None = None,
     winnow: int | None = None,
-    include_self: bool = False,
+    scope: str = "cross",
 ) -> DataFrame:
     """Maximal cross-document EXACT repeated character spans — the
     span-level exact-substring dedup of Lee et al. 2022
@@ -712,14 +712,24 @@ def exact_substring_spans(
     ``span_len >= max(gram_len, min_span)``.  Repetitive text yields
     one row per diagonal alignment, faithful to the definition.
 
-    ``include_self=True`` additionally emits INTRA-document repeats
-    (``doc_a == doc_b``, ``start_a > start_b`` — the positive-diagonal
-    half-plane, so each alignment appears once and the trivial
-    diagonal 0 never does): the "same passage pasted twice" quality
-    signal that ``corpus.collapse_repeats`` (adjacent lines only)
-    cannot see.  Periodic text reports one span per period offset —
-    e.g. ``"ab" * 20`` matches itself at every even shift — which is
-    the faithful reading of "alignment", and exactly what a
+    ``scope`` selects the pair space:
+
+    * ``"cross"`` (default) — between-document spans, ``doc_a < doc_b``;
+    * ``"self"`` — INTRA-document repeats only (``doc_a == doc_b``,
+      ``start_a > start_b``: the positive-diagonal half-plane, each
+      alignment once, the trivial diagonal 0 never) — the "same
+      passage pasted twice" quality signal that
+      ``corpus.collapse_repeats`` (adjacent lines only) cannot see.
+      The join key becomes ``(doc, h)``, so a self scan NEVER pairs
+      documents at all — fanout is bounded by within-document gram
+      repetition (<= doc length per key), corpus size is irrelevant to
+      the join, and the scan parallelizes per document;
+    * ``"both"`` — union of the two half-planes in one pass (join on
+      ``h`` alone, the cross fanout dominates).
+
+    Periodic text reports one self-span per period offset — e.g.
+    ``"ab" * 20`` matches itself at every even shift — which is the
+    faithful reading of "alignment", and exactly what a
     period-detection consumer wants.
 
     Scale shape (what shuffles, and why it survives 100 TB):
@@ -792,14 +802,16 @@ def exact_substring_spans(
             f" = {gram_len + winnow - 1}; min_span {min_span} is below that"
             " (raise min_span or lower winnow)"
         )
-    if include_self and winnow is not None and winnow > 1:
+    if scope not in ("cross", "self", "both"):
+        raise ValueError(f"scope must be cross|self|both, got {scope!r}")
+    if scope != "cross" and winnow is not None and winnow > 1:
         # the cross-doc winnowing guarantee (two disjoint aligned runs,
         # each containing a full window) does NOT transfer cleanly to
         # OVERLAPPING intra-doc occurrences of periodic text, where the
         # two "runs" share windows; rather than ship a lever whose
         # completeness is unproven for this mode, the combination is
         # rejected — self-repeat scans use full mode
-        raise ValueError("include_self is exact-mode only (winnow must be None)")
+        raise ValueError(f"scope={scope!r} is exact-mode only (winnow must be None)")
     if spread:
         df = df.repartition(spread)
     grams = (
@@ -882,23 +894,39 @@ def exact_substring_spans(
         # many near-dup pairs), so the size-based planner / AQE picks
         # broadcast when small and a shuffled semi-join when not
         kept = kept.join(cdocs, "doc", "left_semi")
-    a = kept.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h")
-    b = kept.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h")
     # pb never shuffles: start_b is recovered from the diagonal
     # (pb = pa - diag), so the pair row that feeds the window is four
     # longs, not five — ~20% off the widest shuffle in the plan
-    keep_pair = F.col("doc_a") < F.col("doc_b")
-    if include_self:
-        # positive-diagonal half-plane: each intra-doc alignment once,
-        # the trivial diagonal 0 (every position matches itself) never
-        keep_pair = keep_pair | (
-            (F.col("doc_a") == F.col("doc_b")) & (F.col("pa") > F.col("pb"))
+    if scope == "self":
+        # join key includes the document: a self scan never pairs
+        # documents, so corpus size is irrelevant to the fanout
+        a = kept.select("doc", F.col("pos").alias("pa"), "h")
+        b = kept.select("doc", F.col("pos").alias("pb"), "h")
+        pairs = (
+            a.join(b, ["doc", "h"])
+            .filter(F.col("pa") > F.col("pb"))
+            .select(
+                F.col("doc").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+                "pa",
+                (F.col("pa") - F.col("pb")).alias("diag"),
+            )
         )
-    pairs = (
-        a.join(b, "h")
-        .filter(keep_pair)
-        .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
-    )
+    else:
+        a = kept.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h")
+        b = kept.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h")
+        keep_pair = F.col("doc_a") < F.col("doc_b")
+        if scope == "both":
+            # positive-diagonal half-plane: each intra-doc alignment
+            # once, the trivial diagonal 0 never
+            keep_pair = keep_pair | (
+                (F.col("doc_a") == F.col("doc_b")) & (F.col("pa") > F.col("pb"))
+            )
+        pairs = (
+            a.join(b, "h")
+            .filter(keep_pair)
+            .select("doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+        )
     if cand is not None:
         pairs = pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")

@@ -573,3 +573,72 @@ ORDER BY doc_a, doc_b, start_a, start_b
 
 
 SQL_EXACT_SUBSTRING_SPANS = _sql_exact_substring_spans()
+
+
+SELF_GRAM_LEN = 12
+SELF_MIN = 16
+
+
+def q_self_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document exact repeat spans (``scope="self"``): the "same
+    passage pasted twice" quality signal that
+    ``corpus.collapse_repeats`` (adjacent lines only) cannot see.  The
+    self scope joins on ``(doc, h)`` — a 100 TB self scan never pairs
+    documents at all, so fanout is bounded by within-document gram
+    repetition and the join parallelizes per document.  Smaller gram
+    (12) and threshold (16) than the cross-doc query: intra-doc
+    repeats in this corpus are short template phrases (max 24
+    chars)."""
+    from pyspark_pipelining_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_substring_spans(
+            docs,
+            gram_len=SELF_GRAM_LEN,
+            min_span=SELF_MIN,
+            max_gram_occurrences=SPAN_MAX_OCC,
+            spread=spark.sparkContext.defaultParallelism,
+            scope="self",
+        )
+        .select(
+            F.col("doc_a").alias("doc_id"), "start_a", "start_b", "span_len"
+        )
+        .orderBy("doc_id", "start_a", "start_b")
+    )
+
+
+def _sql_self_repeat_spans() -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id AS doc, CAST(g.i AS BIGINT) AS pos,
+         ('0x' || substr(md5(substring(text, CAST(g.i AS INT), {SELF_GRAM_LEN})), 1, 15))::BIGINT AS h
+  FROM documents, generate_series(1, 1024) AS g(i)
+  WHERE g.i <= length(text) - {SELF_GRAM_LEN} + 1
+),
+kept AS (
+  SELECT * FROM grams
+  WHERE h NOT IN (SELECT h FROM grams GROUP BY h HAVING count(*) > {SPAN_MAX_OCC})
+),
+pairs AS (
+  SELECT a.doc, a.pos AS pa, b.pos AS pb
+  FROM kept a JOIN kept b USING (doc, h)
+  WHERE a.pos > b.pos
+),
+isl AS (
+  SELECT doc, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY doc, pa - pb ORDER BY pa) AS k
+  FROM pairs
+)
+SELECT doc AS doc_id,
+       CAST(min(pa) AS BIGINT) AS start_a,
+       CAST(min(pa) - diag AS BIGINT) AS start_b,
+       CAST(count(*) + {SELF_GRAM_LEN} - 1 AS BIGINT) AS span_len
+FROM isl
+GROUP BY doc, diag, k
+HAVING count(*) + {SELF_GRAM_LEN} - 1 >= {SELF_MIN}
+ORDER BY doc_id, start_a, start_b
+"""
+
+
+SQL_SELF_REPEAT_SPANS = _sql_self_repeat_spans()

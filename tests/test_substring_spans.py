@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from pyspark_pipelining_spark.operators.dedup import exact_substring_spans
 from pyspark_pipelining_spark.queries_staged import (
     SQL_EXACT_SUBSTRING_SPANS,
+    SQL_SELF_REPEAT_SPANS,
     q_exact_substring_spans,
+    q_self_repeat_spans,
 )
 from tests.conftest import SF_SMOKE
 
@@ -35,14 +37,14 @@ COLS = ["doc_a", "doc_b", "start_a", "start_b", "span_len"]
 
 
 def model_spans(
-    docs: dict[int, str], L: int, min_span: int, include_self: bool = False
+    docs: dict[int, str], L: int, min_span: int, scope: str = "cross"
 ) -> list[tuple]:
     """Quadratic reference: maximal matching char runs of length
     >= max(L, min_span), walked per (pair, diagonal); self-pairs over
-    positive diagonals only when ``include_self``."""
+    positive diagonals for scope self/both."""
     out = []
-    pairs = list(itertools.combinations(sorted(docs), 2))
-    if include_self:
+    pairs = list(itertools.combinations(sorted(docs), 2)) if scope != "self" else []
+    if scope in ("self", "both"):
         pairs += [(i, i) for i in sorted(docs)]
     for a, b in pairs:
         ta, tb = docs[a], docs[b]
@@ -69,7 +71,7 @@ def spark_spans(
     L: int,
     min_span: int,
     cap: int = 10**9,
-    include_self: bool = False,
+    scope: str = "cross",
 ):
     df = spark.createDataFrame(
         [(i, t) for i, t in docs.items()], ["doc_id", "text"]
@@ -79,7 +81,7 @@ def spark_spans(
         gram_len=L,
         min_span=min_span,
         max_gram_occurrences=cap,
-        include_self=include_self,
+        scope=scope,
     ).collect()
     return sorted(tuple(r[c] for c in COLS) for r in rows)
 
@@ -145,8 +147,8 @@ def test_self_repeats_known_cases(spark):
     never appear; cross-doc output is unchanged by the flag."""
     passage = "copy of the very same paragraph body"
     docs = {1: passage + " ... " + passage, 2: "ab" * 12 + "Z", 3: "unrelated"}
-    got = spark_spans(spark, docs, L=6, min_span=8, include_self=True)
-    assert got == model_spans(docs, 6, 8, include_self=True)
+    got = spark_spans(spark, docs, L=6, min_span=8, scope="both")
+    assert got == model_spans(docs, 6, 8, scope="both")
     # the pasted passage: start_a = second copy, start_b = first copy
     assert (1, 1, len(passage) + 6, 1, len(passage)) in got
     assert all(g[2] > g[3] for g in got if g[0] == g[1])  # half-plane only
@@ -171,20 +173,23 @@ def test_self_repeats_known_cases(spark):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_self_spans_match_char_run_model(spark, texts, L, extra):
-    """include_self equals the model on adversarial repetitive inputs
+    """Scopes self and both equal the model on adversarial repetitive inputs
     (small alphabets are near-periodic, the hardest self-repeat case)."""
     docs = dict(enumerate(texts))
-    assert spark_spans(
-        spark, docs, L, L + extra, include_self=True
-    ) == model_spans(docs, L, L + extra, include_self=True)
+    for scope in ("both", "self"):
+        assert spark_spans(
+            spark, docs, L, L + extra, scope=scope
+        ) == model_spans(docs, L, L + extra, scope=scope), scope
 
 
 def test_self_with_winnow_rejected(spark):
     df = spark.createDataFrame([(1, "y" * 60)], ["doc_id", "text"])
-    with pytest.raises(ValueError, match="include_self"):
+    with pytest.raises(ValueError, match="exact-mode only"):
         exact_substring_spans(
-            df, gram_len=8, min_span=20, winnow=4, include_self=True
+            df, gram_len=8, min_span=20, winnow=4, scope="both"
         )
+    with pytest.raises(ValueError, match="scope"):
+        exact_substring_spans(df, gram_len=8, min_span=20, scope="al1")
 
 
 def test_winnow_mode_bit_identical_to_full(spark):
@@ -275,14 +280,63 @@ def _plan(spark):
     )
 
 
+def test_self_oracle_compare_and_dtypes(spark):
+    """The queued self-scope query against its DuckDB oracle at
+    sf0.001, plus the non-empty and integer-dtype gates (the corpus
+    has short intra-document template repeats — probed max 24 chars,
+    hence gram 12 / threshold 16)."""
+    from tests.oracle_utils import compare, duck_connection
+
+    compare(spark, SF_SMOKE, q_self_repeat_spans, SQL_SELF_REPEAT_SPANS)
+    sdf = q_self_repeat_spans(spark, SF_SMOKE)
+    assert sdf.count() > 0
+    assert all(t == "bigint" for _, t in sdf.dtypes), sdf.dtypes
+    con = duck_connection(SF_SMOKE)
+    ddf = con.execute(SQL_SELF_REPEAT_SPANS).df()
+    assert all(str(dt) == "int64" for dt in ddf.dtypes), ddf.dtypes
+
+
+def test_self_scope_plan_joins_on_doc_and_hash(spark):
+    """The self scan must key its join on (doc, h) — never on the hash
+    alone — so two documents are never paired: both join key columns
+    appear in the join condition of the executed text, and the plan
+    carries no cartesian/row-UDF."""
+    plan = (
+        q_self_repeat_spans(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # formatted mode lists join keys on "Left keys"/"Right keys" detail
+    # lines; the cap anti-join keys on the hash alone by design, so the
+    # contract is: at least one join keys on BOTH (doc, h), and no join
+    # keys on h together with anything OTHER than doc
+    key_lines = [
+        line.strip()
+        for line in plan.splitlines()
+        if line.strip().startswith(("Left keys", "Right keys"))
+    ]
+    assert key_lines, plan
+    both = [line for line in key_lines if "doc#" in line and "h#" in line]
+    assert both, key_lines
+
+
 def test_layout_invariance(spark):
-    """The queued query under the hostile layout (prime shuffle
+    """The queued queries under the hostile layout (prime shuffle
     partition count + 64 KiB scan splits) — the registered sweep's
     contract, applied before promotion: island windows and the
     min/count aggregation must not depend on row arrival order."""
     def run():
         rows = q_exact_substring_spans(spark, SF_SMOKE).collect()
-        return [tuple(r[c] for c in COLS) for r in rows]
+        out = [tuple(r[c] for c in COLS) for r in rows]
+        rows2 = q_self_repeat_spans(spark, SF_SMOKE).collect()
+        return out + [
+            (r["doc_id"], r["start_a"], r["start_b"], r["span_len"]) for r in rows2
+        ]
 
     base = run()
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
