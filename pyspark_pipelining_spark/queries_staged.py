@@ -501,11 +501,16 @@ ORACLES_STAGED: dict[str, str] = {
 
 
 # ---------------------------------------------------------------------------
-# Round-13 staging QUEUE — ready and fully gated (oracle compare, plan
-# shape, hypothesis model in tests/test_substring_spans.py) but kept
-# OUT of QUERIES_STAGED until the current trio registers, honoring the
-# <=3-staged cadence (r11 verdict item 7).  At round-13 start: move the
-# trio to family modules, then promote this pair into the dicts.
+# Round-13 staging QUEUE — two queries over the exact-substring span
+# operator (cross-doc + self-repeat), ready and fully gated (oracle
+# compare at three sfs, plan shape in both join regimes, hypothesis
+# model, hostile layout — tests/test_substring_spans.py, 16 tests) but
+# kept OUT of QUERIES_STAGED until the current trio registers,
+# honoring the <=3-staged cadence (r11 verdict item 7).  At round-13
+# start: move the trio to family modules, promote this pair into the
+# dicts, and add them to tools/sf01_oracle_spotcheck.py's SENSITIVE
+# list (their sf0.1 oracle parity is already verified, recorded in
+# README).
 # ---------------------------------------------------------------------------
 
 SPAN_GRAM_LEN = 16
