@@ -45,8 +45,14 @@ from pyspark.sql import DataFrame
 
 # Formatted explain lists every node once as "(N) NodeKind" (detail
 # section), including nodes inside the "===== Subqueries =====" block;
-# AdaptiveSparkPlan prints its initial plan the same way.
-_NODE_RE = re.compile(r"^\((\d+)\)\s+([A-Za-z][A-Za-z0-9 ]*?)\s*(?:\[.*)?$")
+# AdaptiveSparkPlan prints its initial plan the same way.  The kind
+# captures everything up to an optional "[...]" tail so that
+# catalog-qualified scan lines ("Scan parquet spark_catalog.default.t"
+# — dots/underscores) bucket into `scans` like their path-based twins
+# instead of silently dropping out of the fingerprint (r12 ADVICE; all
+# current reads are path-based, so this widening changes no committed
+# lock entry — re-verified by `python tools/plan_lock.py`).
+_NODE_RE = re.compile(r"^\((\d+)\)\s+([A-Za-z][^\[\]]*?)\s*(?:\[.*)?$")
 
 # node-kind -> fingerprint bucket; kinds not listed are ignored (they
 # don't shape distributed cost: Project, Filter, ColumnarToRow, ...).

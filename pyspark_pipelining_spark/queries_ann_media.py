@@ -1165,3 +1165,261 @@ SQL_WAV_WINDOW_FEATURES = _sql_wav_window_features()
 
 QUERIES_ANN_MEDIA["wav_window_features"] = q_wav_window_features
 ORACLES_ANN_MEDIA["wav_window_features"] = SQL_WAV_WINDOW_FEATURES
+
+
+# --- Round-13 registration (formerly queries_staged.py): stereo WAV
+# per-channel window features from interleaved PCM16 frames -----------
+
+WAV_STEREO_FIXTURE_DIR = _fixtures_dir("audio_stereo")
+WAV_STEREO_WINDOW = 256
+
+
+def q_wav_stereo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wav_window_features`` for interleaved STEREO PCM16 (r11
+    verdict item 8, stretch — real media lakes are mostly stereo):
+    one decode front half (``_wav_window_chunks(n_channels=2)``, a
+    window's chunk carries its interleaved bytes once), a
+    per-(window, channel) fold reading samples at stride 2, and
+    ``channel`` as an output column — over its OWN committed fixture
+    lake (``fixtures/audio_stereo/``: L-triangle/R-noise,
+    ramp/negated-ramp, a mono stray the channels==2 gate must FILTER,
+    and a trailing-partial-frame file both engines truncate
+    identically).
+
+    All feature semantics and exactness contracts are the mono twin's,
+    per channel (exact int64 sums, ONE double division per feature,
+    NULL-seeded ``prev`` so pairs never span a window — nor a channel:
+    each fold sees only its own channel's samples).  The DuckDB oracle
+    is fully independent: hex-pair stride-2 decode + ``lag() OVER
+    (PARTITION BY file_name, win, channel ORDER BY j)`` + GROUP BY."""
+    from pyspark_pipelining_spark.operators.multimodal import wav_stereo_features
+    from pyspark_pipelining_spark.sources.registry import load_binary_files
+
+    files = load_binary_files(spark, WAV_STEREO_FIXTURE_DIR, glob="*.wav")
+    return wav_stereo_features(files, window_samples=WAV_STEREO_WINDOW).orderBy(
+        "file_name", "win", "channel"
+    )
+
+
+def _sql_wav_stereo_features() -> str:
+    from pyspark_pipelining_spark.operators.multimodal import (
+        WAV_HEX_SAFE_FILE_BYTES,
+        WAV_INT32_SAFE_DATA_BYTES,
+    )
+
+    ws = WAV_STEREO_WINDOW
+    cap = min(WAV_INT32_SAFE_DATA_BYTES + 44, WAV_HEX_SAFE_FILE_BYTES)
+    u = (
+        "CAST('0x' || substring(chunk, 8 * j + 4 * channel + 3, 2)"
+        " || substring(chunk, 8 * j + 4 * channel + 1, 2) AS BIGINT)"
+    )
+    # header/window CTEs mirror SQL_WAV_WINDOW_FEATURES with the
+    # channels=2 gate and FRAME accounting (data_bytes // 4; a
+    # trailing partial frame truncates); the per-channel fanout is an
+    # unnest over [0, 1] and the feature pairs come from lag() OVER
+    # the per-(window, channel) sample order, so pairs never span a
+    # window NOR a channel — matching the Spark fold's scope.
+    return f"""
+WITH wav AS (
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           octet_length(content) AS n_bytes,
+           hex(content) AS h
+    FROM read_blob('{sql_str_literal(WAV_STEREO_FIXTURE_DIR)}/*.wav')
+    WHERE octet_length(content) <= {cap}
+),
+hdr AS (
+    SELECT file_name, n_bytes, h,
+           CAST('0x' || substring(h, 43, 2) || substring(h, 41, 2) AS INT)
+               AS audio_fmt,
+           CAST('0x' || substring(h, 47, 2) || substring(h, 45, 2) AS INT)
+               AS channels,
+           CAST('0x' || substring(h, 55, 2) || substring(h, 53, 2)
+                || substring(h, 51, 2) || substring(h, 49, 2) AS INT)
+               AS sample_rate,
+           CAST('0x' || substring(h, 71, 2) || substring(h, 69, 2) AS INT)
+               AS bits,
+           CAST('0x' || substring(h, 87, 2) || substring(h, 85, 2)
+                || substring(h, 83, 2) || substring(h, 81, 2) AS BIGINT)
+               AS data_bytes
+    FROM wav
+    WHERE substring(h, 1, 8) = '52494646'
+      AND substring(h, 17, 8) = '57415645'
+      AND substring(h, 25, 8) = '666D7420'
+      AND substring(h, 73, 8) = '64617461'
+),
+wins AS (
+    SELECT file_name, sample_rate, data_bytes // 4 AS n_total, h,
+           unnest(range(0, (data_bytes // 4 - 1) // {ws} + 1)) AS win
+    FROM hdr
+    WHERE audio_fmt = 1 AND channels = 2 AND bits = 16
+      AND data_bytes >= 4 AND data_bytes <= n_bytes - 44
+),
+chunks AS (
+    SELECT file_name, sample_rate, win,
+           least({ws}, n_total - win * {ws}) AS n_samples,
+           substring(h, CAST(89 + win * {8 * ws} AS BIGINT),
+                     CAST(8 * least({ws}, n_total - win * {ws}) AS BIGINT))
+               AS chunk
+    FROM wins
+),
+chans AS (
+    SELECT file_name, sample_rate, win, n_samples, chunk,
+           unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS channel
+    FROM chunks
+),
+samp AS (
+    SELECT file_name, sample_rate, win, channel, n_samples, chunk,
+           unnest(range(0, n_samples)) AS j
+    FROM chans
+),
+vals AS (
+    SELECT file_name, sample_rate, win, channel, n_samples, j,
+           {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END AS v
+    FROM samp
+),
+pairs AS (
+    SELECT file_name, sample_rate, win, channel, n_samples, v,
+           lag(v) OVER (PARTITION BY file_name, win, channel ORDER BY j) AS vp
+    FROM vals
+)
+SELECT file_name, CAST(win AS BIGINT) AS win,
+       CAST(channel AS BIGINT) AS channel,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(max(abs(v)) AS BIGINT) AS peak,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n_samples), 6) AS rms,
+       CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+       round(CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(n_samples - 1, 1), 6) AS zcr,
+       round(CASE WHEN sum(v * v) > 0
+                  THEN CAST(sum(coalesce(vp, 0) * v) AS DOUBLE)
+                       / CAST(sum(v * v) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS ac1
+FROM pairs
+GROUP BY file_name, win, channel, sample_rate, n_samples
+ORDER BY file_name, win, channel
+"""
+
+
+SQL_WAV_STEREO_FEATURES = _sql_wav_stereo_features()
+
+QUERIES_ANN_MEDIA["wav_stereo_features"] = q_wav_stereo_features
+ORACLES_ANN_MEDIA["wav_stereo_features"] = SQL_WAV_STEREO_FEATURES
+
+
+# --- Round-13 registration (formerly queries_staged.py): SQ8 ANN —
+# scalar-quantized integer-dot shortlist + exact cosine rerank --------
+
+SQ8_N_QUERIES = 3
+SQ8_TOPK = 5
+SQ8_SHORTLIST = 50
+SQ8_DIM = 64
+
+
+def q_sim_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS ``SQ8`` / vector-store
+    "scalar quantization" mode) — the missing precision rung in the
+    ANN ladder between binary quantization (1 bit/dim,
+    ``sim_bq_rerank``) and product quantization (trained codebooks,
+    ``sim_pq_topk``): per-dim affine int8 codes against a
+    corpus-calibrated min/max, a SYMMETRIC centered integer-dot
+    shortlist, exact cosine re-scoring of the survivors
+    (:func:`operators.similarity.sq8_rerank_topk`).  Complements the
+    registered ``embedding_sq8`` audit (r09), which quantizes each
+    vector against its OWN min/max to report code health — search
+    needs the CORPUS-calibrated per-dimension bounds here, or two
+    vectors' codes are not comparable.
+
+    Cross-engine exactness: codes use ``floor``, not ``round`` (IEEE
+    floor is bit-deterministic; half-way round ties break differently
+    across engines), and the shortlist score ``Σ (c−128)(q−128)`` is
+    exact int64 — so shortlist AND final ranking are bit-identical in
+    DuckDB, no tolerance anywhere.  Scale shape: calibration is one
+    dim-keyed map-side aggregate broadcast as a 1-row frame; the
+    shortlist scan carries dim-byte codes, never float vectors;
+    re-rank touches full floats for |q|·shortlist rows only."""
+    from pyspark_pipelining_spark.operators.similarity import sq8_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < SQ8_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq8_rerank_topk(
+        emb, qv, k=SQ8_TOPK, shortlist=SQ8_SHORTLIST, dim=SQ8_DIM
+    )
+
+
+def _sql_sim_sq8_rerank() -> str:
+    d = SQ8_DIM
+
+    def code(vec: str) -> str:
+        return (
+            f"list_transform(range({d}), i -> CASE"
+            f" WHEN s.mxs[i + 1] > s.mins[i + 1] THEN"
+            f" least(255, CAST(floor((CAST({vec}[i + 1] AS DOUBLE) - s.mins[i + 1])"
+            f" * 256.0 / (s.mxs[i + 1] - s.mins[i + 1])) AS BIGINT))"
+            f" ELSE 0 END)"
+        )
+
+    dot = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        " CAST(q.query_vec AS DOUBLE[]))"
+    )
+    ne = (
+        "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        " CAST(e.embedding AS DOUBLE[])))"
+    )
+    nq = (
+        "sqrt(list_dot_product(CAST(q.query_vec AS DOUBLE[]),"
+        " CAST(q.query_vec AS DOUBLE[])))"
+    )
+    return f"""
+WITH dims AS (
+    SELECT t.i,
+           min(CAST(embedding[t.i + 1] AS DOUBLE)) AS mn,
+           max(CAST(embedding[t.i + 1] AS DOUBLE)) AS mx
+    FROM embeddings, range({d}) t(i)
+    GROUP BY t.i
+),
+stats AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS mxs FROM dims),
+corpus AS (
+    SELECT vec_id, {code('embedding')} AS sq
+    FROM embeddings CROSS JOIN stats s
+),
+qc AS (
+    SELECT vec_id AS query_id, {code('embedding')} AS qsq
+    FROM embeddings CROSS JOIN stats s
+    WHERE vec_id < {SQ8_N_QUERIES}
+),
+short AS (
+    SELECT qc.query_id, c.vec_id
+    FROM corpus c, qc WHERE c.vec_id != qc.query_id
+    QUALIFY row_number() OVER (
+        PARTITION BY qc.query_id
+        ORDER BY list_sum(list_transform(range({d}),
+                          i -> (c.sq[i + 1] - 128) * (qc.qsq[i + 1] - 128))) DESC,
+                 c.vec_id ASC) <= {SQ8_SHORTLIST}
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS query_vec
+    FROM embeddings WHERE vec_id < {SQ8_N_QUERIES}
+),
+rer AS (
+    SELECT s.query_id, s.vec_id, round({dot} / ({ne} * {nq}), 6) AS cosine
+    FROM short s
+    JOIN embeddings e ON s.vec_id = e.vec_id
+    JOIN q ON s.query_id = q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+FROM rer
+QUALIFY rank <= {SQ8_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+SQL_SIM_SQ8_RERANK = _sql_sim_sq8_rerank()
+
+QUERIES_ANN_MEDIA["sim_sq8_rerank"] = q_sim_sq8_rerank
+ORACLES_ANN_MEDIA["sim_sq8_rerank"] = SQL_SIM_SQ8_RERANK

@@ -1475,3 +1475,196 @@ SQL_CMS_MERGE_PARITY = _sql_cms_merge_parity()
 
 QUERIES_CORPUS["cms_merge_parity"] = q_cms_merge_parity
 ORACLES_CORPUS["cms_merge_parity"] = SQL_CMS_MERGE_PARITY
+
+
+# --- Round-13 registration (formerly queries_staged.py): KMV merge
+# parity — union-then-retain-k vs the global k-min set ----------------
+
+KMVP_K = 16
+
+
+def _kmv_source_hashes(docs: DataFrame) -> DataFrame:
+    """Pure plan: distinct ``(source, h)`` token hashes from a
+    documents frame — the md5-derived 60-bit hash shared with
+    ``operators/sketch.kmv_distinct`` and, verbatim, with the
+    streaming one-plan test (``tests/test_streaming.py``), which
+    drives it per micro-batch: registered surface ≡ per-batch
+    surface."""
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    toks = (
+        with_words(docs)
+        .select("source", F.explode("words").alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    return toks.select("source", h.alias("h")).distinct()
+
+
+def _kmv_rank_topk(hashes: DataFrame, k: int) -> DataFrame:
+    """k smallest distinct hashes with their rank: ``orderBy().limit()``
+    compiles to TakeOrderedAndProject (per-partition top-k, driver
+    merge of k candidates per partition — never a global sort), and
+    the rank window runs AFTER the limit, over ≤ k rows (benign
+    single-partition window, repo convention)."""
+    from pyspark.sql import Window
+
+    topk = hashes.select("h").distinct().orderBy("h").limit(k)
+    w = Window.orderBy("h")
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_kmv_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV merge-parity proof, completing the mergeable-sketch merge-law
+    QUARTET (histogram bins ADD r10, HLL registers MAX r11, CMS
+    counters ADD r12 — r11 verdict item 4): per-source PARTIAL k-min
+    sets, merged by union-then-retain-k-smallest, must equal the
+    single-level global k-min set BIT-IDENTICALLY — hash by hash, rank
+    by rank, and through the density estimate both sets imply.
+
+    KMV's merge law is different from all three siblings: an
+    ORDER-STATISTICS TRUNCATION, not a pointwise fold.  It is
+    idempotent like HLL's max (re-merging the same partial is a no-op
+    — re-delivery safe), but NOT pointwise: a hash present in one
+    partial and absent from another is normal (each source truncates
+    its own view), and mid-stream partial merges can disagree with
+    each other — the guarantee is only that the k smallest of the
+    UNION equal the global k smallest, because every global survivor
+    is among the k smallest of whichever source saw it, so no
+    truncation step can ever discard it.
+
+    In one plan: (a) the set-level proof — merged and direct ranked
+    sets full-outer-joined on rank, emitting ``h_merged`` /
+    ``h_direct`` per rank plus the mismatch count
+    (``n_set_mismatch``, must be 0); (b) the consumer-level proof —
+    ``est_merged`` = ``est_direct`` (the shared (k−1)·2⁶⁰/h₍ₖ₎
+    estimator, 6dp), next to the exact distinct count
+    (``n_distinct_exact``) the estimate approximates.
+
+    Scale shape: ONE ``documents`` scan — the distinct (source, h)
+    table is ``localCheckpoint``-ed and every branch (per-source
+    partials, global k-min, exact count) folds it; the per-source
+    rank window is bounded by per-source vocabulary (the registered
+    ``kmv_distinct_tokens`` shape); both k-min extractions are
+    TakeOrderedAndProject (never a single-partition sort of the
+    vocabulary); the merge input is ≤ k·|sources| candidate rows.
+    Hashes are exact int64 end-to-end; the only float is the final
+    estimate division, identical in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = _kmv_source_hashes(docs).localCheckpoint(eager=True)
+    # per-source partial k-min sets (bounded per-source windows)
+    w_src = Window.partitionBy("source").orderBy("h")
+    partials = (
+        hashed.withColumn("_rn", F.row_number().over(w_src))
+        .filter(F.col("_rn") <= KMVP_K)
+        .select("h")
+    )
+    merged = _kmv_rank_topk(partials, KMVP_K)
+    direct = _kmv_rank_topk(hashed, KMVP_K)
+
+    def est(ranked: DataFrame, name: str) -> DataFrame:
+        n = F.count(F.lit(1))
+        kth = F.max(F.when(F.col("rank") == KMVP_K, F.col("h")))
+        e = F.when(n < KMVP_K, n.cast("double")).otherwise(
+            F.lit(float((KMVP_K - 1) * (1 << 60))) / kth.cast("double")
+        )
+        return ranked.agg(F.round(e, 6).alias(name))
+
+    nd = hashed.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_exact")
+    )
+    joined = merged.withColumnRenamed("h", "h_merged").join(
+        direct.withColumnRenamed("h", "h_direct"), on="rank", how="full_outer"
+    )
+    mism = joined.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.coalesce("h_merged", F.lit(-1))
+                    != F.coalesce("h_direct", F.lit(-1)),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_set_mismatch")
+    )
+    return (
+        joined
+        # 1-row lazy broadcast crossJoin stitches (repo scalar convention)
+        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(est(merged, "est_merged")))
+        .crossJoin(F.broadcast(est(direct, "est_direct")))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "rank",
+            "h_merged",
+            "h_direct",
+            "n_set_mismatch",
+            "est_merged",
+            "est_direct",
+            "n_distinct_exact",
+        )
+        .orderBy("rank")
+    )
+
+
+def _sql_kmv_merge_parity() -> str:
+    k = KMVP_K
+    num = f"{float(k - 1)!r} * {1 << 60}"
+    return f"""
+WITH {SQL_WORDS},
+tok AS (SELECT source, unnest(w) AS token FROM words),
+hashed AS (
+    SELECT DISTINCT source,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM tok WHERE length(token) > 0
+),
+partials AS (
+    SELECT source, h FROM hashed
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {k}
+),
+mtop AS (SELECT DISTINCT h FROM partials ORDER BY h LIMIT {k}),
+mr AS (SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank FROM mtop),
+duniq AS (SELECT DISTINCT h FROM hashed),
+dtop AS (SELECT h FROM duniq ORDER BY h LIMIT {k}),
+dr AS (SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rank FROM dtop),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_exact FROM duniq),
+joined AS (
+    SELECT COALESCE(m.rank, d.rank) AS rank, m.h AS h_merged, d.h AS h_direct
+    FROM mr m FULL OUTER JOIN dr d ON m.rank = d.rank
+),
+mism AS (
+    SELECT CAST(coalesce(sum(CASE WHEN COALESCE(h_merged, -1)
+                                       <> COALESCE(h_direct, -1)
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_set_mismatch
+    FROM joined
+),
+em AS (
+    SELECT CASE WHEN count(*) < {k} THEN round(CAST(count(*) AS DOUBLE), 6)
+                ELSE round({num} / max(CASE WHEN rank = {k} THEN h END), 6)
+           END AS est_merged
+    FROM mr
+),
+ed AS (
+    SELECT CASE WHEN count(*) < {k} THEN round(CAST(count(*) AS DOUBLE), 6)
+                ELSE round({num} / max(CASE WHEN rank = {k} THEN h END), 6)
+           END AS est_direct
+    FROM dr
+)
+SELECT j.rank, j.h_merged, j.h_direct, mism.n_set_mismatch,
+       em.est_merged, ed.est_direct, nd.n_distinct_exact
+FROM joined j
+CROSS JOIN mism CROSS JOIN em CROSS JOIN ed CROSS JOIN nd
+ORDER BY rank
+"""
+
+
+SQL_KMV_MERGE_PARITY = _sql_kmv_merge_parity()
+
+QUERIES_CORPUS["kmv_merge_parity"] = q_kmv_merge_parity
+ORACLES_CORPUS["kmv_merge_parity"] = SQL_KMV_MERGE_PARITY

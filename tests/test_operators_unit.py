@@ -1830,7 +1830,7 @@ def test_wav_stereo_features_matches_stdlib_decode(spark):
     import wave
 
     from pyspark_pipelining_spark.operators.multimodal import wav_stereo_features
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_ann_media import (
         WAV_STEREO_FIXTURE_DIR,
         WAV_STEREO_WINDOW,
     )

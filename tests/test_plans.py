@@ -775,6 +775,9 @@ def test_fingerprint_parser_buckets_and_ignores():
             "===== Subqueries =====",
             "(10) Scan ExistingRDD",
             "(11) ReusedExchange [Reuses operator id: 7]",
+            # catalog-qualified scan: dots/underscores in the kind must
+            # still bucket into `scans` (r12 ADVICE blind spot)
+            "(12) Scan parquet spark_catalog.default.some_table",
         ]
     )
     fp = fingerprint_plan_text(text)
@@ -783,7 +786,7 @@ def test_fingerprint_parser_buckets_and_ignores():
         "broadcasts": 1,
         "hash_aggs": 2,
         "reused": 1,
-        "scans": 2,
+        "scans": 3,
         "shuffles": 1,
     }
     drift = diff_locks({"q": fp}, {"q": {**fp, "shuffles": 2}})
@@ -791,6 +794,7 @@ def test_fingerprint_parser_buckets_and_ignores():
     assert diff_locks({"q": fp}, {"q": dict(fp)}) == []
 
 
+@pytest.mark.quick
 def test_plan_shapes_match_committed_lock(spark, all_plan_texts):
     """Every registered and staged query's physical-plan SHAPE — its
     counts of shuffle exchanges, broadcasts, join strategies, windows,
@@ -1225,7 +1229,7 @@ def test_wav_stereo_features_one_fold_one_decode(spark):
     chunk — no per-channel re-slice of the payload, no second decode
     pass), the REPARTITION_BY_NUM spread, header-only hexing, and the
     payload never hexed whole."""
-    from pyspark_pipelining_spark.queries_staged import q_wav_stereo_features
+    from pyspark_pipelining_spark.queries_ann_media import q_wav_stereo_features
     from tests.conftest import SF_SMOKE
 
     plan = (

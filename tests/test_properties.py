@@ -2122,7 +2122,7 @@ def test_kmv_merge_retain_k_law(spark, toks, tmp_path_factory):
 
     import pandas as pd
 
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_corpus import (
         KMVP_K,
         q_kmv_merge_parity,
     )

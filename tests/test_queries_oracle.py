@@ -13,6 +13,7 @@ from tests.oracle_utils import compare
 QUERY_NAMES = sorted(QUERIES)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle_smoke(spark, name):
     if name not in ORACLES:
@@ -51,6 +52,7 @@ _NULLABLE_FLOAT64_OK = {
 }
 
 
+@pytest.mark.quick
 def test_oracle_pandas_dtypes_match_spark_integrals(spark):
     """Every integral Spark output column must come back integral from
     DuckDB's pandas path (the driver's canonicalizer): a HUGEINT sum
@@ -92,12 +94,14 @@ from pyspark_pipelining_spark.queries_staged import (  # noqa: E402
 )
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("name", sorted(QUERIES_STAGED))
 def test_staged_query_matches_oracle(spark, name):
     compare(spark, SF_SMOKE, QUERIES_STAGED[name], ORACLES_STAGED[name])
     assert QUERIES_STAGED[name](spark, SF_SMOKE).count() > 0
 
 
+@pytest.mark.quick
 def test_staged_oracle_pandas_dtypes_match_spark_integrals(spark):
     """The registered-query dtype gate, applied to the staging area
     BEFORE round-9 registration: an un-CAST HUGEINT or integer-width

@@ -1048,7 +1048,7 @@ def test_staged_kmv_merge_parity_streams_foreachbatch(spark, tmp_path):
     unchanged, the property CMS addition does NOT have), and the
     stream-merged set must equal the staged query's ranked
     ``h_merged`` column bit-for-bit."""
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_corpus import (
         KMVP_K,
         _kmv_source_hashes,
         q_kmv_merge_parity,

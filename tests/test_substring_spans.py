@@ -18,6 +18,7 @@ QUERIES_STAGED is a two-line move:
 from __future__ import annotations
 
 import itertools
+import re
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -323,6 +324,14 @@ def test_self_scope_plan_joins_on_doc_and_hash(spark):
     assert key_lines, plan
     both = [line for line in key_lines if "doc#" in line and "h#" in line]
     assert both, key_lines
+    # the negative half (r12 ADVICE): any key line touching h may name
+    # ONLY doc beside it — an h-plus-anything-else key (e.g. h alone on
+    # the island pair join) would mean the self scan pairs documents
+    for line in key_lines:
+        if "h#" not in line:
+            continue
+        names = set(re.findall(r"([A-Za-z_]\w*)#\d+", line))
+        assert names <= {"doc", "h"}, (line, key_lines)
 
 
 def test_layout_invariance(spark):

@@ -57,6 +57,42 @@ TIER2_QUERIES = [
     "price_quantile_sketch",
 ]
 
+# tier 3 (r12 verdict item 3): the span family — the top of the cost
+# ladder, carrying a hypothesis-proved quadratic MODEL whose measured
+# decade exponents live here.  `exact_substring_spans_w8` is the same
+# cross-doc query with the winnowing lever ON at w=8 (min_span 32 >=
+# gram_len + w - 1 = 23, so output stays bit-identical) — a
+# superlinear surprise on either variant is the cheapest early warning
+# that the island join's pair filter has a skew hole.
+TIER3_QUERIES = [
+    "exact_substring_spans",
+    "self_repeat_spans",
+    "exact_substring_spans_w8",
+]
+
+
+def _q_exact_substring_spans_w8(spark, sf_dir):
+    from pyspark_pipelining_spark.operators import dedup
+    from pyspark_pipelining_spark.queries_staged import (
+        SPAN_GRAM_LEN,
+        SPAN_MAX_OCC,
+        SPAN_MIN,
+    )
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(
+        docs,
+        gram_len=SPAN_GRAM_LEN,
+        min_span=SPAN_MIN,
+        max_gram_occurrences=SPAN_MAX_OCC,
+        spread=spark.sparkContext.defaultParallelism,
+        winnow=8,
+    ).orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
+EXTRA_QUERIES = {"exact_substring_spans_w8": _q_exact_substring_spans_w8}
+
 SFS = [
     ("/root/testdata/sf0.001", 0.001),
     ("/root/testdata/sf0.01", 0.01),
@@ -69,8 +105,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("queries", nargs="*", default=None)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--tier2", action="store_true")
+    ap.add_argument("--tier3", action="store_true")
     args = ap.parse_args(argv)
-    names = args.queries or (TIER2_QUERIES if args.tier2 else DEFAULT_QUERIES)
+    names = args.queries or (
+        TIER3_QUERIES
+        if args.tier3
+        else (TIER2_QUERIES if args.tier2 else DEFAULT_QUERIES)
+    )
 
     try:
         with open("/proc/loadavg") as fh:
@@ -80,9 +121,11 @@ def main(argv: list[str]) -> int:
 
     from pyspark_pipelining_spark import cache
     from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
     from pyspark_pipelining_spark.session import get_spark
 
-    unknown = [q for q in names if q not in QUERIES]
+    registry = {**QUERIES, **QUERIES_STAGED, **EXTRA_QUERIES}
+    unknown = [q for q in names if q not in registry]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
@@ -93,7 +136,7 @@ def main(argv: list[str]) -> int:
 
     results: dict[str, dict[float, float]] = {}
     for name in names:
-        fn = QUERIES[name]
+        fn = registry[name]
         results[name] = {}
         for sf_dir, sf in SFS:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

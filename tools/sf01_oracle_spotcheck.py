@@ -85,6 +85,12 @@ SENSITIVE = [
     # png_chunks — sf does not scale it)
     "kmv_merge_parity",
     "sim_sq8_rerank",
+    # r14 staging (the span pair, promoted from the r12 queue): gram
+    # islands over ~100x more document pairs — the island window key
+    # and the max-occurrence gram filter must agree bit-exact at a
+    # corpus size where hot grams actually hit the cap
+    "exact_substring_spans",
+    "self_repeat_spans",
 ]
 
 
