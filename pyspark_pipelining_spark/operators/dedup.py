@@ -946,3 +946,136 @@ def exact_substring_spans(
             "span_len",
         )
     )
+
+
+def semantic_dedup(
+    emb_df: DataFrame,
+    k: int = 64,
+    iters: int = 2,
+    tau: tuple[int, int] = (3, 10),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") — the published rung ABOVE the lexical ladder
+    (exact → MinHash/SimHash near-dup → span-level): cluster the
+    embedding space, then compare pairs only WITHIN a cluster, so the
+    pair join is cluster-bounded and never all-pairs.
+
+    Semantics (deterministic, oracle-replayable):
+
+    1. cluster with :func:`operators.cluster.kmeans_int` (integer
+       lattice, truncated-mean Lloyd — bit-identical in any engine);
+    2. rank each cluster's members by ``(d, id)`` — exact squared
+       lattice distance to the final centroid, id tiebreak.  Rank 1 is
+       the cluster's KEEPER (the paper keeps one representative per
+       duplicate group; proximity-to-centroid is its "low similarity
+       to centroid" criterion mirrored deterministically);
+    3. a member is ``dropped`` iff SOME earlier-ranked member of its
+       cluster has cosine >= tau against it.  This is the non-chained
+       greedy: a member similar only to an already-dropped member is
+       still dropped — the conservative direction for dedup, and the
+       variant with no recursive dependency, so one pair join + one
+       aggregate computes it (the chained variant would need a
+       sequential per-cluster scan).  Comparing against ALL earlier
+       ranks (not only the keeper) is what makes exact duplicates
+       ALWAYS collapse: twins share a cluster (assignment is a pure
+       function of the vector once centroids are fixed), and the
+       later-ranked twin sees the earlier at cosine 1.
+
+    Exactness: the cosine threshold never touches a float.  With
+    lattice coordinates ``s`` (|s| <= grid), ``dot = Σ s_a·s_b`` and
+    the norms ``n2 = Σ s²`` are exact int64 (64 · grid² = 6.4e13 at
+    the default grid), and ``cos >= p/q  ⟺  dot > 0 AND
+    q²·dot² >= p²·n2_a·n2_b`` evaluates in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB) — both exact at ~1.6e30 max, the r09
+    widen-don't-wrap discipline.
+
+    Scale shape: the corpus shuffles once into the rank window and
+    once into the per-cluster self-join, both keyed by ``cell`` —
+    fanout is Σ|cluster|²/2 pairs, bounded by the ``k`` knob (the
+    paper runs k ≈ n/5000 at web scale precisely so cluster size, and
+    with it the pair cost, stays constant as the corpus grows; k is a
+    parameter here for the same reason).  kmeans itself shuffles only
+    (cell, pos) triples, never vectors; the ranked frame is
+    localCheckpointed once and feeds both join sides plus the output
+    (CLAUDE.md multi-branch rule); the keeper frame is k rows,
+    broadcast.  Output: ``id, cell, rank, keeper_id, dropped`` — all
+    BIGINT, fully deterministic.
+    """
+    from pyspark_pipelining_spark.operators.cluster import GRID, kmeans_int
+
+    g = GRID if grid is None else grid
+    p, q = tau
+    if p <= 0 or q <= 0:
+        raise ValueError(f"tau must be a positive fraction, got {tau}")
+    snapped = emb_df.select(
+        F.col(id_col).alias("_sid"),
+        F.expr(
+            f"transform({vec_col},"
+            f" x -> CAST(round(CAST(x AS DOUBLE) * {g}) AS BIGINT))"
+        ).alias("s"),
+    )
+    assign = kmeans_int(
+        emb_df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, grid=g
+    )
+    w = Window.partitionBy("cell").orderBy("d", id_col)
+    ranked = (
+        assign.join(snapped, F.col(id_col) == F.col("_sid"))
+        .select(
+            id_col,
+            "cell",
+            "d",
+            "s",
+            F.expr(
+                "aggregate(s, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+            ).alias("n2"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    a = ranked.select(
+        F.col(id_col).alias("_va"),
+        "cell",
+        F.col("rank").alias("_ra"),
+        F.col("s").alias("sa"),
+        F.col("n2").alias("na"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("_vb"),
+        "cell",
+        F.col("rank").alias("_rb"),
+        F.col("s").alias("sb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    hit = (dot > 0) & (
+        dot.cast("decimal(38,0)") * dot * F.lit(q * q)
+        >= F.col("na").cast("decimal(38,0)") * F.col("nb") * F.lit(p * p)
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("_rb") < F.col("_ra"))
+        .select("_va", F.when(hit, 1).otherwise(0).alias("_hit"))
+        .groupBy("_va")
+        .agg(F.max("_hit").cast("long").alias("dropped"))
+    )
+    keepers = ranked.filter(F.col("rank") == 1).select(
+        "cell", F.col(id_col).alias("keeper_id")
+    )
+    return (
+        ranked.join(drops, F.col(id_col) == F.col("_va"), "left")
+        .join(F.broadcast(keepers), "cell")
+        .select(
+            id_col,
+            "cell",
+            "rank",
+            "keeper_id",
+            F.coalesce("dropped", F.lit(0)).cast("long").alias("dropped"),
+        )
+    )

@@ -895,6 +895,10 @@ LAYOUT_SENSITIVE_STAGED = [
     "kmv_merge_parity",
     "sim_sq8_rerank",
     "wav_stereo_features",
+    # r13 staging: the per-cluster rank window (exact-int distance +
+    # id tiebreak) and the decimal(38,0) threshold comparison must not
+    # depend on row arrival order
+    "semantic_dedup",
 ]
 
 
