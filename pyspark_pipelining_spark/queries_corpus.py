@@ -671,16 +671,19 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
-# DuckDB's generate_series takes neither lateral column arguments nor
-# subqueries, so the oracle cross-joins a constant chunk-index spine
-# (generous fixed bound; supports docs to 256·stride chars) and keeps
-# starts inside each document — the same chunk set the engine derives
+# chunk-index spine derived from each document's OWN length via a
+# lateral unnest(range(...)) — the span-oracle pattern (r12 ADVICE:
+# a fixed spine bound silently truncates the oracle if doc lengths
+# ever outgrow it; this one formerly capped at 256·stride chars)
 SQL_CHUNK_OVERLAP = f"""
-SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
-       substring(text, CAST(g.i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
-       CAST(length(substring(text, CAST(g.i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE})) AS INTEGER) AS chunk_len
-FROM documents, generate_series(0, 255) AS g(i)
-WHERE g.i * {_STRIDE} < length(text)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       substring(text, CAST(i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substring(text, CAST(i AS INT) * {_STRIDE} + 1, {CHUNK_SIZE})) AS INTEGER) AS chunk_len
+FROM (
+    SELECT doc_id, text,
+           unnest(range(0, (length(text) + {_STRIDE} - 1) // {_STRIDE})) AS i
+    FROM documents
+)
 ORDER BY doc_id, chunk_id
 """
 
