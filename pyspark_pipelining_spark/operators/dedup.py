@@ -956,6 +956,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     grid: int | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1004,6 +1005,20 @@ def semantic_dedup(
     (CLAUDE.md multi-branch rule); the keeper frame is k rows,
     broadcast.  Output: ``id, cell, rank, keeper_id, dropped`` — all
     BIGINT, fully deterministic.
+
+    ``max_candidates`` is the hot-cluster skew lever (the
+    ``max_gram_occurrences`` analogue): when set, each member compares
+    only against the ``max_candidates`` EARLIEST-ranked members of its
+    cluster, so pair fanout is Σ min(|c|, cap)·|c| — linear in corpus
+    size for a fixed cap even if one cluster swallows everything (the
+    k-means degenerate case a fixed k cannot rule out on adversarial
+    data).  Exactness contract: output is IDENTICAL to full mode
+    whenever every cluster has ≤ cap members (property-tested); above
+    the cap the approximation only ever UNDER-drops (a drop decision
+    never consults a later-than-cap rank, and every retained
+    comparison is unchanged) — the conservative keep-direction, and
+    twins still collapse whenever the earlier twin ranks within the
+    cap.  Default ``None`` = exact, the staged-query contract.
     """
     from pyspark_pipelining_spark.operators.cluster import GRID, kmeans_int
 
@@ -1043,7 +1058,15 @@ def semantic_dedup(
         F.col("s").alias("sa"),
         F.col("n2").alias("na"),
     )
-    b = ranked.select(
+    b_src = ranked
+    if max_candidates is not None:
+        if max_candidates < 1:
+            raise ValueError(f"max_candidates must be >= 1, got {max_candidates}")
+        # cap the comparison side BEFORE the join: the b-side shrinks to
+        # <= cap rows per cluster map-side (rank is already computed),
+        # so the hot-cluster pair blowup never reaches the shuffle
+        b_src = ranked.filter(F.col("rank") <= max_candidates)
+    b = b_src.select(
         F.col(id_col).alias("_vb"),
         "cell",
         F.col("rank").alias("_rb"),

@@ -135,3 +135,52 @@ def test_staged_params_are_in_corpus_regime():
     p, q = SEMD_TAU
     assert 0 < p / q < 0.5
     assert SEMD_K >= 8 and SEMD_ITERS >= 1
+
+
+@given(
+    scales=st.lists(
+        st.integers(min_value=1, max_value=3), min_size=2, max_size=DIM
+    ),
+    dups=st.lists(st.integers(min_value=0, max_value=DIM - 1), max_size=4),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_max_candidates_exact_below_cap_and_under_drops_above(
+    spark, scales, dups, cap
+):
+    """The hot-cluster skew lever's two contracts: with the cap at or
+    above every cluster's size the output is BIT-IDENTICAL to full
+    mode, and with any cap the capped drops are a SUBSET of the full
+    drops (the approximation only ever under-drops — the conservative
+    keep direction)."""
+    base = []
+    for d, s in enumerate(scales):
+        v = [0] * DIM
+        v[d] = s
+        base.append(tuple(v))
+    vecs = base + [base[i % len(base)] for i in dups]
+    emb = _frame(spark, vecs)
+    full = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_dedup(emb, k=4, iters=2).collect()
+    }
+    capped_big = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_dedup(
+            emb, k=4, iters=2, max_candidates=len(vecs)
+        ).collect()
+    }
+    assert capped_big == full  # cap >= every cluster size -> identical
+    capped = {
+        r["vec_id"]: r["dropped"]
+        for r in semantic_dedup(emb, k=4, iters=2, max_candidates=cap).collect()
+    }
+    for vid, row in full.items():
+        if capped[vid] == 1:
+            assert row[4] == 1, (vid, cap)  # capped drop => full drop
+
+
+def test_max_candidates_rejects_nonpositive(spark):
+    emb = _frame(spark, [(1, 0, 0, 0, 0, 0, 0, 0)])
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, max_candidates=0)
