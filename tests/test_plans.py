@@ -552,6 +552,7 @@ def test_char_diversity_has_partial_aggregation(spark):
     assert "partial_count" in plan
 
 
+@pytest.mark.quick
 def test_no_query_has_cartesian_or_python_row_udf(spark, all_plan_texts):
     """Repo-wide invariants over every registered query's physical
     plan: (1) no CartesianProduct — scalar stitches must broadcast, so
@@ -732,6 +733,7 @@ def test_convergence_probes_are_bounded_actions_on_checkpointed_state(
         assert "LogicalRDD" in plan and "Join" not in plan, plan
 
 
+@pytest.mark.quick
 def test_staged_plans_have_no_cartesian_or_python_row_udf(spark, all_plan_texts):
     """The repo-wide plan invariant, applied to the current staging
     area BEFORE registration (same gate every staged set since round 7
