@@ -6,21 +6,28 @@ siblings, ``wav_stereo_features`` and ``sim_sq8_rerank`` →
 queries_ann_media), and late additions would defer pending
 revalidations (CLAUDE.md: registry freeze).
 
-This round's staged pair is the exact-substring SPAN family, promoted
-from the round-12 queue (the documented two-entry move): cross-document
-verbatim passages and intra-document self-repeats, both over
-``operators/dedup.exact_substring_spans`` (Lee et al. 2022 semantics as
-diagonal gram islands).  Fully gated locally: DuckDB oracle compare at
-sf0.001/0.01/0.1, plan shape in both join regimes, a hypothesis model
-proof, and hostile-layout invariance (``tests/test_substring_spans.py``).
+This round's staged trio: the exact-substring SPAN pair, promoted from
+the round-12 queue (cross-document verbatim passages and intra-document
+self-repeats over ``operators/dedup.exact_substring_spans`` — Lee et
+al. 2022 semantics as diagonal gram islands; gates in
+``tests/test_substring_spans.py``), plus ``semantic_dedup`` (SemDeDup
+cluster-bounded cosine collapse over the embedding space — r12 verdict
+item 4; gates in ``tests/test_semantic_dedup.py``).  One further query
+is QUEUED below the dicts: ``decontamination_spans`` (r12 verdict
+item 5; gates in ``tests/test_decontamination.py``), held out to honor
+the ≤3-staged cadence.
 
-Next round: merge QUERIES_STAGED / ORACLES_STAGED into a family module
-(``queries_llm.py`` beside the dedup ladder), reset this file, repoint
-the span tests' imports, regenerate VALIDATION.md, and re-verify the
-plan lock (``python tools/plan_lock.py`` — keys are query names, so a
-pure module move leaves it green; regenerate with ``--write`` only if a
-plan actually changed).  The local gates exercise everything here every
-pytest run (oracle compare at sf0.001, the pandas-dtype gate, and the
+Next round: merge QUERIES_STAGED / ORACLES_STAGED into family modules
+(the span pair and ``semantic_dedup`` → ``queries_llm.py`` beside the
+dedup ladder), promote ``decontamination_spans`` into the dicts
+(→ eventually ``queries_corpus.py`` beside ``contamination``), reset
+this file, repoint the span/semantic/decon tests' imports, regenerate
+VALIDATION.md, re-verify the plan lock (``python tools/plan_lock.py``
+— keys are query names, so a pure module move leaves it green;
+regenerate with ``--write`` only if a plan actually changed), and add
+``decontamination_spans`` to ``tools/sf01_oracle_spotcheck.py``'s
+SENSITIVE list.  The local gates exercise everything here every pytest
+run (oracle compare at sf0.001, the pandas-dtype gate, and the
 plan-invariant gate), so staged queries are pytest-green now and
 driver-validated next round.
 """

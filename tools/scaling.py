@@ -68,6 +68,8 @@ TIER3_QUERIES = [
     "exact_substring_spans",
     "self_repeat_spans",
     "exact_substring_spans_w8",
+    # staged round 13: the cluster-keyed SemDeDup pair join
+    "semantic_dedup",
 ]
 
 
