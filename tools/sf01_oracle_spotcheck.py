@@ -6,12 +6,14 @@ The regular oracle gates run at sf0.001 (every pytest) and sf0.01
 overflow / precision envelopes of the integer-sufficient-statistic
 queries deserve one documented pass at that scale:
 
-    python tools/sf01_oracle_spotcheck.py
+    python tools/sf01_oracle_spotcheck.py [--all]
 
 Prints one OK/FAIL line per query and exits non-zero on any mismatch.
 The passing run is recorded in README.md (scale notes).  Not part of
 the default pytest run (costs ~2 min); re-run after touching any of
-the listed queries' arithmetic.
+the listed queries' arithmetic.  ``--all`` runs EVERY registered +
+staged query with an oracle — the full-registry sf0.1 certification
+(~12 min; first recorded pass round 13: 213/213 match).
 """
 
 from __future__ import annotations
@@ -107,6 +109,12 @@ def main() -> int:
     queries = {**QUERIES_STAGED, **QUERIES}
     oracles = {**ORACLES_STAGED, **ORACLES}
 
+    # --all: one-off FULL-registry pass (every registered + staged
+    # query with an oracle) at sf0.1 — the strongest value-level
+    # certification the committed testdata supports; ~tens of minutes,
+    # so the default stays the SENSITIVE list
+    names = sorted(queries) if "--all" in sys.argv[1:] else SENSITIVE
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -115,9 +123,12 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
-    for name in SENSITIVE:
+    for name in names:
         if name not in queries:
             print(f"SKIP {name}: not registered or staged")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: no oracle (rows-only driver check)")
             continue
         try:
             compare(spark, SF_DIR, queries[name], oracles[name])
@@ -128,7 +139,7 @@ def main() -> int:
     if failures:
         print(f"failures: {failures}")
         return 1
-    print(f"checked {len(SENSITIVE)} numerically-sensitive queries at {SF_DIR}: all match")
+    print(f"checked {len(names)} queries at {SF_DIR}: all match")
     return 0
 
 
