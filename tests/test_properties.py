@@ -885,20 +885,30 @@ LAYOUT_SENSITIVE = [
     "wav_window_features",
 ]
 
-# round-13 staged queries, swept under the same contract before they
-# ever see a driver row: KMV's union-then-retain-k is an
-# order-STATISTICS truncation (the classic place a shuffle-order
-# dependence hides), SQ8's integer-dot shortlist must tiebreak
-# deterministically, and the stereo fold adds a channel fanout on top
-# of the mono window spread
-LAYOUT_SENSITIVE_STAGED = [
+# r13/r14 registrations stay on the rotating sweep: KMV's
+# union-then-retain-k is an order-STATISTICS truncation (the classic
+# place a shuffle-order dependence hides), SQ8's integer-dot shortlist
+# must tiebreak deterministically, the stereo fold adds a channel
+# fanout on top of the mono window spread, and semantic_dedup's
+# per-cluster rank window (exact-int distance + id tiebreak) must not
+# depend on row arrival order
+LAYOUT_SENSITIVE += [
     "kmv_merge_parity",
     "sim_sq8_rerank",
     "wav_stereo_features",
-    # r13 staging: the per-cluster rank window (exact-int distance +
-    # id tiebreak) and the decimal(38,0) threshold comparison must not
-    # depend on row arrival order
     "semantic_dedup",
+]
+
+# round-14 staged queries, swept under the same contract before they
+# ever see a driver row (never-validated names bypass the rotation, so
+# these run every round until their first green row): the decon span
+# orientation rides the island window; the DSIR λ sums and the Gumbel
+# top-k are integer-exact but flow through a full-outer histogram
+# merge and a TakeOrdered — the shapes the sweep exists to pin
+LAYOUT_SENSITIVE_STAGED = [
+    "decontamination_spans",
+    "dsir_weights",
+    "dsir_sample_topk",
 ]
 
 
@@ -913,12 +923,19 @@ def test_layout_invariance_sweep(spark):
     from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
     from tests.conftest import SF_SMOKE
 
+    from tests.conftest import in_rotation
+
     registry = {**QUERIES, **QUERIES_STAGED}
     # staged names keep resolving after they migrate into QUERIES at
     # the next round's registration — coverage never silently drops
-    names = LAYOUT_SENSITIVE + LAYOUT_SENSITIVE_STAGED
-    missing = [n for n in names if n not in registry]
+    all_names = LAYOUT_SENSITIVE + LAYOUT_SENSITIVE_STAGED
+    missing = [n for n in all_names if n not in registry]
     assert not missing, f"sweep names not in any registry: {missing}"
+    # sampled-rotating slice (r13 verdict item 3): never-driver-
+    # validated names always swept, the rest once every ROTATION_PERIOD
+    # rounds — conftest.in_rotation, same scheme as the sf0.01 tier
+    names = [n for n in all_names if in_rotation(n)]
+    assert names, all_names
 
     def run(name):
         return sorted(tuple(str(x) for x in r) for r in registry[name](spark, SF_SMOKE).collect())

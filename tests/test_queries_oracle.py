@@ -29,8 +29,12 @@ def test_query_matches_oracle_smoke(spark, name):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle_sf001(spark, name):
+    from tests.conftest import in_rotation
+
     if name not in ORACLES:
         pytest.skip("rows-only query")
+    if not in_rotation(name):
+        pytest.skip("sampled-rotating sf0.01 tier: certified a neighboring round")
     compare(spark, SF_ORACLE, QUERIES[name], ORACLES[name])
 
 

@@ -1,8 +1,9 @@
 """SemDeDup-style semantic dedup (``operators/dedup.semantic_dedup``,
-staged query ``semantic_dedup`` — r12 verdict item 4).
+query ``semantic_dedup``, registered round 14 in queries_llm.py —
+r12 verdict item 4).
 
-The staged-query gates (oracle compare at sf0.001, pandas-dtype,
-plan-invariant, plan-shape lock) run via ``queries_staged`` imports in
+The registry gates (oracle compare at sf0.001, pandas-dtype,
+plan-invariant, plan-shape lock) run via ``queries_llm`` imports in
 their own files; this file pins the operator's LAWS and the
 cluster-bounded plan shape:
 
@@ -25,7 +26,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark_pipelining_spark.operators.dedup import semantic_dedup
-from pyspark_pipelining_spark.queries_staged import (
+from pyspark_pipelining_spark.queries_llm import (
     SEMD_ITERS,
     SEMD_K,
     SEMD_TAU,
@@ -184,3 +185,26 @@ def test_max_candidates_rejects_nonpositive(spark):
     emb = _frame(spark, [(1, 0, 0, 0, 0, 0, 0, 0)])
     with pytest.raises(ValueError):
         semantic_dedup(emb, max_candidates=0)
+
+
+def test_corpus_embeddings_within_lattice_precondition(spark):
+    """The decimal(38,0) headroom argument (operator docstring
+    PRECONDITION, r13 ADVICE) assumes |x| <= 1 so |s| <= grid; an
+    out-of-range corpus would silently NULL-overflow Spark-side while
+    DuckDB's HUGEINT stays exact.  Pin the committed embedding table
+    inside the envelope so a testdata regeneration that breaks the
+    convention fails loudly here, not as a red driver row."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mx = emb.select(
+        F.max(
+            F.expr(
+                "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+            )
+        ).alias("mx")
+    ).collect()[0]["mx"]
+    assert mx <= 1.0, mx

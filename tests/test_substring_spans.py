@@ -1,11 +1,10 @@
-"""exact_substring_spans — span-level exact-substring dedup (queued for
-round-13 staging; see the queue section of queries_staged.py).
+"""exact_substring_spans — span-level exact-substring dedup
+(registered round 14 in queries_llm.py beside the dedup ladder).
 
-Three layers, mirroring the repo's gate stack so promotion to
-QUERIES_STAGED is a two-line move:
+Three layers, mirroring the repo's gate stack:
 
 * DuckDB oracle compare + pandas-dtype parity at sf0.001 (what the
-  staged oracle gate will run);
+  registered oracle gate runs);
 * a quadratic pure-Python char-run reference model under hypothesis —
   proving the diagonal-island gram construction EQUALS plain
   "maximal matching character run >= max(L, min_span)" semantics;
@@ -26,7 +25,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark.operators.dedup import exact_substring_spans
-from pyspark_pipelining_spark.queries_staged import (
+from pyspark_pipelining_spark.queries_llm import (
     SQL_EXACT_SUBSTRING_SPANS,
     SQL_SELF_REPEAT_SPANS,
     q_exact_substring_spans,

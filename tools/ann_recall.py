@@ -20,7 +20,8 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-# variant -> (query name, id column of the neighbor)
+# approximate-variant query names, each compared against BASELINE's
+# exact top-k by (query_id, vec_id) set overlap
 VARIANTS = [
     "sim_lsh_topk",
     "sim_lsh_multitable",
@@ -62,9 +63,17 @@ def main(argv: list[str]) -> int:
         if name not in QUERIES:
             print(f"{name}: not registered, skipped")
             continue
-        got = _topk_sets(QUERIES[name](spark, args.sf))
+        df = QUERIES[name](spark, args.sf)
+        if not {"query_id", "vec_id"} <= set(df.columns):
+            cache.release_all()
+            print(f"{name}: no query_id/vec_id columns, incomparable")
+            continue
+        got = _topk_sets(df)
         cache.release_all()
         qids = sorted(set(exact) & set(got))
+        if not qids:
+            print(f"{name}: no shared queries with baseline, incomparable")
+            continue
         rec = sum(len(exact[q] & got[q]) / len(exact[q]) for q in qids) / len(qids)
         print(f"{name}: recall@k={rec:.3f} over {len(qids)} queries")
     spark.stop()

@@ -68,14 +68,22 @@ TIER3_QUERIES = [
     "exact_substring_spans",
     "self_repeat_spans",
     "exact_substring_spans_w8",
-    # staged round 13: the cluster-keyed SemDeDup pair join
+    # registered round 14: the cluster-keyed SemDeDup pair join
     "semantic_dedup",
+    # staged round 14 (r13 verdict item 2 asks for a tier-3 row): the
+    # DSIR λ model (map-side hashing + B-bounded histograms + one
+    # doc-keyed shuffle — expected ~flat-to-linear), its TakeOrdered
+    # resample, and the decon span/report pair riding the island join
+    "dsir_weights",
+    "dsir_sample_topk",
+    "decontamination_spans",
+    "decontamination_report",
 ]
 
 
 def _q_exact_substring_spans_w8(spark, sf_dir):
     from pyspark_pipelining_spark.operators import dedup
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_llm import (
         SPAN_GRAM_LEN,
         SPAN_MAX_OCC,
         SPAN_MIN,
@@ -93,7 +101,18 @@ def _q_exact_substring_spans_w8(spark, sf_dir):
     ).orderBy("doc_a", "doc_b", "start_a", "start_b")
 
 
-EXTRA_QUERIES = {"exact_substring_spans_w8": _q_exact_substring_spans_w8}
+def _q_decontamination_report(spark, sf_dir):
+    # queued (pre-dict) round-15 query — resolved here so its scaling
+    # row exists before it ever stages
+    from pyspark_pipelining_spark.queries_staged import q_decontamination_report
+
+    return q_decontamination_report(spark, sf_dir)
+
+
+EXTRA_QUERIES = {
+    "exact_substring_spans_w8": _q_exact_substring_spans_w8,
+    "decontamination_report": _q_decontamination_report,
+}
 
 SFS = [
     ("/root/testdata/sf0.001", 0.001),
@@ -126,6 +145,9 @@ def main(argv: list[str]) -> int:
     from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
     from pyspark_pipelining_spark.session import get_spark
 
+    # a name collision would silently time the wrong plan (ADVICE r13)
+    assert not set(QUERIES) & set(QUERIES_STAGED)
+    assert not (set(QUERIES) | set(QUERIES_STAGED)) & set(EXTRA_QUERIES)
     registry = {**QUERIES, **QUERIES_STAGED, **EXTRA_QUERIES}
     unknown = [q for q in names if q not in registry]
     if unknown:

@@ -87,12 +87,18 @@ SENSITIVE = [
     # png_chunks — sf does not scale it)
     "kmv_merge_parity",
     "sim_sq8_rerank",
-    # r14 staging (the span pair, promoted from the r12 queue): gram
-    # islands over ~100x more document pairs — the island window key
-    # and the max-occurrence gram filter must agree bit-exact at a
-    # corpus size where hot grams actually hit the cap
+    # r14 registrations (the span pair, promoted from the r12 queue):
+    # gram islands over ~100x more document pairs — the island window
+    # key and the max-occurrence gram filter must agree bit-exact at a
+    # corpus size where hot grams actually hit the cap; semantic_dedup
+    # squares HUGEINT dot products over the full sf0.1 embedding table
+    # (the decimal(38,0) headroom envelope the ADVICE note documents)
     "exact_substring_spans",
     "self_repeat_spans",
+    "semantic_dedup",
+    # r15 staging: eval-vs-train span islands at a corpus size where
+    # the eval source actually shares hot grams with every train source
+    "decontamination_spans",
 ]
 
 
