@@ -635,3 +635,165 @@ def oov_rate(
         )
         .orderBy(group_col)
     )
+
+
+#: integer-exact Gopher repetition thresholds as (num, den) fractions:
+#: top-2-gram char coverage > 1/5, top-3-gram > 9/50 (= 0.18), and
+#: duplicated-3-gram word coverage > 3/20 (= 0.15) — the Rae et al.
+#: 2021 Table A1 values for the signals this corpus can express
+GOPHER_TOP2 = (1, 5)
+GOPHER_TOP3 = (9, 50)
+GOPHER_DUP3 = (3, 20)
+
+# single-BIGINT encoding of (count, coverage) so "most frequent gram,
+# char-coverage tiebreak" is ONE max() both engines order identically
+# (DuckDB cannot max() a struct): count * 1e9 + coverage, exact while
+# coverage < 1e9 (coverage <= n_chars * occurrences, far below)
+_GOPHER_KEY = 1_000_000_000
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1) — the published
+    repetition filters a pretraining pipeline runs beside perplexity
+    (:func:`lm_bigram_score`) and doc-level dedup:
+
+    * ``top{2,3}_char_frac`` — characters contained in the MOST
+      FREQUENT word n-gram (count × gram char length, the paper's
+      definition — overlapping occurrences may push it past 1) over
+      document chars; ties on count break by larger coverage, which
+      leaves the fraction itself deterministic either way;
+    * ``dup3_word_frac`` — fraction of WORD positions covered by some
+      3-gram occurring more than once in the document, overlaps
+      counted once (interval union over [i, i+2] word spans — the
+      island-window pass).  The paper states its dup-n-gram family in
+      characters; this corpus is single-space word soup, so word
+      positions carry the same signal without re-deriving char
+      offsets, and the adaptation is exact rather than approximate;
+    * ``flagged_repetition`` — 1 iff any signal exceeds its published
+      threshold, compared in integers (``den·cov > num·total``) so the
+      verdict never touches a float.
+
+    The paper's duplicate-LINE family is deliberately absent: the
+    corpus has no newlines (probed), so those columns would be
+    constant — value-blind to the oracle.  n = 2, 3 (not the paper's
+    full 2..10) because this corpus has no duplicated 4-grams-or-
+    longer within documents at either gate scale (probed; a constant
+    column again).
+
+    Scale shape: grams are one map-side higher-order transform; the
+    only corpus-sized shuffle is the per-(doc, gram) count keyed by
+    doc — the island window and every later aggregate reuse that
+    doc-keyed partitioning.  Output: ``doc_id, n_words, n_chars,
+    top2_char_frac, top3_char_frac, dup3_word_frac,
+    flagged_repetition`` with exact BIGINT numerators kept
+    (``top2_cov, top3_cov, dup3_cov_words``) so downstream joins can
+    re-derive any ratio losslessly.
+    """
+    words = with_words(df, text_col).select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size("words").alias("n_words"),
+        "words",
+    )
+
+    def grams(n: int) -> DataFrame:
+        parts = ", ".join(
+            f"element_at(words, CAST(i + {j} AS INT))" for j in range(n)
+        )
+        return words.filter(F.size("words") >= n).select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {n - 1}),"
+                    f" i -> struct(i AS pos, concat_ws(' ', {parts}) AS g))"
+                )
+            ).alias("o"),
+        ).select("doc_id", "n_chars", "n_words", "o.pos", "o.g")
+
+    def top_cov(n: int, out: str) -> DataFrame:
+        cnt = (
+            grams(n)
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"), F.first(F.length("g")).alias("lg"))
+        )
+        keyed = cnt.select(
+            "doc_id",
+            (F.col("c") * _GOPHER_KEY + F.col("c") * F.col("lg")).alias("k"),
+        )
+        return keyed.groupBy("doc_id").agg(
+            (F.max("k") % _GOPHER_KEY).cast("long").alias(out)
+        )
+
+    top2 = top_cov(2, "top2_cov")
+    top3 = top_cov(3, "top3_cov")
+
+    # duplicated-3-gram word-interval union per doc (the island pass)
+    g3 = grams(3)
+    dup_occ = (
+        g3.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + 2).alias("e"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup_occ.withColumn(
+        "isl",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dup3 = (
+        isl.groupBy("doc_id", "isl")
+        .agg((F.max("e") - F.min("s") + 1).alias("ext"))
+        .groupBy("doc_id")
+        .agg(F.sum("ext").cast("long").alias("dup3_cov_words"))
+    )
+
+    base = df.select("doc_id", F.length(text_col).alias("n_chars")).join(
+        words.select("doc_id", "n_words"), "doc_id"
+    )
+    out = (
+        base.join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.coalesce("top2_cov", F.lit(0)).cast("long").alias("top2_cov"),
+            F.coalesce("top3_cov", F.lit(0)).cast("long").alias("top3_cov"),
+            F.coalesce("dup3_cov_words", F.lit(0))
+            .cast("long")
+            .alias("dup3_cov_words"),
+        )
+    )
+    p2, q2 = GOPHER_TOP2
+    p3, q3 = GOPHER_TOP3
+    pd_, qd = GOPHER_DUP3
+    def frac(num: str, den: str):
+        # empty docs have n_chars 0 (ANSI divide-by-zero); their
+        # coverage is 0, so the fraction is 0 by definition
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num) / F.col(den), 6)
+        ).otherwise(F.lit(0.0))
+
+    return out.select(
+        "*",
+        frac("top2_cov", "n_chars").alias("top2_char_frac"),
+        frac("top3_cov", "n_chars").alias("top3_char_frac"),
+        frac("dup3_cov_words", "n_words").alias("dup3_word_frac"),
+        F.when(
+            (F.col("top2_cov") * q2 > F.col("n_chars") * p2)
+            | (F.col("top3_cov") * q3 > F.col("n_chars") * p3)
+            | (F.col("dup3_cov_words") * qd > F.col("n_words") * pd_),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("flagged_repetition"),
+    )

@@ -78,6 +78,7 @@ TIER3_QUERIES = [
     "dsir_sample_topk",
     "decontamination_spans",
     "decontamination_report",
+    "gopher_repetition",
 ]
 
 
@@ -109,9 +110,16 @@ def _q_decontamination_report(spark, sf_dir):
     return q_decontamination_report(spark, sf_dir)
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    from pyspark_pipelining_spark.queries_staged import q_gopher_repetition
+
+    return q_gopher_repetition(spark, sf_dir)
+
+
 EXTRA_QUERIES = {
     "exact_substring_spans_w8": _q_exact_substring_spans_w8,
     "decontamination_report": _q_decontamination_report,
+    "gopher_repetition": _q_gopher_repetition,
 }
 
 SFS = [
