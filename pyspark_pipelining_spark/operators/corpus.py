@@ -731,3 +731,122 @@ def dsir_resample(
     top = keyed.orderBy(F.desc("key_q6"), id_col).limit(k)
     w = Window.orderBy(F.desc("key_q6"), id_col)
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    max_epochs: int = 1,
+    budget: int | None = None,
+    budget_frac: tuple[int, int] | None = None,
+    source_col: str = "source",
+    count_col: str = "n_chars",
+) -> DataFrame:
+    """UniMax-style per-source budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining") — the published mixing
+    policy a 100 TB corpus owner runs ABOVE :func:`mixture_sample`'s
+    fixed fractions: spread a total training budget UNIFORMLY across
+    sources, except no source may exceed ``max_epochs`` repeats of its
+    available data; the budget freed by capped (small) sources
+    redistributes uniformly over the rest.  Equivalently: per-source
+    allocation ``min(cap_i, L)`` with the water level ``L`` solving
+    ``Σ min(cap_i, L) = B``.
+
+    Exact integer waterfill (no floats anywhere): sort sources by
+    ``cap = max_epochs · n`` (name tiebreak); the capped prefix ends at
+    the first index k where ``cap_k · (m − k + 1) ≥ B − prefix_{k−1}``
+    (the condition is monotone in k, the classic waterfill argument);
+    uncapped sources take ``base = (B − prefix_{k−1}) div (m − k + 1)``
+    tokens with the division remainder handed to the first ``r`` of
+    them in sort order — so ``Σ alloc = B`` EXACTLY whenever
+    ``Σ cap ≥ B``, and everything is int64 arithmetic both engines
+    replay bit-identically.  If the budget exceeds every cap, all
+    sources allocate their cap and the leftover is the caller's signal
+    to raise ``max_epochs``.
+
+    ``budget`` is an absolute count; ``budget_frac = (p, q)`` instead
+    derives ``B = (Σ n) · p div q`` INSIDE the plan (1-row lazy
+    cross-joined aggregate — scale-relative budgets never collect).
+
+    Scale shape: one aggregation shuffle to the per-source counts
+    frame (m rows — sources, languages, domains: thousands at most);
+    the waterfill itself is window work over that m-row frame (the
+    global windows are over m rows, never the corpus).  Output:
+    ``source, n_avail, cap, alloc, epochs, is_capped`` — alloc/cap
+    BIGINT, ``epochs = alloc/n`` the one boundary double.
+    """
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("exactly one of budget / budget_frac required")
+    c = counts.select(
+        F.col(source_col).alias("source"),
+        F.col(count_col).cast("long").alias("n_avail"),
+    ).withColumn("cap", F.col("n_avail") * max_epochs)
+    tot = c.agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("n_avail").alias("_ntot")
+    )  # 1 row, lazy
+    if budget is not None:
+        if budget < 0:
+            raise ValueError(f"budget must be >= 0, got {budget}")
+        b_expr = F.lit(int(budget))
+    else:
+        p, q = budget_frac
+        if p < 0 or q <= 0:
+            raise ValueError(f"budget_frac must be a non-negative fraction, got {budget_frac}")
+        b_expr = F.expr(f"div(_ntot * {p}, {q})")
+    wo = Window.orderBy("cap", "source")
+    wf = Window.partitionBy(F.lit(1))  # full m-row frame
+    ranked = (
+        c.crossJoin(tot)
+        .withColumn("B", b_expr)
+        .withColumn("idx", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "pfx",
+            F.coalesce(
+                F.sum("cap").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("rem", F.col("B") - F.col("pfx"))
+        .withColumn("denom", F.col("_m") - F.col("idx") + 1)
+        .withColumn("ok", F.col("cap") * F.col("denom") >= F.col("rem"))
+    )
+    # the flagged set is a suffix; row k has the LARGEST rem/denom in it
+    rem_k = F.max(F.when(F.col("ok"), F.col("rem"))).over(wf)
+    denom_k = F.max(F.when(F.col("ok"), F.col("denom"))).over(wf)
+    solved = ranked.select(
+        "source",
+        "n_avail",
+        "cap",
+        "idx",
+        rem_k.alias("rem_k"),
+        denom_k.alias("denom_k"),
+    )
+    k = F.col("denom_k").isNotNull()
+    base = F.expr("div(rem_k, denom_k)")
+    r = F.col("rem_k") - base * F.col("denom_k")
+    # k (the first uncapped index) = m - denom_k + 1, recovered from the
+    # suffix length so no extra join is needed
+    k_start = F.max("idx").over(Window.partitionBy(F.lit(1))) - F.col("denom_k") + 1
+    alloc = (
+        F.when(~k, F.col("cap"))  # budget exceeds every cap
+        .when(F.col("idx") < k_start, F.col("cap"))  # capped prefix
+        .otherwise(base + F.when(F.col("idx") - k_start < r, 1).otherwise(0))
+    )
+    return solved.select(
+        "source",
+        "n_avail",
+        "cap",
+        alloc.cast("long").alias("alloc"),
+        F.when(
+            F.col("n_avail") > 0,
+            F.round(alloc / F.col("n_avail"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
+        F.when(~k | (F.col("idx") < k_start), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_capped"),
+    )

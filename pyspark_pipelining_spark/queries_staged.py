@@ -10,11 +10,13 @@ benchmark decontamination, promoted from the round-14 queue — r12
 verdict item 5; gates in ``tests/test_decontamination.py``), plus the
 DSIR importance-resampling pair ``dsir_weights`` /
 ``dsir_sample_topk`` (Xie et al. 2023 — r13 verdict item 2; gates in
-``tests/test_dsir.py``).  Two further queries are QUEUED below the
+``tests/test_dsir.py``).  Three further queries are QUEUED below the
 dicts, held out to honor the ≤3-staged cadence:
-``decontamination_report`` (r13 verdict item 5) and
-``gopher_repetition`` (Rae et al. 2021 repetition filters; gates in
-``tests/test_gopher.py``).
+``decontamination_report`` (r13 verdict item 5), ``gopher_repetition``
+(Rae et al. 2021 repetition filters; gates in ``tests/test_gopher.py``),
+and ``unimax_allocation`` (Chung et al. 2023 budget waterfill; gates in
+``tests/test_unimax.py``) — a full staging round for r16 already lined
+up.
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into family modules
 (``decontamination_spans`` + ``dsir_*`` → ``queries_corpus.py`` beside
@@ -676,3 +678,90 @@ ORDER BY b.doc_id
 
 
 SQL_GOPHER_REPETITION = _sql_gopher_repetition()
+
+
+# ---------------------------------------------------------------------------
+# Round-15 staging QUEUE (3) — UniMax budget allocation (Chung et al.
+# 2023; the published language/source-sampling policy above
+# mixture_sample's fixed fractions).  Oracle-paired, gates in
+# tests/test_unimax.py; queued behind the staged trio.
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCHS = 1
+UNIMAX_FRAC = (19, 20)
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfill over per-source character budgets
+    (``operators/corpus.unimax_allocation``): allocate 19/20 of the
+    corpus's total characters uniformly across sources with a
+    1-epoch per-source cap — small sources cap out at their full
+    data, the freed budget redistributes over the rest, and
+    ``Σ alloc`` equals the budget EXACTLY (integer waterfill; the
+    division remainder goes to the first uncapped sources in sort
+    order).  The 19/20 fraction sits inside this corpus's ±20%
+    source-size spread deliberately, so BOTH branches (capped and
+    level-allocated) are populated at every committed scale — a
+    budget under the smallest cap would leave ``is_capped``
+    constant-zero and the oracle value-blind to the prefix logic."""
+    from pyspark_pipelining_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.sum("n_chars").alias("n_chars"))
+    return corpus.unimax_allocation(
+        src, max_epochs=UNIMAX_EPOCHS, budget_frac=UNIMAX_FRAC
+    ).orderBy("source")
+
+
+def _sql_unimax_allocation() -> str:
+    e = UNIMAX_EPOCHS
+    p, q = UNIMAX_FRAC
+    return f"""
+WITH src AS (
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_avail
+    FROM documents GROUP BY source
+),
+tot AS (SELECT count(*) AS m, sum(n_avail) AS ntot FROM src),
+ranked AS (
+    SELECT source, n_avail, n_avail * {e} AS cap,
+           CAST(row_number() OVER (ORDER BY n_avail * {e}, source) AS BIGINT) AS idx,
+           coalesce(sum(n_avail * {e}) OVER (
+               ORDER BY n_avail * {e}, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+           m, (ntot * {p}) // {q} AS B
+    FROM src CROSS JOIN tot
+),
+flagged AS (
+    SELECT *, B - pfx AS rem, m - idx + 1 AS denom,
+           CASE WHEN cap * (m - idx + 1) >= B - pfx THEN 1 ELSE 0 END AS ok
+    FROM ranked
+),
+solved AS (
+    SELECT *,
+           max(CASE WHEN ok = 1 THEN rem END) OVER () AS rem_k,
+           max(CASE WHEN ok = 1 THEN denom END) OVER () AS denom_k,
+           max(idx) OVER () AS mx
+    FROM flagged
+),
+alloc AS (
+    SELECT source, n_avail, cap, denom_k,
+           CASE WHEN denom_k IS NULL OR idx < mx - denom_k + 1 THEN 1 ELSE 0 END AS is_capped,
+           CASE WHEN denom_k IS NULL THEN cap
+                WHEN idx < mx - denom_k + 1 THEN cap
+                ELSE rem_k // denom_k
+                     + CASE WHEN idx - (mx - denom_k + 1) < rem_k % denom_k
+                            THEN 1 ELSE 0 END
+           END AS alloc
+    FROM solved
+)
+SELECT source, n_avail, CAST(cap AS BIGINT) AS cap,
+       CAST(alloc AS BIGINT) AS alloc,
+       CASE WHEN n_avail > 0 THEN round(alloc / CAST(n_avail AS DOUBLE), 6)
+            ELSE 0.0 END AS epochs,
+       CAST(is_capped AS BIGINT) AS is_capped
+FROM alloc
+ORDER BY source
+"""
+
+
+SQL_UNIMAX_ALLOCATION = _sql_unimax_allocation()

@@ -79,6 +79,7 @@ TIER3_QUERIES = [
     "decontamination_spans",
     "decontamination_report",
     "gopher_repetition",
+    "unimax_allocation",
 ]
 
 
@@ -116,10 +117,17 @@ def _q_gopher_repetition(spark, sf_dir):
     return q_gopher_repetition(spark, sf_dir)
 
 
+def _q_unimax_allocation(spark, sf_dir):
+    from pyspark_pipelining_spark.queries_staged import q_unimax_allocation
+
+    return q_unimax_allocation(spark, sf_dir)
+
+
 EXTRA_QUERIES = {
     "exact_substring_spans_w8": _q_exact_substring_spans_w8,
     "decontamination_report": _q_decontamination_report,
     "gopher_repetition": _q_gopher_repetition,
+    "unimax_allocation": _q_unimax_allocation,
 }
 
 SFS = [
