@@ -1246,3 +1246,31 @@ def test_wav_stereo_features_one_fold_one_decode(spark):
     assert "hex(content" not in plan
     # the channel fanout is a 2-literal explode, not a chunk re-cut
     assert plan.count("explode([0,1])") == 1, plan
+
+
+@pytest.mark.quick
+def test_rotation_scheme_guarantees():
+    """The sampled-rotating certification scheme's contracts
+    (CLAUDE.md; r13 verdict item 3): every registered query lands in
+    EXACTLY one of the PERIOD phases (so 3 consecutive rounds cover
+    the registry completely), never-driver-validated queries are
+    always in the current slice, and the slice is a real sample —
+    neither empty nor the whole registry."""
+    import hashlib
+
+    import __spark_entry__ as entry
+    from pyspark_pipelining_spark.queries import QUERIES
+    from tests.conftest import ROTATION_PERIOD, in_rotation, rotation_round
+
+    for name in QUERIES:
+        hits = [
+            int(hashlib.md5(name.encode()).hexdigest(), 16) % ROTATION_PERIOD == ph
+            for ph in range(ROTATION_PERIOD)
+        ]
+        assert sum(hits) == 1, name
+    last = entry._last_green_rounds()
+    never = [n for n in QUERIES if n not in last]
+    assert all(in_rotation(n) for n in never), never
+    sel = [n for n in QUERIES if in_rotation(n)]
+    assert 0 < len(sel) < len(QUERIES)
+    assert rotation_round() >= 1
