@@ -10,27 +10,29 @@ benchmark decontamination, promoted from the round-14 queue — r12
 verdict item 5; gates in ``tests/test_decontamination.py``), plus the
 DSIR importance-resampling pair ``dsir_weights`` /
 ``dsir_sample_topk`` (Xie et al. 2023 — r13 verdict item 2; gates in
-``tests/test_dsir.py``).  Three further queries are QUEUED below the
-dicts, held out to honor the ≤3-staged cadence:
-``decontamination_report`` (r13 verdict item 5), ``gopher_repetition``
-(Rae et al. 2021 repetition filters; gates in ``tests/test_gopher.py``),
-and ``unimax_allocation`` (Chung et al. 2023 budget waterfill; gates in
-``tests/test_unimax.py``) — a full staging round for r16 already lined
-up.
+``tests/test_dsir.py``).  Three further queries sit in the formal
+QUEUE (``QUERIES_QUEUED`` / ``ORACLES_QUEUED`` at the bottom), held
+out to honor the ≤3-staged cadence: ``decontamination_report`` (r13
+verdict item 5), ``gopher_repetition`` (Rae et al. 2021 repetition
+filters; gates in ``tests/test_gopher.py``), and ``unimax_allocation``
+(Chung et al. 2023 budget waterfill; gates in ``tests/test_unimax.py``)
+— a full staging round for r16 already lined up.
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into family modules
 (``decontamination_spans`` + ``dsir_*`` → ``queries_corpus.py`` beside
-``contamination`` and the sampling family), promote
-``decontamination_report`` into the dicts, reset this file, repoint
-the affected tests' imports (``tests/test_decontamination.py``,
-``tests/test_dsir.py``), regenerate VALIDATION.md, re-verify the plan
-lock (``python tools/plan_lock.py`` — keys are query names, so a pure
-module move leaves it green; regenerate with ``--write`` only if a
-plan actually changed), and extend ``tools/sf01_oracle_spotcheck.py``'s
-SENSITIVE list as needed.  The local gates exercise everything here
-every pytest run (oracle compare at sf0.001, the pandas-dtype gate,
-and the plan-invariant gate), so staged queries are pytest-green now
-and driver-validated next round.
+``contamination`` and the sampling family), move the QUEUED dicts'
+entries into QUERIES_STAGED/ORACLES_STAGED (a two-line dict move per
+query), reset this file, repoint the affected tests' imports
+(``tests/test_decontamination.py``, ``tests/test_dsir.py``),
+regenerate VALIDATION.md, re-verify the plan lock (``python
+tools/plan_lock.py`` — keys are query names, so a pure module move
+leaves it green; regenerate with ``--write`` only if a plan actually
+changed), and extend ``tools/sf01_oracle_spotcheck.py``'s SENSITIVE
+list as needed.  The local gates exercise everything here — staged
+AND queued — every pytest run (oracle compare at sf0.001, the
+pandas-dtype gate, the plan-invariant gate, the plan-shape lock), so
+queued queries are pytest-green and plan-pinned rounds before their
+first driver row.
 """
 
 from __future__ import annotations
@@ -765,3 +767,28 @@ ORDER BY source
 
 
 SQL_UNIMAX_ALLOCATION = _sql_unimax_allocation()
+
+
+# ---------------------------------------------------------------------------
+# The QUEUE, formalized: built + oracle-paired + gate-covered queries
+# that are NOT driver-exposed yet (they enter QUERIES_STAGED at the
+# next reset, then register a round later).  Every local gate treats
+# these exactly like staged queries — sf0.001 oracle compare, the
+# pandas-dtype gate, the plan invariants, AND the plan-shape lock —
+# so a queued query's plan is pinned rounds before its first driver
+# row, and promotion is a two-line dict move.
+# ---------------------------------------------------------------------------
+
+QUERIES_QUEUED: dict[str, QueryFn] = {
+    "decontamination_report": q_decontamination_report,
+    "gopher_repetition": q_gopher_repetition,
+    "unimax_allocation": q_unimax_allocation,
+}
+
+ORACLES_QUEUED: dict[str, str] = {
+    "decontamination_report": SQL_DECONTAMINATION_REPORT,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "unimax_allocation": SQL_UNIMAX_ALLOCATION,
+}
+
+assert not set(QUERIES_QUEUED) & set(QUERIES_STAGED)

@@ -37,13 +37,16 @@ def all_plan_texts(spark):
     query's cache entry, making the plan text depend on build ORDER —
     the lock gate needs order-independent shapes (the standalone tool
     builds in sorted order, this fixture in registration order)."""
-    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+    from pyspark_pipelining_spark.queries_staged import (
+        QUERIES_QUEUED,
+        QUERIES_STAGED,
+    )
 
     texts = {}
     for name in QUERIES:
         spark.catalog.clearCache()
         texts[name] = plan_of(spark, name)
-    for name, fn in QUERIES_STAGED.items():
+    for name, fn in {**QUERIES_STAGED, **QUERIES_QUEUED}.items():
         assert name not in texts, f"staged name collides with registered: {name}"
         spark.catalog.clearCache()
         texts[name] = formatted_plan(spark, fn(spark, SF_SMOKE))
@@ -736,12 +739,16 @@ def test_convergence_probes_are_bounded_actions_on_checkpointed_state(
 @pytest.mark.quick
 def test_staged_plans_have_no_cartesian_or_python_row_udf(spark, all_plan_texts):
     """The repo-wide plan invariant, applied to the current staging
-    area BEFORE registration (same gate every staged set since round 7
-    has passed): no CartesianProduct, no BatchEvalPython."""
-    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+    area AND queue BEFORE registration (same gate every staged set
+    since round 7 has passed): no CartesianProduct, no
+    BatchEvalPython."""
+    from pyspark_pipelining_spark.queries_staged import (
+        QUERIES_QUEUED,
+        QUERIES_STAGED,
+    )
 
     offenders = {}
-    for name in QUERIES_STAGED:
+    for name in {**QUERIES_STAGED, **QUERIES_QUEUED}:
         plan = all_plan_texts[name]
         bad = [
             marker

@@ -93,9 +93,16 @@ def test_oracle_pandas_dtypes_match_spark_integrals(spark):
 # same freeze discipline)
 
 from pyspark_pipelining_spark.queries_staged import (  # noqa: E402
+    ORACLES_QUEUED,
     ORACLES_STAGED,
+    QUERIES_QUEUED,
     QUERIES_STAGED,
 )
+
+# queued queries run the exact same pre-registration gates as staged
+# ones — the only difference is driver exposure timing
+QUERIES_STAGED = {**QUERIES_STAGED, **QUERIES_QUEUED}
+ORACLES_STAGED = {**ORACLES_STAGED, **ORACLES_QUEUED}
 
 
 @pytest.mark.quick

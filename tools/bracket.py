@@ -49,7 +49,12 @@ def main(argv: list[str]) -> int:
 
     registry = dict(QUERIES)
     if args.staged:
-        from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+        from pyspark_pipelining_spark.queries_staged import (
+            QUERIES_QUEUED,
+            QUERIES_STAGED,
+        )
+
+        QUERIES_STAGED = {**QUERIES_STAGED, **QUERIES_QUEUED}
 
         # a staged name colliding with a registered one would silently
         # shadow the registered plan and time the wrong query (ADVICE r11)

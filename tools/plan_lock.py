@@ -33,10 +33,15 @@ SF_SMOKE = "/root/testdata/sf0.001"
 def compute_lock(spark) -> dict[str, dict[str, int]]:
     from pyspark_pipelining_spark.plans.fingerprint import fingerprint
     from pyspark_pipelining_spark.queries import QUERIES
-    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+    from pyspark_pipelining_spark.queries_staged import (
+        QUERIES_QUEUED,
+        QUERIES_STAGED,
+    )
 
     assert not set(QUERIES) & set(QUERIES_STAGED), "registry collision"
-    registry = {**QUERIES, **QUERIES_STAGED}
+    assert not (set(QUERIES) | set(QUERIES_STAGED)) & set(QUERIES_QUEUED)
+    # queued queries are plan-pinned rounds before their first driver row
+    registry = {**QUERIES, **QUERIES_STAGED, **QUERIES_QUEUED}
     out = {}
     for name, fn in sorted(registry.items()):
         # cache-isolate every build: query builders persist() internal

@@ -103,31 +103,10 @@ def _q_exact_substring_spans_w8(spark, sf_dir):
     ).orderBy("doc_a", "doc_b", "start_a", "start_b")
 
 
-def _q_decontamination_report(spark, sf_dir):
-    # queued (pre-dict) round-15 query — resolved here so its scaling
-    # row exists before it ever stages
-    from pyspark_pipelining_spark.queries_staged import q_decontamination_report
-
-    return q_decontamination_report(spark, sf_dir)
-
-
-def _q_gopher_repetition(spark, sf_dir):
-    from pyspark_pipelining_spark.queries_staged import q_gopher_repetition
-
-    return q_gopher_repetition(spark, sf_dir)
-
-
-def _q_unimax_allocation(spark, sf_dir):
-    from pyspark_pipelining_spark.queries_staged import q_unimax_allocation
-
-    return q_unimax_allocation(spark, sf_dir)
-
-
+# queued queries resolve via QUERIES_QUEUED in main(); EXTRA_QUERIES is
+# only for variants that exist nowhere else (parameter overrides)
 EXTRA_QUERIES = {
     "exact_substring_spans_w8": _q_exact_substring_spans_w8,
-    "decontamination_report": _q_decontamination_report,
-    "gopher_repetition": _q_gopher_repetition,
-    "unimax_allocation": _q_unimax_allocation,
 }
 
 SFS = [
@@ -158,13 +137,19 @@ def main(argv: list[str]) -> int:
 
     from pyspark_pipelining_spark import cache
     from pyspark_pipelining_spark.queries import QUERIES
-    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+    from pyspark_pipelining_spark.queries_staged import (
+        QUERIES_QUEUED,
+        QUERIES_STAGED,
+    )
     from pyspark_pipelining_spark.session import get_spark
 
     # a name collision would silently time the wrong plan (ADVICE r13)
-    assert not set(QUERIES) & set(QUERIES_STAGED)
-    assert not (set(QUERIES) | set(QUERIES_STAGED)) & set(EXTRA_QUERIES)
-    registry = {**QUERIES, **QUERIES_STAGED, **EXTRA_QUERIES}
+    dicts = [QUERIES, QUERIES_STAGED, QUERIES_QUEUED, EXTRA_QUERIES]
+    seen: set = set()
+    for d in dicts:
+        assert not seen & set(d), seen & set(d)
+        seen |= set(d)
+    registry = {**QUERIES, **QUERIES_STAGED, **QUERIES_QUEUED, **EXTRA_QUERIES}
     unknown = [q for q in names if q not in registry]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)

@@ -36,7 +36,12 @@ def main() -> int:
         # audit the staging area too (same resolution as bracket.py) —
         # staged plans get the pytest invariant gate, but this
         # diagnostic is where the multi-branch-recompute smell shows
-        from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+        from pyspark_pipelining_spark.queries_staged import (
+            QUERIES_QUEUED,
+            QUERIES_STAGED,
+        )
+
+        QUERIES_STAGED = {**QUERIES_STAGED, **QUERIES_QUEUED}
 
         # a staged name colliding with a registered one would silently
         # shadow the registered plan and audit the wrong query (ADVICE r11)

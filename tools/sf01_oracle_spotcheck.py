@@ -107,13 +107,15 @@ def main() -> int:
 
     from pyspark_pipelining_spark.queries import ORACLES, QUERIES
     from pyspark_pipelining_spark.queries_staged import (
+        ORACLES_QUEUED,
         ORACLES_STAGED,
+        QUERIES_QUEUED,
         QUERIES_STAGED,
     )
     from tests.oracle_utils import compare
 
-    queries = {**QUERIES_STAGED, **QUERIES}
-    oracles = {**ORACLES_STAGED, **ORACLES}
+    queries = {**QUERIES_QUEUED, **QUERIES_STAGED, **QUERIES}
+    oracles = {**ORACLES_QUEUED, **ORACLES_STAGED, **ORACLES}
 
     # --all: one-off FULL-registry pass (every registered + staged
     # query with an oracle) at sf0.1 — the strongest value-level
