@@ -1671,3 +1671,282 @@ SQL_KMV_MERGE_PARITY = _sql_kmv_merge_parity()
 
 QUERIES_CORPUS["kmv_merge_parity"] = q_kmv_merge_parity
 ORACLES_CORPUS["kmv_merge_parity"] = SQL_KMV_MERGE_PARITY
+
+
+# --- Round-15 registration (formerly queries_staged.py): span-based
+# benchmark decontamination + the DSIR importance-resampling pair ----
+
+DECON_GRAM_LEN = 16
+DECON_MIN = 24
+
+
+def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination — the Lee et al. 2022
+    decontamination shape, reusing the island machinery UNCHANGED
+    (``operators/dedup.exact_substring_spans``, scope="cross"): find
+    every verbatim span >= 24 chars shared between an EVAL document
+    (``source = 'src19'``, the corpus's stand-in benchmark set — the
+    registered ``contamination`` query's convention) and a TRAIN
+    document (every other source), then orient each pair eval-side
+    first.  Strictly stronger than the registered ``contamination``
+    query, which scores documents by 8-gram overlap fraction: this
+    reports the exact overlapping PASSAGES with positions, the
+    actionable artifact (mask the span / drop the train doc / flag the
+    benchmark).
+
+    The eval XOR train filter runs AFTER the symmetric span scan, so
+    the operator stays untouched; on a real 100 TB lake the one-line
+    refinement is a side predicate inside the operator's pair join
+    (eval ids are a tiny broadcast set), which prunes the train×train
+    pair space — documented rather than implemented because the staged
+    contract is machinery-reuse, and train×train spans are the
+    REGISTERED ``exact_substring_spans`` output this query's scan
+    shares (one corpus scan can serve both).
+
+    Output: ``eval_doc, eval_start, train_doc, train_start,
+    train_source, span_len`` — BIGINTs plus the source string,
+    deterministic order."""
+    from pyspark_pipelining_spark.operators import dedup
+    from pyspark_pipelining_spark.queries_llm import SPAN_MAX_OCC
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.exact_substring_spans(
+        docs,
+        gram_len=DECON_GRAM_LEN,
+        min_span=DECON_MIN,
+        max_gram_occurrences=SPAN_MAX_OCC,
+        spread=spark.sparkContext.defaultParallelism,
+    )
+    meta = docs.select("doc_id", "source")
+    tagged = (
+        spans.join(
+            meta.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+            ),
+            "doc_b",
+        )
+        .filter(
+            (F.col("source_a") == EVAL_SOURCE) != (F.col("source_b") == EVAL_SOURCE)
+        )
+    )
+    a_is_eval = F.col("source_a") == EVAL_SOURCE
+    return tagged.select(
+        F.when(a_is_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias("eval_doc"),
+        F.when(a_is_eval, F.col("start_a"))
+        .otherwise(F.col("start_b"))
+        .alias("eval_start"),
+        F.when(a_is_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_doc"),
+        F.when(a_is_eval, F.col("start_b"))
+        .otherwise(F.col("start_a"))
+        .alias("train_start"),
+        F.when(a_is_eval, F.col("source_b"))
+        .otherwise(F.col("source_a"))
+        .alias("train_source"),
+        "span_len",
+    ).orderBy("eval_doc", "eval_start", "train_doc", "train_start")
+
+
+def _sql_decontamination_spans() -> str:
+    from pyspark_pipelining_spark.queries_llm import SPAN_MAX_OCC, _sql_span_grams
+
+    return f"""
+WITH {_sql_span_grams(DECON_GRAM_LEN)},
+kept AS (
+  SELECT * FROM span_grams
+  WHERE h NOT IN (SELECT h FROM span_grams GROUP BY h HAVING count(*) > {SPAN_MAX_OCC})
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM kept a JOIN kept b USING (h)
+  WHERE a.doc < b.doc
+),
+isl AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS k
+  FROM pairs
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(min(pa) AS BIGINT) AS start_a,
+         CAST(min(pb) AS BIGINT) AS start_b,
+         CAST(count(*) + {DECON_GRAM_LEN} - 1 AS BIGINT) AS span_len
+  FROM isl
+  GROUP BY doc_a, doc_b, diag, k
+  HAVING count(*) + {DECON_GRAM_LEN} - 1 >= {DECON_MIN}
+),
+tagged AS (
+  SELECT s.*, da.source AS source_a, db.source AS source_b
+  FROM spans s
+  JOIN documents da ON da.doc_id = s.doc_a
+  JOIN documents db ON db.doc_id = s.doc_b
+  WHERE (da.source = '{EVAL_SOURCE}') <> (db.source = '{EVAL_SOURCE}')
+)
+SELECT CASE WHEN source_a = '{EVAL_SOURCE}' THEN doc_a ELSE doc_b END AS eval_doc,
+       CASE WHEN source_a = '{EVAL_SOURCE}' THEN start_a ELSE start_b END AS eval_start,
+       CASE WHEN source_a = '{EVAL_SOURCE}' THEN doc_b ELSE doc_a END AS train_doc,
+       CASE WHEN source_a = '{EVAL_SOURCE}' THEN start_b ELSE start_a END AS train_start,
+       CASE WHEN source_a = '{EVAL_SOURCE}' THEN source_b ELSE source_a END AS train_source,
+       span_len
+FROM tagged
+ORDER BY eval_doc, eval_start, train_doc, train_start
+"""
+
+
+SQL_DECONTAMINATION_SPANS = _sql_decontamination_spans()
+
+QUERIES_CORPUS["decontamination_spans"] = q_decontamination_spans
+ORACLES_CORPUS["decontamination_spans"] = SQL_DECONTAMINATION_SPANS
+
+
+# --- DSIR importance weights + Gumbel top-k resample (Xie et al. 2023
+# — the published data-curation rung beside quality_score / sampling;
+# r13 verdict item 2) -------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_Q = 1_000_000
+DSIR_K = 64
+DSIR_SALT = "dsir0"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed-bigram log-importance weights toward the
+    eval-source target distribution
+    (``operators/corpus.dsir_logweights``): every raw (non-eval) doc
+    scored by how much likelier its hashed word-bigram bag is under
+    the target histogram than the raw histogram — exact integer sums
+    of int64-quantized per-bucket log-ratios (the ``lm_score``
+    convention), so the oracle replays the whole model
+    bit-identically.  Target = ``src19`` (the corpus's stand-in
+    benchmark/domain set, the ``contamination`` convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != EVAL_SOURCE)
+    tgt = docs.filter(F.col("source") == EVAL_SOURCE)
+    wts = corpus.dsir_logweights(raw, tgt, buckets=DSIR_BUCKETS, q=DSIR_Q)
+    return (
+        wts.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_grams", "logweight_q6", "logweight")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dsir_lam() -> str:
+    """Shared oracle CTE chain: hashed-bigram occurrences, per-side
+    histograms, quantized per-bucket log-likelihood-ratios, and the
+    per-raw-doc integer weight sums — mirrors
+    ``operators/corpus.dsir_logweights`` term for term (same ln
+    grouping order, same +1 / +buckets smoothing)."""
+    B, q = DSIR_BUCKETS, DSIR_Q
+    return f"""dsir_words AS (
+    SELECT doc_id, source, string_split_regex(lower(text), ' +') AS w
+    FROM documents
+),
+dsir_occs AS (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]), 1, 15))::BIGINT
+             % {B} AS bucket
+    FROM (
+        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+        FROM dsir_words WHERE len(w) >= 2
+    )
+),
+rh AS (SELECT bucket, count(*) AS cr FROM dsir_occs
+       WHERE source <> '{EVAL_SOURCE}' GROUP BY bucket),
+th AS (SELECT bucket, count(*) AS ct FROM dsir_occs
+       WHERE source = '{EVAL_SOURCE}' GROUP BY bucket),
+tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM rh) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM th) AS tt),
+lam AS (
+    SELECT coalesce(rh.bucket, th.bucket) AS bucket,
+           CAST(round((ln(coalesce(ct, 0) + 1) - ln(tt + {B})
+                       - ln(coalesce(cr, 0) + 1) + ln(tr + {B})) * {q})
+                AS BIGINT) AS lam_q
+    FROM rh FULL OUTER JOIN th ON rh.bucket = th.bucket CROSS JOIN tot
+),
+dsir_scored AS (
+    SELECT o.doc_id, count(*) AS n_grams, sum(lam_q) AS lw
+    FROM dsir_occs o JOIN lam USING (bucket)
+    WHERE o.source <> '{EVAL_SOURCE}'
+    GROUP BY o.doc_id
+),
+dsir_weights AS (
+    SELECT d.doc_id, d.source,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.lw, 0) AS BIGINT) AS logweight_q6
+    FROM documents d LEFT JOIN dsir_scored s USING (doc_id)
+    WHERE d.source <> '{EVAL_SOURCE}'
+)"""
+
+
+def _sql_dsir_weights() -> str:
+    return f"""
+WITH {_sql_dsir_lam()}
+SELECT doc_id, source, n_grams, logweight_q6,
+       round(logweight_q6 / {float(DSIR_Q)}, 6) AS logweight
+FROM dsir_weights
+ORDER BY doc_id
+"""
+
+
+SQL_DSIR_WEIGHTS = _sql_dsir_weights()
+
+QUERIES_CORPUS["dsir_weights"] = q_dsir_weights
+ORACLES_CORPUS["dsir_weights"] = SQL_DSIR_WEIGHTS
+
+# Gumbel hash grid: 2^52 keeps (h52 + 1) and (2^52 + 1) exactly
+# representable as doubles, so u = (h52 + 1) / (2^52 + 1) is ONE
+# correctly-rounded division of exact operands — bit-identical in both
+# engines and strictly inside (0, 1) (a 2^60 grid would round u to
+# exactly 1.0 for the top hash values and -ln(-ln(1)) = inf)
+DSIR_GUMBEL_GRID = 1 << 52
+
+
+def q_dsir_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resample over the DSIR weights
+    (``operators/corpus.dsir_resample``): the k documents with the
+    largest ``logweight_q6 + quantized salted-hash Gumbel`` — exactly
+    a without-replacement sample with probability ∝ importance weight
+    (Gumbel-max), yet deterministic across runs, engines, and
+    partitionings.  Selection is a TakeOrdered top-k, never a full
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != EVAL_SOURCE)
+    tgt = docs.filter(F.col("source") == EVAL_SOURCE)
+    wts = corpus.dsir_logweights(raw, tgt, buckets=DSIR_BUCKETS, q=DSIR_Q)
+    res = corpus.dsir_resample(wts, k=DSIR_K, salt=DSIR_SALT, q=DSIR_Q)
+    return (
+        res.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "logweight_q6", "key_q6", "rank")
+        .orderBy("rank")
+    )
+
+
+def _sql_dsir_sample_topk() -> str:
+    g, q = DSIR_GUMBEL_GRID, DSIR_Q
+    return f"""
+WITH {_sql_dsir_lam()},
+keyed AS (
+    SELECT doc_id, source, logweight_q6,
+           logweight_q6 + CAST(round(-ln(-ln(
+               ((('0x' || substr(md5('{DSIR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % {g}) + 1) / {float(g + 1)!r}
+           )) * {q}) AS BIGINT) AS key_q6
+    FROM dsir_weights
+)
+SELECT doc_id, source, logweight_q6, key_q6,
+       CAST(row_number() OVER (ORDER BY key_q6 DESC, doc_id) AS BIGINT) AS rank
+FROM keyed
+ORDER BY key_q6 DESC, doc_id
+LIMIT {DSIR_K}
+"""
+
+
+SQL_DSIR_SAMPLE_TOPK = _sql_dsir_sample_topk()
+
+QUERIES_CORPUS["dsir_sample_topk"] = q_dsir_sample_topk
+ORACLES_CORPUS["dsir_sample_topk"] = SQL_DSIR_SAMPLE_TOPK

@@ -1,29 +1,33 @@
-"""Round-15 staging area: oracle-paired queries that are READY but
-deliberately NOT registered — the round-14 snapshot window already
-carries this round's registrations (the former round-14 staged trio:
-``exact_substring_spans`` + ``self_repeat_spans`` + ``semantic_dedup``
-→ queries_llm beside the dedup ladder), and late additions would defer
-pending revalidations (CLAUDE.md: registry freeze).
+"""Round-16 staging area: oracle-paired queries that are READY but
+deliberately NOT registered — the round-15 snapshot window already
+carries this round's registrations (the former round-15 staged trio:
+``decontamination_spans`` + ``dsir_weights`` + ``dsir_sample_topk``
+→ queries_corpus beside ``contamination`` and the sampling family),
+and late additions would defer pending revalidations (CLAUDE.md:
+registry freeze).
 
-This round's staged trio: ``decontamination_spans`` (span-based
-benchmark decontamination, promoted from the round-14 queue — r12
-verdict item 5; gates in ``tests/test_decontamination.py``), plus the
-DSIR importance-resampling pair ``dsir_weights`` /
-``dsir_sample_topk`` (Xie et al. 2023 — r13 verdict item 2; gates in
-``tests/test_dsir.py``).  Three further queries sit in the formal
-QUEUE (``QUERIES_QUEUED`` / ``ORACLES_QUEUED`` at the bottom), held
-out to honor the ≤3-staged cadence: ``decontamination_report`` (r13
-verdict item 5), ``gopher_repetition`` (Rae et al. 2021 repetition
-filters; gates in ``tests/test_gopher.py``), and ``unimax_allocation``
-(Chung et al. 2023 budget waterfill; gates in ``tests/test_unimax.py``)
-— a full staging round for r16 already lined up.
+This round's staged trio (promoted from the round-15 queue):
+``decontamination_report`` (per-eval-doc interval-union contamination
+rate — r13 verdict item 5; gates in ``tests/test_decontamination.py``),
+``gopher_repetition`` (Rae et al. 2021 repetition filters; gates in
+``tests/test_gopher.py``), and ``unimax_allocation`` (Chung et al.
+2023 budget waterfill; gates in ``tests/test_unimax.py``).
+
+The formal QUEUE (``QUERIES_QUEUED`` / ``ORACLES_QUEUED`` at the
+bottom) holds the round-17 candidates: ``ccnet_ppl_buckets``
+(Wenzek et al. 2020 CCNet-style perplexity-bucket filtering over the
+quantized ``lm_score`` machinery; gates in ``tests/test_ccnet.py``)
+and ``fineweb_battery`` (Penedo et al. 2024 FineWeb-style heuristic
+battery composing the existing quality + repetition signals; gates in
+``tests/test_fineweb.py``).
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into family modules
-(``decontamination_spans`` + ``dsir_*`` → ``queries_corpus.py`` beside
-``contamination`` and the sampling family), move the QUEUED dicts'
-entries into QUERIES_STAGED/ORACLES_STAGED (a two-line dict move per
-query), reset this file, repoint the affected tests' imports
-(``tests/test_decontamination.py``, ``tests/test_dsir.py``),
+(``decontamination_report`` → ``queries_corpus.py`` beside
+``decontamination_spans``; ``gopher_repetition`` → ``queries_llm.py``
+beside the text-quality family; ``unimax_allocation`` →
+``queries_corpus.py`` beside ``mixture_sample``), move the QUEUED
+dicts' entries into QUERIES_STAGED/ORACLES_STAGED (a two-line dict
+move per query), reset this file, repoint the affected tests' imports,
 regenerate VALIDATION.md, re-verify the plan lock (``python
 tools/plan_lock.py`` — keys are query names, so a pure module move
 leaves it green; regenerate with ``--write`` only if a plan actually
@@ -47,311 +51,8 @@ from pyspark_pipelining_spark.sources.registry import load_table
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # ---------------------------------------------------------------------------
-# 1. Span-based benchmark decontamination (r12 verdict item 5,
-#    promoted from the round-14 queue)
-# ---------------------------------------------------------------------------
-
-DECON_GRAM_LEN = 16
-DECON_MIN = 24
-
-
-def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level benchmark decontamination — the Lee et al. 2022
-    decontamination shape, reusing the island machinery UNCHANGED
-    (``operators/dedup.exact_substring_spans``, scope="cross"): find
-    every verbatim span >= 24 chars shared between an EVAL document
-    (``source = 'src19'``, the corpus's stand-in benchmark set — the
-    registered ``contamination`` query's convention) and a TRAIN
-    document (every other source), then orient each pair eval-side
-    first.  Strictly stronger than the registered ``contamination``
-    query, which scores documents by 8-gram overlap fraction: this
-    reports the exact overlapping PASSAGES with positions, the
-    actionable artifact (mask the span / drop the train doc / flag the
-    benchmark).
-
-    The eval XOR train filter runs AFTER the symmetric span scan, so
-    the operator stays untouched; on a real 100 TB lake the one-line
-    refinement is a side predicate inside the operator's pair join
-    (eval ids are a tiny broadcast set), which prunes the train×train
-    pair space — documented rather than implemented because the staged
-    contract is machinery-reuse, and train×train spans are the
-    REGISTERED ``exact_substring_spans`` output this query's scan
-    shares (one corpus scan can serve both).
-
-    Output: ``eval_doc, eval_start, train_doc, train_start,
-    train_source, span_len`` — BIGINTs plus the source string,
-    deterministic order."""
-    from pyspark_pipelining_spark.operators import dedup
-    from pyspark_pipelining_spark.queries_corpus import EVAL_SOURCE
-    from pyspark_pipelining_spark.queries_llm import SPAN_MAX_OCC
-
-    docs = load_table(spark, sf_dir, "documents")
-    spans = dedup.exact_substring_spans(
-        docs,
-        gram_len=DECON_GRAM_LEN,
-        min_span=DECON_MIN,
-        max_gram_occurrences=SPAN_MAX_OCC,
-        spread=spark.sparkContext.defaultParallelism,
-    )
-    meta = docs.select("doc_id", "source")
-    tagged = (
-        spans.join(
-            meta.select(
-                F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            meta.select(
-                F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
-            ),
-            "doc_b",
-        )
-        .filter(
-            (F.col("source_a") == EVAL_SOURCE) != (F.col("source_b") == EVAL_SOURCE)
-        )
-    )
-    a_is_eval = F.col("source_a") == EVAL_SOURCE
-    return tagged.select(
-        F.when(a_is_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias("eval_doc"),
-        F.when(a_is_eval, F.col("start_a"))
-        .otherwise(F.col("start_b"))
-        .alias("eval_start"),
-        F.when(a_is_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias("train_doc"),
-        F.when(a_is_eval, F.col("start_b"))
-        .otherwise(F.col("start_a"))
-        .alias("train_start"),
-        F.when(a_is_eval, F.col("source_b"))
-        .otherwise(F.col("source_a"))
-        .alias("train_source"),
-        "span_len",
-    ).orderBy("eval_doc", "eval_start", "train_doc", "train_start")
-
-
-def _sql_decontamination_spans() -> str:
-    from pyspark_pipelining_spark.queries_corpus import EVAL_SOURCE
-    from pyspark_pipelining_spark.queries_llm import SPAN_MAX_OCC, _sql_span_grams
-
-    return f"""
-WITH {_sql_span_grams(DECON_GRAM_LEN)},
-kept AS (
-  SELECT * FROM span_grams
-  WHERE h NOT IN (SELECT h FROM span_grams GROUP BY h HAVING count(*) > {SPAN_MAX_OCC})
-),
-pairs AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb
-  FROM kept a JOIN kept b USING (h)
-  WHERE a.doc < b.doc
-),
-isl AS (
-  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
-         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS k
-  FROM pairs
-),
-spans AS (
-  SELECT doc_a, doc_b,
-         CAST(min(pa) AS BIGINT) AS start_a,
-         CAST(min(pb) AS BIGINT) AS start_b,
-         CAST(count(*) + {DECON_GRAM_LEN} - 1 AS BIGINT) AS span_len
-  FROM isl
-  GROUP BY doc_a, doc_b, diag, k
-  HAVING count(*) + {DECON_GRAM_LEN} - 1 >= {DECON_MIN}
-),
-tagged AS (
-  SELECT s.*, da.source AS source_a, db.source AS source_b
-  FROM spans s
-  JOIN documents da ON da.doc_id = s.doc_a
-  JOIN documents db ON db.doc_id = s.doc_b
-  WHERE (da.source = '{EVAL_SOURCE}') <> (db.source = '{EVAL_SOURCE}')
-)
-SELECT CASE WHEN source_a = '{EVAL_SOURCE}' THEN doc_a ELSE doc_b END AS eval_doc,
-       CASE WHEN source_a = '{EVAL_SOURCE}' THEN start_a ELSE start_b END AS eval_start,
-       CASE WHEN source_a = '{EVAL_SOURCE}' THEN doc_b ELSE doc_a END AS train_doc,
-       CASE WHEN source_a = '{EVAL_SOURCE}' THEN start_b ELSE start_a END AS train_start,
-       CASE WHEN source_a = '{EVAL_SOURCE}' THEN source_b ELSE source_a END AS train_source,
-       span_len
-FROM tagged
-ORDER BY eval_doc, eval_start, train_doc, train_start
-"""
-
-
-SQL_DECONTAMINATION_SPANS = _sql_decontamination_spans()
-
-
-QUERIES_STAGED: dict[str, QueryFn] = {
-    "decontamination_spans": q_decontamination_spans,
-}
-
-ORACLES_STAGED: dict[str, str] = {
-    "decontamination_spans": SQL_DECONTAMINATION_SPANS,
-}
-
-
-# ---------------------------------------------------------------------------
-# 2. DSIR-style importance weights + Gumbel top-k resample (Xie et al.
-#    2023 — the published data-curation rung beside quality_score /
-#    sampling; r13 verdict item 2)
-# ---------------------------------------------------------------------------
-
-DSIR_BUCKETS = 4096
-DSIR_Q = 1_000_000
-DSIR_K = 64
-DSIR_SALT = "dsir0"
-
-
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document hashed-bigram log-importance weights toward the
-    eval-source target distribution
-    (``operators/corpus.dsir_logweights``): every raw (non-eval) doc
-    scored by how much likelier its hashed word-bigram bag is under
-    the target histogram than the raw histogram — exact integer sums
-    of int64-quantized per-bucket log-ratios (the ``lm_score``
-    convention), so the oracle replays the whole model
-    bit-identically.  Target = ``src19`` (the corpus's stand-in
-    benchmark/domain set, the ``contamination`` convention)."""
-    from pyspark_pipelining_spark.operators import corpus
-    from pyspark_pipelining_spark.queries_corpus import EVAL_SOURCE
-
-    docs = load_table(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("source") != EVAL_SOURCE)
-    tgt = docs.filter(F.col("source") == EVAL_SOURCE)
-    wts = corpus.dsir_logweights(raw, tgt, buckets=DSIR_BUCKETS, q=DSIR_Q)
-    return (
-        wts.join(docs.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "n_grams", "logweight_q6", "logweight")
-        .orderBy("doc_id")
-    )
-
-
-def _sql_dsir_lam() -> str:
-    """Shared oracle CTE chain: hashed-bigram occurrences, per-side
-    histograms, quantized per-bucket log-likelihood-ratios, and the
-    per-raw-doc integer weight sums — mirrors
-    ``operators/corpus.dsir_logweights`` term for term (same ln
-    grouping order, same +1 / +buckets smoothing)."""
-    from pyspark_pipelining_spark.queries_corpus import EVAL_SOURCE
-
-    B, q = DSIR_BUCKETS, DSIR_Q
-    return f"""dsir_words AS (
-    SELECT doc_id, source, string_split_regex(lower(text), ' +') AS w
-    FROM documents
-),
-dsir_occs AS (
-    SELECT doc_id, source,
-           ('0x' || substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]), 1, 15))::BIGINT
-             % {B} AS bucket
-    FROM (
-        SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
-        FROM dsir_words WHERE len(w) >= 2
-    )
-),
-rh AS (SELECT bucket, count(*) AS cr FROM dsir_occs
-       WHERE source <> '{EVAL_SOURCE}' GROUP BY bucket),
-th AS (SELECT bucket, count(*) AS ct FROM dsir_occs
-       WHERE source = '{EVAL_SOURCE}' GROUP BY bucket),
-tot AS (SELECT (SELECT coalesce(sum(cr), 0) FROM rh) AS tr,
-               (SELECT coalesce(sum(ct), 0) FROM th) AS tt),
-lam AS (
-    SELECT coalesce(rh.bucket, th.bucket) AS bucket,
-           CAST(round((ln(coalesce(ct, 0) + 1) - ln(tt + {B})
-                       - ln(coalesce(cr, 0) + 1) + ln(tr + {B})) * {q})
-                AS BIGINT) AS lam_q
-    FROM rh FULL OUTER JOIN th ON rh.bucket = th.bucket CROSS JOIN tot
-),
-dsir_scored AS (
-    SELECT o.doc_id, count(*) AS n_grams, sum(lam_q) AS lw
-    FROM dsir_occs o JOIN lam USING (bucket)
-    WHERE o.source <> '{EVAL_SOURCE}'
-    GROUP BY o.doc_id
-),
-dsir_weights AS (
-    SELECT d.doc_id, d.source,
-           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
-           CAST(coalesce(s.lw, 0) AS BIGINT) AS logweight_q6
-    FROM documents d LEFT JOIN dsir_scored s USING (doc_id)
-    WHERE d.source <> '{EVAL_SOURCE}'
-)"""
-
-
-def _sql_dsir_weights() -> str:
-    return f"""
-WITH {_sql_dsir_lam()}
-SELECT doc_id, source, n_grams, logweight_q6,
-       round(logweight_q6 / {float(DSIR_Q)}, 6) AS logweight
-FROM dsir_weights
-ORDER BY doc_id
-"""
-
-
-SQL_DSIR_WEIGHTS = _sql_dsir_weights()
-
-# Gumbel hash grid: 2^52 keeps (h52 + 1) and (2^52 + 1) exactly
-# representable as doubles, so u = (h52 + 1) / (2^52 + 1) is ONE
-# correctly-rounded division of exact operands — bit-identical in both
-# engines and strictly inside (0, 1) (a 2^60 grid would round u to
-# exactly 1.0 for the top hash values and -ln(-ln(1)) = inf)
-DSIR_GUMBEL_GRID = 1 << 52
-
-
-def q_dsir_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gumbel top-k importance resample over the DSIR weights
-    (``operators/corpus.dsir_resample``): the k documents with the
-    largest ``logweight_q6 + quantized salted-hash Gumbel`` — exactly
-    a without-replacement sample with probability ∝ importance weight
-    (Gumbel-max), yet deterministic across runs, engines, and
-    partitionings.  Selection is a TakeOrdered top-k, never a full
-    sort."""
-    from pyspark_pipelining_spark.operators import corpus
-    from pyspark_pipelining_spark.queries_corpus import EVAL_SOURCE
-
-    docs = load_table(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("source") != EVAL_SOURCE)
-    tgt = docs.filter(F.col("source") == EVAL_SOURCE)
-    wts = corpus.dsir_logweights(raw, tgt, buckets=DSIR_BUCKETS, q=DSIR_Q)
-    res = corpus.dsir_resample(wts, k=DSIR_K, salt=DSIR_SALT, q=DSIR_Q)
-    return (
-        res.join(docs.select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "logweight_q6", "key_q6", "rank")
-        .orderBy("rank")
-    )
-
-
-def _sql_dsir_sample_topk() -> str:
-    g, q = DSIR_GUMBEL_GRID, DSIR_Q
-    return f"""
-WITH {_sql_dsir_lam()},
-keyed AS (
-    SELECT doc_id, source, logweight_q6,
-           logweight_q6 + CAST(round(-ln(-ln(
-               ((('0x' || substr(md5('{DSIR_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                 % {g}) + 1) / {float(g + 1)!r}
-           )) * {q}) AS BIGINT) AS key_q6
-    FROM dsir_weights
-)
-SELECT doc_id, source, logweight_q6, key_q6,
-       CAST(row_number() OVER (ORDER BY key_q6 DESC, doc_id) AS BIGINT) AS rank
-FROM keyed
-ORDER BY key_q6 DESC, doc_id
-LIMIT {DSIR_K}
-"""
-
-
-SQL_DSIR_SAMPLE_TOPK = _sql_dsir_sample_topk()
-
-
-QUERIES_STAGED["dsir_weights"] = q_dsir_weights
-ORACLES_STAGED["dsir_weights"] = SQL_DSIR_WEIGHTS
-QUERIES_STAGED["dsir_sample_topk"] = q_dsir_sample_topk
-ORACLES_STAGED["dsir_sample_topk"] = SQL_DSIR_SAMPLE_TOPK
-
-
-# ---------------------------------------------------------------------------
-# Round-15 staging QUEUE — per-eval-doc decontamination report (r13
-# verdict item 5), ready and oracle-paired but kept OUT of
-# QUERIES_STAGED to honor the <=3-staged cadence: the three entries
-# above stage this round, then this query moves into the dicts.  The
-# local gates (tests/test_decontamination.py) run it against the
-# DuckDB oracle every suite run regardless.
+# 1. Per-eval-doc decontamination report (r13 verdict item 5, promoted
+#    from the round-15 queue)
 # ---------------------------------------------------------------------------
 
 #: flag an eval doc when >= 1/20 (5%) of its characters are covered by
@@ -390,6 +91,7 @@ def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SPLIT_FRACTIONS,
         SPLIT_GRID,
         SPLIT_SALT,
+        q_decontamination_spans,
     )
     from pyspark.sql import Window
 
@@ -466,6 +168,7 @@ def _sql_decontamination_report() -> str:
         SPLIT_FRACTIONS,
         SPLIT_GRID,
         SPLIT_SALT,
+        SQL_DECONTAMINATION_SPANS,
     )
 
     lo = 0
@@ -475,8 +178,8 @@ def _sql_decontamination_report() -> str:
         cases.append(f"WHEN b >= {lo} AND b < {hi} THEN '{name}'")
         lo = hi
     decon = SQL_DECONTAMINATION_SPANS.strip().rstrip()
-    # reuse the staged spans oracle verbatim as a subquery (minus its
-    # display ORDER BY — the aggregate re-sorts)
+    # reuse the registered spans oracle verbatim as a subquery (minus
+    # its display ORDER BY — the aggregate re-sorts)
     decon = decon[: decon.rindex("ORDER BY")]
     return f"""
 WITH spanrows AS (
@@ -548,13 +251,19 @@ ORDER BY e.doc_id
 SQL_DECONTAMINATION_REPORT = _sql_decontamination_report()
 
 
+QUERIES_STAGED: dict[str, QueryFn] = {
+    "decontamination_report": q_decontamination_report,
+}
+
+ORACLES_STAGED: dict[str, str] = {
+    "decontamination_report": SQL_DECONTAMINATION_REPORT,
+}
+
+
 # ---------------------------------------------------------------------------
-# Round-15 staging QUEUE (2) — Gopher repetition filters (Rae et al.
-# 2021 Table A1; the published repetition-quality rung beside lm_score
-# and the dedup ladder), ready and oracle-paired but kept OUT of
-# QUERIES_STAGED to honor the <=3-staged cadence.  Gates in
-# tests/test_gopher.py run it against the DuckDB oracle every suite
-# run regardless.
+# 2. Gopher repetition filters (Rae et al. 2021 Table A1; the published
+#    repetition-quality rung beside lm_score and the dedup ladder;
+#    promoted from the round-15 queue).  Gates in tests/test_gopher.py.
 # ---------------------------------------------------------------------------
 
 
@@ -681,12 +390,15 @@ ORDER BY b.doc_id
 
 SQL_GOPHER_REPETITION = _sql_gopher_repetition()
 
+QUERIES_STAGED["gopher_repetition"] = q_gopher_repetition
+ORACLES_STAGED["gopher_repetition"] = SQL_GOPHER_REPETITION
+
 
 # ---------------------------------------------------------------------------
-# Round-15 staging QUEUE (3) — UniMax budget allocation (Chung et al.
-# 2023; the published language/source-sampling policy above
-# mixture_sample's fixed fractions).  Oracle-paired, gates in
-# tests/test_unimax.py; queued behind the staged trio.
+# 3. UniMax budget allocation (Chung et al. 2023; the published
+#    language/source-sampling policy above mixture_sample's fixed
+#    fractions; promoted from the round-15 queue).  Gates in
+#    tests/test_unimax.py.
 # ---------------------------------------------------------------------------
 
 UNIMAX_EPOCHS = 1
@@ -768,6 +480,9 @@ ORDER BY source
 
 SQL_UNIMAX_ALLOCATION = _sql_unimax_allocation()
 
+QUERIES_STAGED["unimax_allocation"] = q_unimax_allocation
+ORACLES_STAGED["unimax_allocation"] = SQL_UNIMAX_ALLOCATION
+
 
 # ---------------------------------------------------------------------------
 # The QUEUE, formalized: built + oracle-paired + gate-covered queries
@@ -776,19 +491,13 @@ SQL_UNIMAX_ALLOCATION = _sql_unimax_allocation()
 # these exactly like staged queries — sf0.001 oracle compare, the
 # pandas-dtype gate, the plan invariants, AND the plan-shape lock —
 # so a queued query's plan is pinned rounds before its first driver
-# row, and promotion is a two-line dict move.
+# row, and promotion is a two-line dict move.  Entries are appended
+# below as the round-17 rungs land (CCNet perplexity buckets,
+# FineWeb heuristic battery).
 # ---------------------------------------------------------------------------
 
-QUERIES_QUEUED: dict[str, QueryFn] = {
-    "decontamination_report": q_decontamination_report,
-    "gopher_repetition": q_gopher_repetition,
-    "unimax_allocation": q_unimax_allocation,
-}
+QUERIES_QUEUED: dict[str, QueryFn] = {}
 
-ORACLES_QUEUED: dict[str, str] = {
-    "decontamination_report": SQL_DECONTAMINATION_REPORT,
-    "gopher_repetition": SQL_GOPHER_REPETITION,
-    "unimax_allocation": SQL_UNIMAX_ALLOCATION,
-}
+ORACLES_QUEUED: dict[str, str] = {}
 
 assert not set(QUERIES_QUEUED) & set(QUERIES_STAGED)

@@ -1,4 +1,4 @@
-"""Span-based decontamination (staged round 15 in queries_staged.py):
+"""Span-based decontamination (registered round 15 in queries_corpus.py):
 eval-vs-train verbatim spans via the unchanged exact-substring island
 machinery."""
 
@@ -6,8 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from pyspark_pipelining_spark.queries_corpus import EVAL_SOURCE
-from pyspark_pipelining_spark.queries_staged import (
+from pyspark_pipelining_spark.queries_corpus import (
+    EVAL_SOURCE,
     SQL_DECONTAMINATION_SPANS,
     q_decontamination_spans,
 )
@@ -77,8 +77,8 @@ def test_plan_has_no_cartesian_or_row_udf(spark):
 
 
 # ---------------------------------------------------------------------------
-# decontamination_report (r13 verdict item 5, queued for round-15
-# staging): per-eval-doc contamination rate over the span output
+# decontamination_report (r13 verdict item 5, staged round 16 in
+# queries_staged.py): per-eval-doc contamination rate over the span output
 # ---------------------------------------------------------------------------
 
 
@@ -110,11 +110,11 @@ def test_report_covers_every_eval_doc_with_exact_union(spark):
     covered positions — the quadratic model), the rate is
     overlap/n_chars, and the flag is the exact 1/20 integer
     comparison."""
+    from pyspark_pipelining_spark.queries_corpus import q_decontamination_spans
     from pyspark_pipelining_spark.queries_staged import (
         DECON_RATE_DEN,
         DECON_RATE_NUM,
         q_decontamination_report,
-        q_decontamination_spans,
     )
 
     from pyspark_pipelining_spark.sources.registry import load_table

@@ -3,7 +3,7 @@
 ``dsir_sample_topk`` — r13 verdict item 2).
 
 The staged gates (oracle compare at sf0.001, pandas-dtype,
-plan-invariant, plan-shape lock) run via ``queries_staged`` imports in
+plan-invariant, plan-shape lock) run via ``queries_corpus`` imports in
 their own files; this file pins the operator LAWS the verdict asked
 for plus the scale-shape plan contracts:
 
@@ -37,7 +37,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pyspark_pipelining_spark.operators.corpus import dsir_logweights, dsir_resample
-from pyspark_pipelining_spark.queries_staged import (
+from pyspark_pipelining_spark.queries_corpus import (
     DSIR_BUCKETS,
     DSIR_GUMBEL_GRID,
     DSIR_K,
