@@ -197,16 +197,52 @@ def ivf_cell_scores(vec_col, k: int, dim: int) -> list:
     return [_int_plane_dot(vec_col, j, dim) for j in range(k)]
 
 
+def _argmax_first(arr_col):
+    """Index (0-based) of the FIRST maximum in an array column — the
+    ties→smallest-index convention every oracle CASE-argmax mirrors.
+    ``array_position`` scans left-to-right, so exactly one pass over an
+    already-materialized array; INT like the old when-chain emitted."""
+    return (F.array_position(arr_col, F.array_max(arr_col)) - 1).cast("int")
+
+
 def ivf_assign(vec_col, k: int, dim: int):
     """Coarse-quantizer cell id: argmax dot with the k fixed centroids
     (ties → smallest j).  This is the IVF *assignment* step; with a
     trained quantizer the centroids would come from k-means — here they
     are a deterministic formula so the DuckDB oracle reproduces the
     index exactly.  Swap `_int_plane_dot` for a broadcast-joined learned
-    centroid table to upgrade; the surrounding plan is unchanged."""
-    scores = ivf_cell_scores(vec_col, k, dim)
-    best = F.greatest(*scores)
-    return F.coalesce(*[F.when(scores[j] == best, F.lit(j)) for j in range(k)])
+    centroid table to upgrade; the surrounding plan is unchanged.
+
+    Expression shape matters here: higher-order-function folds are
+    CodegenFallback (interpreted per element, no codegen subexpression
+    elimination), so the former ``greatest(s0..s7)`` + 8×``when(sj =
+    best)`` chain evaluated each 64-element plane dot up to 9 times —
+    72 interpreted folds per corpus row (measured: the executed-plan
+    string carried 72 ``aggregate(`` nodes, and the r14 driver bench
+    flagged the query as a variance magnet).  Building ONE array of the
+    k scores and taking ``array_position(arr, array_max(arr))`` caps it
+    at 2 array evaluations (16 folds) in-line — and call sites that
+    project the array into a named column first (:func:`with_ivf_cell`)
+    get it down to k folds exactly, because CollapseProject refuses to
+    inline a non-cheap producer referenced more than once."""
+    return _argmax_first(F.array(*ivf_cell_scores(vec_col, k, dim)))
+
+
+def with_ivf_cell(
+    df: DataFrame, cells: int, dim: int, vec_col: str, out_col: str = "cell"
+) -> DataFrame:
+    """Attach the IVF cell id with the k plane-dot folds evaluated
+    EXACTLY once per row: the scores array is projected into its own
+    column first, and the argmax reads that column in a second
+    projection — CollapseProject keeps the two apart (the producer is
+    non-cheap and consumed twice), so the optimized plan carries k
+    ``aggregate(`` folds per row, not 9k (see :func:`ivf_assign`)."""
+    scores = F.array(*ivf_cell_scores(F.col(vec_col), cells, dim))
+    return (
+        df.withColumn("_ivf_scores", scores)
+        .withColumn(out_col, _argmax_first(F.col("_ivf_scores")))
+        .drop("_ivf_scores")
+    )
 
 
 def ivf_topk(
@@ -228,7 +264,7 @@ def ivf_topk(
     scan; recall is tuned by ``nprobe`` (cells scanned per query) and
     ``cells`` (inverse of cell size).
     """
-    corpus = spread(emb_df).withColumn("cell", ivf_assign(F.col(vec_col), cells, dim))
+    corpus = with_ivf_cell(spread(emb_df), cells, dim, vec_col)
     scores = ivf_cell_scores(F.col("query_vec"), cells, dim)
     probes = (
         query_df.select(
@@ -776,9 +812,9 @@ def ivfpq_topk(
             "transform(array_sort(collect_list(struct(sub, cell))), p -> p.cell)"
         ).alias("code")
     )
-    cell_df = spread(emb_df).select(
-        "vec_id", ivf_assign(F.col("embedding"), cells, dim).alias("ivf_cell")
-    )
+    cell_df = with_ivf_cell(
+        spread(emb_df), cells, dim, "embedding", out_col="ivf_cell"
+    ).select("vec_id", "ivf_cell")
     cand_side = code_arr.join(cell_df, "vec_id")
 
     qscores = ivf_cell_scores(F.col("query_vec"), cells, dim)
