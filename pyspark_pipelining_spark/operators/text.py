@@ -638,9 +638,12 @@ def oov_rate(
 
 
 #: integer-exact Gopher repetition thresholds as (num, den) fractions:
-#: top-2-gram char coverage > 1/5, top-3-gram > 9/50 (= 0.18), and
-#: duplicated-3-gram word coverage > 3/20 (= 0.15) — the Rae et al.
-#: 2021 Table A1 values for the signals this corpus can express
+#: top-2-gram char coverage > 1/5 and top-3-gram > 9/50 (= 0.18) are
+#: the Rae et al. 2021 Table A1 values verbatim; duplicated-3-gram
+#: word coverage > 3/20 (= 0.15) BORROWS the paper's 0.15 from its
+#: duplicate-5-gram CHAR-fraction row and adapts it to 3-gram WORD
+#: coverage for this corpus (whose short synthetic docs rarely carry
+#: 5-grams twice) — an adaptation, not a published threshold
 GOPHER_TOP2 = (1, 5)
 GOPHER_TOP3 = (9, 50)
 GOPHER_DUP3 = (3, 20)
@@ -650,6 +653,26 @@ GOPHER_DUP3 = (3, 20)
 # (DuckDB cannot max() a struct): count * 1e9 + coverage, exact while
 # coverage < 1e9 (coverage <= n_chars * occurrences, far below)
 _GOPHER_KEY = 1_000_000_000
+
+
+def _gopher_pack(c, cov, key: int = _GOPHER_KEY):
+    """Pack (count, coverage) into one orderable BIGINT: ``c*key +
+    cov``.  The encoding silently breaks count ordering (and the
+    ``% key`` coverage extraction) once ``cov >= key`` — and because
+    BOTH engines would compute the same corrupted key, the oracle gate
+    cannot see it — so the envelope is enforced HERE, at runtime, with
+    a JVM-side ``raise_error`` branch: a doc big enough to overflow
+    (coverage ≥ 1e9 chars ≈ a 1 GB gram footprint) fails the job
+    loudly instead of mis-ranking grams."""
+    return c * key + F.when(cov < key, cov).otherwise(
+        F.raise_error(
+            F.format_string(
+                "gopher_repetition: gram coverage %s >= packing key "
+                f"{key}; (count, coverage) encoding would corrupt",
+                cov,
+            )
+        ).cast("long")
+    )
 
 
 def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -721,7 +744,7 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         keyed = cnt.select(
             "doc_id",
-            (F.col("c") * _GOPHER_KEY + F.col("c") * F.col("lg")).alias("k"),
+            _gopher_pack(F.col("c"), F.col("c") * F.col("lg")).alias("k"),
         )
         return keyed.groupBy("doc_id").agg(
             (F.max("k") % _GOPHER_KEY).cast("long").alias(out)

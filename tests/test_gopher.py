@@ -135,3 +135,63 @@ def test_plan_invariants(spark):
         )
     )
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_envelope_guard(spark):
+    """The (count, coverage) single-BIGINT packing silently corrupts
+    both the count ordering and the ``% key`` coverage extraction once
+    coverage >= key — identically in BOTH engines, so the oracle gate
+    cannot catch it (r14 ADVICE).  The operator therefore carries a
+    runtime ``raise_error`` branch: verify it stays silent inside the
+    envelope (values equal the plain packing) and fires loudly beyond
+    it (exercised with a tiny key — a real overflow needs a ~1 GB
+    doc)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from pyspark_pipelining_spark.operators.text import _GOPHER_KEY, _gopher_pack
+
+    df = spark.createDataFrame(
+        [(3, 40), (1, 99)], "c long, cov long"
+    )
+    ok = df.select(_gopher_pack(F.col("c"), F.col("cov")).alias("k")).collect()
+    assert sorted(r["k"] for r in ok) == sorted(
+        c * _GOPHER_KEY + cov for c, cov in [(3, 40), (1, 99)]
+    )
+    with pytest.raises(SparkRuntimeException, match="packing key"):
+        df.select(
+            _gopher_pack(F.col("c"), F.col("cov"), key=50).alias("k")
+        ).collect()
+
+
+def test_pack_envelope_headroom_on_committed_tables(spark):
+    """Gate-time envelope check against the committed gate-scale
+    corpora: the largest per-(doc, gram) coverage c*len(g) must sit
+    far below the packing key, so the runtime guard is dormant at
+    every certified scale (the sf0.1 table is ~100x sf0.001 and its
+    max coverage stays orders of magnitude under 1e9 — checked at the
+    two pytest scales; sf0.1 runs through the same guarded operator in
+    tools/sf01_oracle_spotcheck.py)."""
+    from pyspark_pipelining_spark.operators.text import _GOPHER_KEY, with_words
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        docs = load_table(spark, sf_dir, "documents")
+        words = with_words(docs)
+        g2 = (
+            words.filter(F.size("words") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(words) - 1), i ->"
+                        " concat_ws(' ', element_at(words, CAST(i AS INT)),"
+                        " element_at(words, CAST(i + 1 AS INT))))"
+                    )
+                ).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg((F.count(F.lit(1)) * F.max(F.length("g"))).alias("cov"))
+        )
+        mx = g2.select(F.max("cov").alias("m")).collect()[0]["m"]
+        assert mx is not None and mx < _GOPHER_KEY, (sf_dir, mx)

@@ -899,16 +899,22 @@ LAYOUT_SENSITIVE += [
     "semantic_dedup",
 ]
 
-# round-14 staged queries, swept under the same contract before they
-# ever see a driver row (never-validated names bypass the rotation, so
-# these run every round until their first green row): the decon span
-# orientation rides the island window; the DSIR λ sums and the Gumbel
-# top-k are integer-exact but flow through a full-outer histogram
-# merge and a TakeOrdered — the shapes the sweep exists to pin
+# staged queries, swept under the same contract before they ever see
+# a driver row (never-validated names bypass the rotation, so these
+# run every round until their first green row).  The round-14 trio
+# (decontamination_spans / dsir_weights / dsir_sample_topk) registered
+# in round 15 and keeps resolving through the merged registry; the
+# round-15 staged trio joins here: the report's interval-union window
+# and left join, gopher's per-doc gram windows, and unimax's
+# prefix-sum waterfill are exactly the layout-sensitive shapes the
+# sweep exists to pin
 LAYOUT_SENSITIVE_STAGED = [
     "decontamination_spans",
     "dsir_weights",
     "dsir_sample_topk",
+    "decontamination_report",
+    "gopher_repetition",
+    "unimax_allocation",
 ]
 
 
@@ -935,7 +941,17 @@ def test_layout_invariance_sweep(spark):
     # validated names always swept, the rest once every ROTATION_PERIOD
     # rounds — conftest.in_rotation, same scheme as the sf0.01 tier
     names = [n for n in all_names if in_rotation(n)]
-    assert names, all_names
+    if not names:
+        # Possible once every staged name is driver-validated and the
+        # hash phases leave this round's slice empty (ADVICE r14):
+        # don't fail the round's certification — sweep a minimal
+        # deterministic always-on subset instead so coverage never
+        # drops to zero.
+        names = sorted(all_names)[:3]
+        print(
+            "layout sweep: rotation slice empty this round; "
+            f"falling back to minimal subset {names}"
+        )
 
     def run(name):
         return sorted(tuple(str(x) for x in r) for r in registry[name](spark, SF_SMOKE).collect())

@@ -197,14 +197,22 @@ def test_corpus_embeddings_within_lattice_precondition(spark):
     from pyspark.sql import functions as F
 
     from pyspark_pipelining_spark.sources.registry import load_table
+    from tests.conftest import SF_ORACLE
 
-    emb = load_table(spark, SF_SMOKE, "embeddings")
-    mx = emb.select(
-        F.max(
-            F.expr(
-                "aggregate(embedding, CAST(0.0 AS DOUBLE),"
-                " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
-            )
-        ).alias("mx")
-    ).collect()[0]["mx"]
-    assert mx <= 1.0, mx
+    # probe EVERY committed scale semantic_dedup runs against in the
+    # local gates (sf0.001 every run, sf0.01 in the rotating oracle
+    # tier) — a regeneration of either table outside the envelope must
+    # fail HERE, not as a silent NULL-overflow divergence (r14 ADVICE;
+    # sf0.1 is covered by the same probe inside
+    # tools/sf01_oracle_spotcheck.py)
+    for sf_dir in (SF_SMOKE, SF_ORACLE):
+        emb = load_table(spark, sf_dir, "embeddings")
+        mx = emb.select(
+            F.max(
+                F.expr(
+                    "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+                )
+            ).alias("mx")
+        ).collect()[0]["mx"]
+        assert mx <= 1.0, (sf_dir, mx)

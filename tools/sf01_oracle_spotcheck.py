@@ -130,6 +130,33 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # semantic_dedup lattice precondition at THIS scale (r14 ADVICE):
+    # the decimal(38,0) headroom argument assumes |x| <= 1 per
+    # embedding coordinate; sf0.001/sf0.01 are pinned by
+    # tests/test_semantic_dedup.py, and this probe covers the sf0.1
+    # table the spotcheck certifies against — a regeneration outside
+    # the envelope fails loudly here, never as silent NULL-overflow
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.sources.registry import load_table
+
+    mx = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(
+            F.max(
+                F.expr(
+                    "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+                )
+            ).alias("mx")
+        )
+        .collect()[0]["mx"]
+    )
+    if mx is not None and mx > 1.0:
+        print(f"FAIL embeddings lattice precondition: max |x| = {mx} > 1.0")
+        return 1
+
     failures = []
     for name in names:
         if name not in queries:
