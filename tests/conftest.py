@@ -25,11 +25,13 @@ SF_ORACLE = "/root/testdata/sf0.01"
 ROTATION_PERIOD = 3
 
 
-def rotation_round() -> int:
+def rotation_round(here: str | None = None) -> int:
     """The current round number = latest committed CORRECTNESS round + 1
     (the same source `__spark_entry__._rotated` derives the driver
-    window from, so the slice advances exactly once per round)."""
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    window from, so the slice advances exactly once per round).
+    ``here`` is injectable for the accounting guard test only."""
+    if here is None:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
