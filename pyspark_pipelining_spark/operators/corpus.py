@@ -850,3 +850,99 @@ def unimax_allocation(
         .cast("long")
         .alias("is_capped"),
     )
+
+
+def ccnet_ppl_buckets(
+    docs: DataFrame,
+    bin_w: int = 2_000,
+    offset: int = 10_000_000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity-bucket filtering (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data") — the published LM-quality rung ABOVE the raw score
+    (:func:`text.lm_bigram_score` is the repo's KenLM stand-in): split
+    each source's documents into ``head`` / ``middle`` / ``tail``
+    thirds of the per-source score distribution and keep head+middle,
+    exactly CCNet's per-language percentile cut (the paper computes
+    per-language perplexity histograms and cuts at the 33%/66%
+    points; ``source`` is this corpus's language analog).
+
+    Semantics (deterministic, oracle-replayable):
+
+    1. per-doc quality score = the char-bigram LM mean log-prob,
+       re-quantized to ONE int64 per doc:
+       ``score_q6 = round(total_q6 / n_bigrams)`` — a single
+       correctly-rounded double division of two exact ints, so both
+       engines compute the identical integer (higher = better; CCNet's
+       perplexity ordering with the sign flipped);
+    2. integer histogram: ``bin = (score_q6 + offset) div bin_w``
+       (offset keeps the operand positive, so Spark's truncating
+       ``div`` ≡ DuckDB's flooring ``//``) — mirrors CCNet's practice
+       of binning perplexities to integers before taking percentiles;
+    3. per-source cutoff bins: the smallest bins t1, t2 where the
+       ascending cumulative count reaches 1/3 and 2/3 of the source's
+       documents (``3·cum ≥ n`` / ``3·cum ≥ 2n`` — integer
+       comparisons, no division); every document in a boundary bin
+       gets the boundary's bucket, the histogram-cut semantics;
+    4. bucket: ``bin ≤ t1 → 'tail'``, ``≤ t2 → 'middle'``, else
+       ``'head'``; ``kept = bucket != 'tail'`` (CCNet keeps
+       head+middle for most languages).
+
+    Scale shape: the score reuses ``lm_bigram_score``'s one bounded
+    model pass; the histogram is a (source × ~O(score-range/bin_w))
+    BOUNDED aggregate — the per-source cumulative window runs over
+    bin rows, never document rows (a per-source document rank would
+    be an unbounded hot-key window; the histogram cut is both
+    CCNet-faithful and the only shape that survives a 100 TB source);
+    the cutoff table is |sources| rows, broadcast back.  The only
+    corpus-sized shuffles are lm_bigram_score's per-doc sum and the
+    final doc-keyed cutoff join (map-side after the broadcast).
+
+    Output: one row per scored doc — ``doc_id, source, score_q6, bin,
+    bucket, kept`` (ints BIGINT, kept 0/1 BIGINT).
+    """
+    from pyspark_pipelining_spark.operators.text import lm_bigram_score
+
+    lm = lm_bigram_score(docs, text_col=text_col)
+    scored = lm.join(docs.select("doc_id", source_col), "doc_id").select(
+        "doc_id",
+        source_col,
+        F.round(F.col("total_q6") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("score_q6"),
+    )
+    binned = scored.withColumn(
+        "bin", F.expr(f"(score_q6 + {int(offset)}) div {int(bin_w)}")
+    )
+    hist = binned.groupBy(source_col, "bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(source_col).orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy(source_col).agg(F.sum("c").alias("n"))
+    cuts = (
+        cum.join(tot, source_col)
+        .groupBy(source_col)
+        .agg(
+            F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("bin"))).alias("t1"),
+            F.min(
+                F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("bin"))
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("bin") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("bin") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        binned.join(F.broadcast(cuts), source_col)
+        .select(
+            "doc_id",
+            source_col,
+            "score_q6",
+            "bin",
+            bucket.alias("bucket"),
+            (bucket != "tail").cast("long").alias("kept"),
+        )
+    )

@@ -1210,3 +1210,116 @@ def sq8_rerank_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_topk_learned_q(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    centroids_q: DataFrame,
+    grid: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against FROZEN integer-quantized centroids — the
+    oracle-replayable sibling of :func:`ivf_topk_learned` (whose
+    iterative Lloyd trainer is not single-SQL-expressible): given a
+    committed ``(cell, centroid_q array<bigint>)`` table (the trained
+    coarse quantizer snapped to a ``grid`` lattice), assignment and
+    probe selection are EXACT int64 L2² arithmetic — both engines
+    replay every distance bit-identically, so the full query (assign →
+    probe → exact-cosine re-rank) carries a DuckDB oracle, unlike the
+    trainer.
+
+    Shape (all 1-row-lazy / broadcast, no unbounded window):
+
+    * corpus assignment is one map-side fold: the ≤ ``cells`` centroid
+      rows collapse to a single array via ``collect_list`` (1-row lazy
+      crossJoin, repo scalar convention — never ``.collect()``), and
+      per corpus row a left fold keeps the first minimum-distance cell
+      (array sorted by cell → ties break to the smallest cell id);
+    * probes: the same array sorted by (distance, cell), sliced to
+      ``nprobe``, exploded — no per-query window;
+    * candidate scoring: broadcast probe join on ``cell`` + exact
+      cosine + per-query top-k window (the registered ``sim_ivf_topk``
+      shape).  At 100 TB the corpus is written partitioned by ``cell``
+      and a probe is a pruned scan; the quantized trainer output is
+      exactly what a production IVF deployment ships to executors.
+
+    Output: ``query_id, vec_id, cosine, rank``.
+    """
+    cents_arr = centroids_q.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid_q"))).alias("cents")
+    )
+
+    def quant(v):
+        return F.transform(v, lambda x: F.round(x.cast("double") * grid).cast("long"))
+
+    def l2q(xq_col, cent_col):
+        return F.aggregate(
+            F.zip_with(xq_col, cent_col, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    corpus = (
+        spread(emb_df)
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("_xq", quant(F.col(vec_col)))
+        .withColumn(
+            "cell",
+            F.aggregate(
+                "cents",
+                F.struct(
+                    F.lit(None).cast("long").alias("d"),
+                    F.lit(-1).cast("int").alias("cell"),
+                ),
+                lambda acc, c: F.when(
+                    acc["d"].isNull() | (l2q(F.col("_xq"), c["centroid_q"]) < acc["d"]),
+                    F.struct(
+                        l2q(F.col("_xq"), c["centroid_q"]).alias("d"),
+                        c["cell"].cast("int").alias("cell"),
+                    ),
+                ).otherwise(acc),
+            )["cell"],
+        )
+        .drop("_xq", "cents")
+    )
+    probes = (
+        query_df.crossJoin(F.broadcast(cents_arr))
+        .withColumn("_qq", quant(F.col("query_vec")))
+        .select(
+            "query_id",
+            "query_vec",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda c: F.struct(
+                                l2q(F.col("_qq"), c["centroid_q"]).alias("d"),
+                                c["cell"].cast("int").alias("cell"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "query_vec", F.col("p.cell").alias("cell"))
+    )
+    joined = corpus.join(F.broadcast(probes), on="cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = _dot(F.col(vec_col), F.col("query_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("query_vec"))
+    )
+    scored = joined.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -820,3 +820,104 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("flagged_repetition"),
     )
+
+
+#: Quality-battery thresholds as exact integer fractions / bounds —
+#: the Gopher (Rae et al. 2021 Table A1) document-level rules, with
+#: bounds ADAPTED to this corpus where the paper's verbatim values
+#: would leave a branch empty and the oracle value-blind (the
+#: GOPHER_DUP3 lesson): word count 20..90 (paper: 50..100k — this
+#: corpus spans 10..100 words), mean word length 4..5 via
+#: cross-multiplication (paper: 3..10 — this corpus spans 3.5..5.7),
+#: >= 2 stopword hits (paper: >= 2 from an 8-word English list; this
+#: vocabulary contains exactly two of them, "the" and "a")
+BATTERY_MIN_WORDS = 20
+BATTERY_MAX_WORDS = 90
+BATTERY_WORDLEN = (4, 5)  # mean word length lo..hi, integer bounds
+BATTERY_STOPWORDS = ("a", "the")
+BATTERY_MIN_STOPWORDS = 2
+
+
+def quality_battery(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """FineWeb-style composed heuristic battery (Penedo et al. 2024,
+    "The FineWeb Datasets" — whose pipeline composes the C4 and Gopher
+    rule sets into per-rule flags plus one keep decision; the three
+    FineWeb-original filters are LINE-based and this corpus is
+    single-line by construction, so the battery composes the
+    applicable DOCUMENT-level Gopher rules with the repetition
+    composite instead):
+
+    * ``flag_word_count`` — word count outside
+      [BATTERY_MIN_WORDS, BATTERY_MAX_WORDS];
+    * ``flag_word_len`` — mean word length outside BATTERY_WORDLEN,
+      compared as ``lo·n_words ≤ Σ len(word) ≤ hi·n_words`` (exact
+      integer cross-multiplication, no float mean);
+    * ``flag_stopword`` — fewer than BATTERY_MIN_STOPWORDS hits from
+      BATTERY_STOPWORDS (Gopher's "must contain stop words" rule);
+    * ``flag_repetition`` — :func:`gopher_repetition`'s composite at
+      the established thresholds (one reused scan family, the
+      composition FineWeb's pipeline performs);
+    * ``kept = 1`` iff every flag is 0.
+
+    All four rules are exact integer comparisons, so the DuckDB oracle
+    replays every flag bit-identically; the only doubles in the output
+    are the boundary convenience ratios.
+
+    Scale shape: words/stopword counts are one map-side pass
+    (higher-order functions over the words array, no explode);
+    repetition signals reuse ``gopher_repetition``'s bounded
+    per-(doc, gram) aggregates; the battery join is doc-keyed — at
+    100 TB this is the same two shuffles gopher_repetition already
+    costs, plus zero.
+
+    Output: ``doc_id, n_words, sum_word_len, n_stopwords,
+    flag_word_count, flag_word_len, flag_stopword, flag_repetition,
+    kept`` — all BIGINT.
+    """
+    words = with_words(df, text_col)
+    stop_arr = ", ".join(f"'{s}'" for s in BATTERY_STOPWORDS)
+    base = words.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(words, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + length(x))"
+        ).alias("sum_word_len"),
+        F.expr(
+            f"size(filter(words, x -> array_contains(array({stop_arr}), x)))"
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    rep = gopher_repetition(df, text_col=text_col).select(
+        "doc_id", "flagged_repetition"
+    )
+    lo, hi = BATTERY_WORDLEN
+    flag_wc = (
+        (F.col("n_words") < BATTERY_MIN_WORDS)
+        | (F.col("n_words") > BATTERY_MAX_WORDS)
+    ).cast("long")
+    flag_wl = (
+        (F.col("sum_word_len") < lo * F.col("n_words"))
+        | (F.col("sum_word_len") > hi * F.col("n_words"))
+    ).cast("long")
+    flag_sw = (F.col("n_stopwords") < BATTERY_MIN_STOPWORDS).cast("long")
+    out = base.join(rep, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_stopwords",
+        flag_wc.alias("flag_word_count"),
+        flag_wl.alias("flag_word_len"),
+        flag_sw.alias("flag_stopword"),
+        F.col("flagged_repetition").alias("flag_repetition"),
+    )
+    return out.withColumn(
+        "kept",
+        (
+            (F.col("flag_word_count") == 0)
+            & (F.col("flag_word_len") == 0)
+            & (F.col("flag_stopword") == 0)
+            & (F.col("flag_repetition") == 0)
+        ).cast("long"),
+    )

@@ -485,19 +485,309 @@ ORACLES_STAGED["unimax_allocation"] = SQL_UNIMAX_ALLOCATION
 
 
 # ---------------------------------------------------------------------------
+# Round-16 staging QUEUE (1) — CCNet perplexity-bucket filtering
+# (Wenzek et al. 2020; the published LM-quality rung above the raw
+# lm_score — r14 verdict item 3).  Oracle-paired, gates in
+# tests/test_ccnet.py; queued behind the staged trio.
+# ---------------------------------------------------------------------------
+
+CCNET_BIN_W = 2_000
+CCNET_OFFSET = 10_000_000
+
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets over ``documents``
+    (``operators/corpus.ccnet_ppl_buckets``): per-source thirds of the
+    char-bigram LM score distribution via integer histogram cuts —
+    the paper's per-language percentile filter with ``source`` as the
+    language analog; ``kept`` = head+middle.  Every arithmetic step
+    after the one re-quantizing division is exact integer, so the
+    oracle replays bucket boundaries bit-identically."""
+    from pyspark_pipelining_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.ccnet_ppl_buckets(
+        docs, bin_w=CCNET_BIN_W, offset=CCNET_OFFSET
+    ).orderBy("doc_id")
+
+
+def _sql_ccnet_ppl_buckets() -> str:
+    w, off = CCNET_BIN_W, CCNET_OFFSET
+    return f"""
+WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+    FROM base WHERE length(t) >= 2
+),
+toks AS (SELECT doc_id, substring(t, i, 2) AS bg FROM idx),
+c2 AS (SELECT bg, count(*) AS c2 FROM toks GROUP BY bg),
+c1 AS (SELECT substring(bg, 1, 1) AS ch, sum(c2) AS c1 FROM c2 GROUP BY 1),
+model AS (
+    SELECT bg, CAST(round((ln(c2) - ln(c1)) * 1000000) AS BIGINT) AS logp_q6
+    FROM c2 JOIN c1 ON substring(bg, 1, 1) = c1.ch
+),
+per AS (
+    SELECT doc_id, count(*) AS n_bigrams, sum(logp_q6) AS total_q6
+    FROM toks JOIN model USING (bg) GROUP BY doc_id
+),
+scored AS (
+    SELECT p.doc_id, d.source,
+           CAST(round(p.total_q6 / CAST(p.n_bigrams AS DOUBLE)) AS BIGINT)
+             AS score_q6
+    FROM per p JOIN documents d USING (doc_id)
+),
+binned AS (
+    SELECT doc_id, source, score_q6, (score_q6 + {off}) // {w} AS bin
+    FROM scored
+),
+hist AS (SELECT source, bin, count(*) AS c FROM binned GROUP BY source, bin),
+cum AS (
+    SELECT source, bin, c,
+           sum(c) OVER (PARTITION BY source ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist
+),
+tot AS (SELECT source, sum(c) AS n FROM hist GROUP BY source),
+cuts AS (
+    SELECT cum.source,
+           min(CASE WHEN 3 * cum >= n THEN bin END) AS t1,
+           min(CASE WHEN 3 * cum >= 2 * n THEN bin END) AS t2
+    FROM cum JOIN tot ON cum.source = tot.source
+    GROUP BY cum.source
+)
+SELECT b.doc_id, b.source, b.score_q6, CAST(b.bin AS BIGINT) AS bin,
+       CASE WHEN b.bin <= c.t1 THEN 'tail'
+            WHEN b.bin <= c.t2 THEN 'middle'
+            ELSE 'head' END AS bucket,
+       CAST(CASE WHEN b.bin <= c.t1 THEN 0 ELSE 1 END AS BIGINT) AS kept
+FROM binned b JOIN cuts c ON b.source = c.source
+ORDER BY b.doc_id
+"""
+
+
+SQL_CCNET_PPL_BUCKETS = _sql_ccnet_ppl_buckets()
+
+
+# ---------------------------------------------------------------------------
+# Round-16 staging QUEUE (2) — FineWeb-style composed heuristic battery
+# (Penedo et al. 2024 composes the C4 + Gopher rule sets into per-rule
+# flags and one keep decision; this corpus is single-line so the
+# battery composes the applicable DOCUMENT-level Gopher rules with the
+# repetition composite — thresholds corpus-adapted and documented in
+# operators/text.py).  Oracle-paired, gates in tests/test_fineweb.py.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-document quality battery over ``documents``
+    (``operators/text.quality_battery``): exact-integer word-count /
+    mean-word-length / stopword rules plus the gopher_repetition
+    composite, each as its own flag, with ``kept`` = all pass —
+    joined to ``source`` so per-source filter pressure reads
+    directly."""
+    from pyspark_pipelining_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    bat = text_ops.quality_battery(docs)
+    return (
+        bat.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            "sum_word_len",
+            "n_stopwords",
+            "flag_word_count",
+            "flag_word_len",
+            "flag_stopword",
+            "flag_repetition",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_battery() -> str:
+    from pyspark_pipelining_spark.operators.text import (
+        BATTERY_MAX_WORDS,
+        BATTERY_MIN_STOPWORDS,
+        BATTERY_MIN_WORDS,
+        BATTERY_STOPWORDS,
+        BATTERY_WORDLEN,
+    )
+
+    lo, hi = BATTERY_WORDLEN
+    stop_list = ", ".join(f"'{s}'" for s in BATTERY_STOPWORDS)
+    # reuse the staged gopher oracle verbatim as a subquery (minus its
+    # display ORDER BY — the battery join re-sorts)
+    rep = SQL_GOPHER_REPETITION.strip()
+    rep = rep[: rep.rindex("ORDER BY")]
+    return f"""
+WITH qw AS (
+    SELECT doc_id, source, string_split_regex(lower(text), ' +') AS w
+    FROM documents
+),
+base AS (
+    SELECT doc_id, source,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+             AS sum_word_len,
+           CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS BIGINT)
+             AS n_stopwords
+    FROM qw
+),
+rep AS (SELECT doc_id, flagged_repetition FROM ({rep})),
+flags AS (
+    SELECT b.doc_id, b.source, b.n_words, b.sum_word_len, b.n_stopwords,
+           CAST(CASE WHEN b.n_words < {BATTERY_MIN_WORDS}
+                       OR b.n_words > {BATTERY_MAX_WORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS flag_word_count,
+           CAST(CASE WHEN b.sum_word_len < {lo} * b.n_words
+                       OR b.sum_word_len > {hi} * b.n_words
+                THEN 1 ELSE 0 END AS BIGINT) AS flag_word_len,
+           CAST(CASE WHEN b.n_stopwords < {BATTERY_MIN_STOPWORDS}
+                THEN 1 ELSE 0 END AS BIGINT) AS flag_stopword,
+           CAST(r.flagged_repetition AS BIGINT) AS flag_repetition
+    FROM base b JOIN rep r ON b.doc_id = r.doc_id
+)
+SELECT *,
+       CAST(CASE WHEN flag_word_count = 0 AND flag_word_len = 0
+                  AND flag_stopword = 0 AND flag_repetition = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM flags
+ORDER BY doc_id
+"""
+
+
+SQL_QUALITY_BATTERY = _sql_quality_battery()
+
+
+# ---------------------------------------------------------------------------
+# Round-16 staging QUEUE (3) — learned-centroid IVF ANN (r14 verdict
+# stretch item 7): the iterative k-means trainer is not
+# SQL-expressible, so it ran ONCE (tools/gen_ann_fixtures.py) and the
+# committed integer-lattice centroid table fixtures/ann/
+# centroids.parquet is the query's input — assignment and probe
+# selection are exact int64 L2², the semantic_dedup lattice
+# convention, so the whole search pipeline carries a DuckDB oracle.
+# Gates in tests/test_ivf_learned.py.
+# ---------------------------------------------------------------------------
+
+#: must match tools/gen_ann_fixtures.py CENT_GRID (the committed
+#: lattice); asserted equal in tests/test_ivf_learned.py
+CENT_GRID = 1 << 20
+IVF_LEARNED_NPROBE = 2
+
+
+def _centroid_fixture_path() -> str:
+    import os
+
+    from pyspark_pipelining_spark.sources.registry import fixtures_dir
+
+    return os.path.join(fixtures_dir("ann"), "centroids.parquet")
+
+
+def q_sim_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the committed TRAINED coarse quantizer
+    (``operators/similarity.ivf_topk_learned_q``): the scale story a
+    100 TB ANN deployment actually uses — k-means centroids trained
+    once on a sample, frozen, broadcast; every corpus vector assigned
+    by exact int64 lattice L2²; each query probes its nprobe nearest
+    cells and exact-cosine re-ranks only those vectors."""
+    from pyspark_pipelining_spark.operators import similarity
+    from pyspark_pipelining_spark.queries_llm import TOPK, _query_vecs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(_centroid_fixture_path())
+    return similarity.ivf_topk_learned_q(
+        emb,
+        _query_vecs(spark, sf_dir),
+        cents,
+        grid=CENT_GRID,
+        k=TOPK,
+        nprobe=IVF_LEARNED_NPROBE,
+    )
+
+
+def _sql_sim_ivf_learned_topk() -> str:
+    from pyspark_pipelining_spark.queries_llm import _DOT, _NE, _NQ, N_QUERIES, TOPK
+    from pyspark_pipelining_spark.sources.registry import sql_str_literal
+
+    g = CENT_GRID
+    path = sql_str_literal(_centroid_fixture_path())
+    d2 = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> (xq[CAST(i AS INT)] - c.centroid_q[CAST(i AS INT)])"
+        " * (xq[CAST(i AS INT)] - c.centroid_q[CAST(i AS INT)])))"
+    )
+    return f"""
+WITH cents AS (SELECT cell, centroid_q FROM '{path}'),
+embq AS (
+    SELECT vec_id, embedding,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {g}) AS BIGINT)) AS xq
+    FROM embeddings
+),
+corpus_d AS (
+    SELECT e.vec_id, e.embedding, c.cell, {d2} AS d
+    FROM embq e CROSS JOIN cents c
+),
+corpus AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM corpus_d
+    ) WHERE rn = 1
+),
+qs AS (
+    SELECT vec_id AS query_id, embedding AS query_vec, xq
+    FROM embq WHERE vec_id < {N_QUERIES}
+),
+probes_d AS (
+    SELECT qs.query_id, qs.query_vec, c.cell, {d2} AS d
+    FROM qs CROSS JOIN cents c
+),
+probes AS (
+    SELECT query_id, query_vec, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS pr
+        FROM probes_d
+    ) WHERE pr <= {IVF_LEARNED_NPROBE}
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id,
+           round({_DOT} / ({_NE} * {_NQ}), 6) AS cosine
+    FROM corpus e JOIN probes q ON e.cell = q.cell AND e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+SQL_SIM_IVF_LEARNED_TOPK = _sql_sim_ivf_learned_topk()
+
+
+# ---------------------------------------------------------------------------
 # The QUEUE, formalized: built + oracle-paired + gate-covered queries
 # that are NOT driver-exposed yet (they enter QUERIES_STAGED at the
 # next reset, then register a round later).  Every local gate treats
 # these exactly like staged queries — sf0.001 oracle compare, the
 # pandas-dtype gate, the plan invariants, AND the plan-shape lock —
 # so a queued query's plan is pinned rounds before its first driver
-# row, and promotion is a two-line dict move.  Entries are appended
-# below as the round-17 rungs land (CCNet perplexity buckets,
-# FineWeb heuristic battery).
+# row, and promotion is a two-line dict move.
 # ---------------------------------------------------------------------------
 
-QUERIES_QUEUED: dict[str, QueryFn] = {}
+QUERIES_QUEUED: dict[str, QueryFn] = {
+    "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+    "quality_battery": q_quality_battery,
+    "sim_ivf_learned_topk": q_sim_ivf_learned_topk,
+}
 
-ORACLES_QUEUED: dict[str, str] = {}
+ORACLES_QUEUED: dict[str, str] = {
+    "ccnet_ppl_buckets": SQL_CCNET_PPL_BUCKETS,
+    "quality_battery": SQL_QUALITY_BATTERY,
+    "sim_ivf_learned_topk": SQL_SIM_IVF_LEARNED_TOPK,
+}
 
 assert not set(QUERIES_QUEUED) & set(QUERIES_STAGED)

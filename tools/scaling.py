@@ -80,6 +80,14 @@ TIER3_QUERIES = [
     "decontamination_report",
     "gopher_repetition",
     "unimax_allocation",
+    # queued round 16 (r14 verdict item 3 asks for the same bar): the
+    # CCNet histogram cut (lm_score's bounded model pass + a bin-keyed
+    # window — expected ~lm_score-shaped), the battery (two bounded
+    # gram scans, one doc-keyed join), and the learned-centroid IVF
+    # (map-side lattice assignment + broadcast probes — expected flat)
+    "ccnet_ppl_buckets",
+    "quality_battery",
+    "sim_ivf_learned_topk",
 ]
 
 

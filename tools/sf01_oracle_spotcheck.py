@@ -99,6 +99,12 @@ SENSITIVE = [
     # r15 staging: eval-vs-train span islands at a corpus size where
     # the eval source actually shares hot grams with every train source
     "decontamination_spans",
+    # r15 queued registrations: the CCNet cut re-quantizes the int64
+    # λ sums through one double division per doc (100x bigger
+    # numerators at sf0.1), and the learned-centroid IVF's lattice
+    # L2² sums grow with nothing but stay worth one documented pass
+    "ccnet_ppl_buckets",
+    "sim_ivf_learned_topk",
 ]
 
 
