@@ -689,6 +689,7 @@ def exact_substring_spans(
     spread: int | None = None,
     winnow: int | None = None,
     scope: str = "cross",
+    xor_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal cross-document EXACT repeated character spans — the
     span-level exact-substring dedup of Lee et al. 2022
@@ -769,6 +770,26 @@ def exact_substring_spans(
       and is deliberately NOT the default — this operator's contract
       is exact-maximal.
 
+    ``xor_docs`` (the decontamination pushdown — the 100 TB
+    refinement the staged query's docstring documented, implemented
+    once the query registered): a 1-column frame of doc ids (named
+    ``id_col``) marking one side of a bipartition (e.g. the EVAL
+    benchmark set).  When given (cross scope, full mode), only pairs
+    with EXACTLY ONE endpoint in the set are produced — and the
+    restriction is pushed INTO the pair join: the positional stream
+    splits into a marked side (tiny by construction — a benchmark
+    set) and an unmarked side via one broadcast semi/anti join, and
+    the hash self-join becomes marked × unmarked, so the
+    train×train pair space (at 100 TB, ~all of it) never
+    materializes.  Output rows are re-normalized to the ``doc_a <
+    doc_b`` contract afterwards, so results are BIT-IDENTICAL to
+    filtering the full symmetric scan (the island decomposition is
+    symmetric under side swap: consecutive pairs on diagonal ``d``
+    become consecutive pairs on ``-d``) — the DuckDB oracle still
+    replays the filter-after formulation and the gate proves
+    equality.  The corpus-wide occurrence cap is unchanged (counted
+    over ALL grams, both sides, exactly as the oracle counts it).
+
     ``spread`` (the WAV-family ``REPARTITION_BY_NUM`` convention):
     pass the session's parallelism when the corpus arrives as a few
     small files — one parquet file otherwise means ONE scan partition,
@@ -812,6 +833,11 @@ def exact_substring_spans(
         # completeness is unproven for this mode, the combination is
         # rejected — self-repeat scans use full mode
         raise ValueError(f"scope={scope!r} is exact-mode only (winnow must be None)")
+    if xor_docs is not None and (scope != "cross" or (winnow is not None and winnow > 1)):
+        # the winnow candidate machinery assumes the symmetric
+        # doc_a < doc_b pair space; the bipartite path has no need for
+        # it (the marked side already prunes harder than minimizers)
+        raise ValueError("xor_docs requires scope='cross' and winnow=None")
     if spread:
         df = df.repartition(spread)
     grams = (
@@ -912,6 +938,25 @@ def exact_substring_spans(
                 (F.col("pa") - F.col("pb")).alias("diag"),
             )
         )
+    elif xor_docs is not None:
+        # bipartite pushdown: marked side (tiny) × unmarked side only —
+        # doc_a is ALWAYS the marked doc here; the doc_a < doc_b
+        # contract is restored by the normalization select at the end
+        # no .distinct(): semi/anti joins are membership tests, so
+        # right-side duplicates cannot change results — and the
+        # dedup would cost a shuffle + two hash aggregates
+        marked = F.broadcast(xor_docs.select(F.col(id_col).alias("doc")))
+        a = (
+            kept.join(marked, "doc", "left_semi")
+            .select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h")
+        )
+        b = (
+            kept.join(marked, "doc", "left_anti")
+            .select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h")
+        )
+        pairs = a.join(b, "h").select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
     else:
         a = kept.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "h")
         b = kept.select(F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "h")
@@ -931,7 +976,7 @@ def exact_substring_spans(
         pairs = pairs.join(cand, ["doc_a", "doc_b"], "left_semi")
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = pairs.withColumn("k", F.col("pa") - F.row_number().over(w))
-    return (
+    spans = (
         isl.groupBy("doc_a", "doc_b", "diag", "k")
         .agg(
             F.min("pa").alias("start_a"),
@@ -946,6 +991,20 @@ def exact_substring_spans(
             "span_len",
         )
     )
+    if xor_docs is not None:
+        # restore the doc_a < doc_b output contract (the bipartite
+        # join produced marked-first rows): swap (doc, start) pairs
+        # where the marked doc has the larger id — pure projection,
+        # values identical to the symmetric scan's post-filtered rows
+        flip = F.col("doc_a") > F.col("doc_b")
+        spans = spans.select(
+            F.when(flip, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_a"),
+            F.when(flip, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_b"),
+            F.when(flip, F.col("start_b")).otherwise(F.col("start_a")).alias("start_a"),
+            F.when(flip, F.col("start_a")).otherwise(F.col("start_b")).alias("start_b"),
+            "span_len",
+        )
+    return spans
 
 
 def semantic_dedup(

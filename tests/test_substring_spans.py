@@ -401,3 +401,59 @@ def test_plan_shape_at_scale_regime(spark):
     assert fp["shuffles"] == 4, fp
     assert fp["bhj"] == 2 and "LeftAnti" in plan, fp
     assert fp["windows"] == 1 and fp["hash_aggs"] == 2, fp
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=40), min_size=2, max_size=5
+    ),
+    L=st.integers(3, 5),
+    marks=st.lists(st.booleans(), min_size=2, max_size=5),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_xor_pushdown_equals_filter_after(spark, texts, L, marks):
+    """The bipartite xor_docs pushdown (r15 — the decontamination pair
+    join becomes marked × unmarked and never materializes
+    unmarked×unmarked) is BIT-IDENTICAL to running the full symmetric
+    scan and filtering to exactly-one-marked pairs afterwards — on
+    arbitrary small-alphabet corpora with arbitrary markings
+    (including all-marked and none-marked, where the pushdown output
+    is empty by definition)."""
+    docs = dict(enumerate(texts))
+    marked = {i for i in docs if marks[i % len(marks)]}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], ["doc_id", "text"]
+    )
+    xor = spark.createDataFrame(
+        [(i,) for i in marked] or [(-1,)], ["doc_id"]
+    )
+    got = sorted(
+        tuple(r[c] for c in COLS)
+        for r in exact_substring_spans(
+            df, gram_len=L, min_span=L, max_gram_occurrences=10**9,
+            xor_docs=xor,
+        ).collect()
+    )
+    full = sorted(
+        tuple(r[c] for c in COLS)
+        for r in exact_substring_spans(
+            df, gram_len=L, min_span=L, max_gram_occurrences=10**9
+        ).collect()
+        if (r["doc_a"] in marked) != (r["doc_b"] in marked)
+    )
+    assert got == full
+
+
+def test_xor_requires_cross_full_mode(spark):
+    df = spark.createDataFrame([(0, "abcabc"), (1, "abcabc")], ["doc_id", "text"])
+    xor = spark.createDataFrame([(0,)], ["doc_id"])
+    with pytest.raises(ValueError, match="xor_docs"):
+        exact_substring_spans(df, gram_len=3, min_span=3, scope="self", xor_docs=xor)
+    with pytest.raises(ValueError, match="xor_docs"):
+        exact_substring_spans(
+            df, gram_len=3, min_span=12, winnow=8, xor_docs=xor
+        )
