@@ -1281,3 +1281,33 @@ def test_rotation_scheme_guarantees():
     sel = [n for n in QUERIES if in_rotation(n)]
     assert 0 < len(sel) < len(QUERIES)
     assert rotation_round() >= 1
+
+
+def test_ivf_plane_dot_folds_evaluate_once_per_row(spark):
+    """The r15 ivf_assign rewrite's regression gate: higher-order
+    folds are CodegenFallback (no codegen subexpression elimination),
+    so the former greatest+when-chain argmax carried 72 ``aggregate(``
+    folds per corpus row (each 64-element plane dot re-evaluated up to
+    9×) — measured as the r14 driver's sim_ivf_topk variance outlier.
+    ``with_ivf_cell`` materializes the scores array once and takes
+    ``array_position(array_max)``; pin the full-plan fold budget so a
+    refactor (or a CollapseProject behavior change inlining the
+    producer) fails here, not as a silent 9× slowdown.  Budget: 8
+    corpus scores + 8 probe scores + cosine dot/norms and ranking ≈
+    36; anything approaching the old 156 is the recomputation class."""
+    from pyspark_pipelining_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    for name, budget in (
+        ("sim_ivf_topk", 50),
+        ("sim_ivfpq_topk", 60),
+        ("sim_ivfpq_rerank", 60),
+    ):
+        plan = (
+            QUERIES[name](spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = plan.count("aggregate(")
+        assert n <= budget, (name, n, budget)
