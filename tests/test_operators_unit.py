@@ -2554,3 +2554,41 @@ def test_png_pixel_stats_palette_strays_filter_both_engines(spark, tmp_path):
         .fetchall()
     )
     assert got == want
+
+
+def test_with_ivf_cell_equals_inline_assign(spark):
+    """The r15 two-projection rewrite (``with_ivf_cell`` — scores
+    array materialized once, argmax reads the column) must assign the
+    IDENTICAL cell as the single-expression ``ivf_assign`` on
+    arbitrary vectors, including exact-tie vectors (the all-zero
+    vector scores 0.0 against every centroid — both paths must pick
+    cell 0, the first-max rule)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipelining_spark.operators.similarity import (
+        ivf_assign,
+        with_ivf_cell,
+    )
+
+    dim, cells = 8, 4
+    rows = [
+        (0, [0.0] * dim),                      # all-tie → cell 0
+        (1, [1.0] * dim),
+        (2, [(-1.0) ** i * (i + 1) / dim for i in range(dim)]),
+        (3, [0.5] * (dim // 2) + [-0.5] * (dim // 2)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in df.select(
+            "vec_id", ivf_assign(F.col("embedding"), cells, dim).alias("cell")
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in with_ivf_cell(df, cells, dim, "embedding")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert a == b
+    assert a[0] == 0, a
