@@ -16,10 +16,13 @@ rate — r13 verdict item 5; gates in ``tests/test_decontamination.py``),
 The formal QUEUE (``QUERIES_QUEUED`` / ``ORACLES_QUEUED`` at the
 bottom) holds the round-17 candidates: ``ccnet_ppl_buckets``
 (Wenzek et al. 2020 CCNet-style perplexity-bucket filtering over the
-quantized ``lm_score`` machinery; gates in ``tests/test_ccnet.py``)
-and ``fineweb_battery`` (Penedo et al. 2024 FineWeb-style heuristic
-battery composing the existing quality + repetition signals; gates in
-``tests/test_fineweb.py``).
+quantized ``lm_score`` machinery; gates in ``tests/test_ccnet.py``),
+``quality_battery`` (Penedo et al. 2024 FineWeb-style heuristic
+battery composing the document-level Gopher rules with the repetition
+composite; gates in ``tests/test_fineweb.py``), and
+``sim_ivf_learned_topk`` (IVF against the committed integer-lattice
+trained quantizer ``fixtures/ann/centroids.parquet``; gates in
+``tests/test_ivf_learned.py``).
 
 Next round: merge QUERIES_STAGED / ORACLES_STAGED into family modules
 (``decontamination_report`` → ``queries_corpus.py`` beside
