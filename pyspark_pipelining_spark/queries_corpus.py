@@ -1961,3 +1961,274 @@ SQL_DSIR_SAMPLE_TOPK = _sql_dsir_sample_topk()
 
 QUERIES_CORPUS["dsir_sample_topk"] = q_dsir_sample_topk
 ORACLES_CORPUS["dsir_sample_topk"] = SQL_DSIR_SAMPLE_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Round-16 registrations (formerly queries_staged.py): per-eval-doc
+# decontamination report (r13 verdict item 5) and UniMax budget
+# allocation (Chung et al. 2023).  Gates in tests/test_decontamination.py
+# and tests/test_unimax.py.
+# ---------------------------------------------------------------------------
+
+#: flag an eval doc when >= 1/20 (5%) of its characters are covered by
+#: verbatim train overlaps — integer-compared (20·overlap >= n_chars)
+#: so the verdict never touches a float
+DECON_RATE_NUM, DECON_RATE_DEN = 1, 20
+
+
+def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-document contamination RATE over the span output — the
+    artifact a corpus owner actually consumes (r13 verdict item 5):
+    for EVERY eval doc, the union of its train-overlapped character
+    intervals (overlapping spans must not double-count), the span and
+    distinct-train-doc counts, the rate against the doc's length, the
+    integer-exact flag at ``DECON_RATE_NUM/DECON_RATE_DEN``, and the
+    doc's ``dataset_split`` assignment (same fractions/salt as the
+    registered query) — so train/val assignment is auditable
+    end-to-end against contamination pressure.
+
+    Interval union is one window pass per eval doc: a span starts a
+    new covered island iff its start lies strictly past the running
+    max end of every earlier span (sorted by start; ties broken by
+    end/train ids for full determinism); union length is then the sum
+    of per-island extents.  Adjacent-but-not-overlapping islands sum
+    to the same char count merged or not, so the strict comparison is
+    exact.  Clean eval docs appear with zeros (an auditor must see the
+    whole benchmark, not only the dirty part).
+
+    Scale shape: the spans frame is the (already bounded) island-join
+    output keyed by eval_doc — the window and the final aggregate
+    reuse that one partitioning; the eval-doc dimension join is a
+    broadcast (the benchmark set is small by construction)."""
+    from pyspark.sql import Window
+
+    spans = q_decontamination_spans(spark, sf_dir).select(
+        "eval_doc",
+        "eval_start",
+        (F.col("eval_start") + F.col("span_len") - 1).alias("eval_end"),
+        "train_doc",
+    )
+    w = Window.partitionBy("eval_doc").orderBy(
+        "eval_start", "eval_end", "train_doc"
+    )
+    prev_max = F.max("eval_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = spans.withColumn(
+        "isl",
+        F.sum(
+            F.when(prev_max.isNull() | (F.col("eval_start") > prev_max), 1).otherwise(
+                0
+            )
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        islands.groupBy("eval_doc", "isl")
+        .agg(
+            (F.max("eval_end") - F.min("eval_start") + 1).alias("ext"),
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("train_doc").alias("tset"),
+        )
+        .groupBy("eval_doc")
+        .agg(
+            F.sum("ext").cast("long").alias("overlap_chars"),
+            F.sum("n").cast("long").alias("n_spans"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("tset"))))
+            .cast("long")
+            .alias("n_train_docs"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = corpus.split_assign(
+        docs.filter(F.col("source") == EVAL_SOURCE),
+        SPLIT_FRACTIONS,
+        salt=SPLIT_SALT,
+        grid=SPLIT_GRID,
+    ).select("doc_id", "split", "n_chars")
+    out = eval_docs.join(
+        per_doc, eval_docs.doc_id == per_doc.eval_doc, "left"
+    ).select(
+        F.col("doc_id").alias("eval_doc"),
+        "split",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+        F.coalesce("overlap_chars", F.lit(0)).cast("long").alias("overlap_chars"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.coalesce("overlap_chars", F.lit(0)) / F.col("n_chars"), 6).alias(
+            "contamination_rate"
+        ),
+        F.when(
+            F.coalesce("overlap_chars", F.lit(0)) * DECON_RATE_DEN
+            >= F.col("n_chars") * DECON_RATE_NUM,
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("flagged"),
+    )
+    return out.orderBy("eval_doc")
+
+
+def _sql_decontamination_report() -> str:
+    lo = 0
+    cases = []
+    for name, frac in SPLIT_FRACTIONS.items():
+        hi = lo + int(frac * SPLIT_GRID)
+        cases.append(f"WHEN b >= {lo} AND b < {hi} THEN '{name}'")
+        lo = hi
+    decon = SQL_DECONTAMINATION_SPANS.strip().rstrip()
+    # reuse the registered spans oracle verbatim as a subquery (minus
+    # its display ORDER BY — the aggregate re-sorts)
+    decon = decon[: decon.rindex("ORDER BY")]
+    return f"""
+WITH spanrows AS (
+    SELECT eval_doc, eval_start,
+           eval_start + span_len - 1 AS eval_end, train_doc
+    FROM ({decon})
+),
+flagged_isl AS (
+    SELECT eval_doc, eval_start, eval_end, train_doc,
+           CASE WHEN max(eval_end) OVER (
+                    PARTITION BY eval_doc
+                    ORDER BY eval_start, eval_end, train_doc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                 OR eval_start > max(eval_end) OVER (
+                    PARTITION BY eval_doc
+                    ORDER BY eval_start, eval_end, train_doc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_isl
+    FROM spanrows
+),
+isl AS (
+    SELECT *, sum(new_isl) OVER (
+               PARTITION BY eval_doc
+               ORDER BY eval_start, eval_end, train_doc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM flagged_isl
+),
+per_isl AS (
+    SELECT eval_doc, isl,
+           max(eval_end) - min(eval_start) + 1 AS ext,
+           count(*) AS n,
+           list(DISTINCT train_doc) AS tset
+    FROM isl GROUP BY eval_doc, isl
+),
+per_doc AS (
+    SELECT eval_doc,
+           sum(ext) AS overlap_chars,
+           sum(n) AS n_spans,
+           len(list_distinct(flatten(list(tset)))) AS n_train_docs
+    FROM per_isl GROUP BY eval_doc
+),
+eval_docs AS (
+    SELECT doc_id, n_chars,
+           CASE {" ".join(cases)} ELSE '__rest' END AS split
+    FROM (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % {SPLIT_GRID} AS b
+        FROM documents WHERE source = '{EVAL_SOURCE}'
+    )
+)
+SELECT e.doc_id AS eval_doc, e.split,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       CAST(coalesce(p.overlap_chars, 0) AS BIGINT) AS overlap_chars,
+       CAST(e.n_chars AS BIGINT) AS n_chars,
+       round(coalesce(p.overlap_chars, 0) / CAST(e.n_chars AS DOUBLE), 6)
+         AS contamination_rate,
+       CAST(CASE WHEN coalesce(p.overlap_chars, 0) * {DECON_RATE_DEN}
+                      >= e.n_chars * {DECON_RATE_NUM}
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM eval_docs e LEFT JOIN per_doc p ON e.doc_id = p.eval_doc
+ORDER BY e.doc_id
+"""
+
+
+SQL_DECONTAMINATION_REPORT = _sql_decontamination_report()
+
+QUERIES_CORPUS["decontamination_report"] = q_decontamination_report
+ORACLES_CORPUS["decontamination_report"] = SQL_DECONTAMINATION_REPORT
+
+
+UNIMAX_EPOCHS = 1
+UNIMAX_FRAC = (19, 20)
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfill over per-source character budgets
+    (``operators/corpus.unimax_allocation``): allocate 19/20 of the
+    corpus's total characters uniformly across sources with a
+    1-epoch per-source cap — small sources cap out at their full
+    data, the freed budget redistributes over the rest, and
+    ``Σ alloc`` equals the budget EXACTLY (integer waterfill; the
+    division remainder goes to the first uncapped sources in sort
+    order).  The 19/20 fraction sits inside this corpus's ±20%
+    source-size spread deliberately, so BOTH branches (capped and
+    level-allocated) are populated at every committed scale — a
+    budget under the smallest cap would leave ``is_capped``
+    constant-zero and the oracle value-blind to the prefix logic."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.sum("n_chars").alias("n_chars"))
+    return corpus.unimax_allocation(
+        src, max_epochs=UNIMAX_EPOCHS, budget_frac=UNIMAX_FRAC
+    ).orderBy("source")
+
+
+def _sql_unimax_allocation() -> str:
+    e = UNIMAX_EPOCHS
+    p, q = UNIMAX_FRAC
+    return f"""
+WITH src AS (
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_avail
+    FROM documents GROUP BY source
+),
+tot AS (SELECT count(*) AS m, sum(n_avail) AS ntot FROM src),
+ranked AS (
+    SELECT source, n_avail, n_avail * {e} AS cap,
+           CAST(row_number() OVER (ORDER BY n_avail * {e}, source) AS BIGINT) AS idx,
+           coalesce(sum(n_avail * {e}) OVER (
+               ORDER BY n_avail * {e}, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+           m, (ntot * {p}) // {q} AS B
+    FROM src CROSS JOIN tot
+),
+flagged AS (
+    SELECT *, B - pfx AS rem, m - idx + 1 AS denom,
+           CASE WHEN cap * (m - idx + 1) >= B - pfx THEN 1 ELSE 0 END AS ok
+    FROM ranked
+),
+solved AS (
+    SELECT *,
+           max(CASE WHEN ok = 1 THEN rem END) OVER () AS rem_k,
+           max(CASE WHEN ok = 1 THEN denom END) OVER () AS denom_k,
+           max(idx) OVER () AS mx
+    FROM flagged
+),
+alloc AS (
+    SELECT source, n_avail, cap, denom_k,
+           CASE WHEN denom_k IS NULL OR idx < mx - denom_k + 1 THEN 1 ELSE 0 END AS is_capped,
+           CASE WHEN denom_k IS NULL THEN cap
+                WHEN idx < mx - denom_k + 1 THEN cap
+                ELSE rem_k // denom_k
+                     + CASE WHEN idx - (mx - denom_k + 1) < rem_k % denom_k
+                            THEN 1 ELSE 0 END
+           END AS alloc
+    FROM solved
+)
+SELECT source, n_avail, CAST(cap AS BIGINT) AS cap,
+       CAST(alloc AS BIGINT) AS alloc,
+       CASE WHEN n_avail > 0 THEN round(alloc / CAST(n_avail AS DOUBLE), 6)
+            ELSE 0.0 END AS epochs,
+       CAST(is_capped AS BIGINT) AS is_capped
+FROM alloc
+ORDER BY source
+"""
+
+
+SQL_UNIMAX_ALLOCATION = _sql_unimax_allocation()
+
+QUERIES_CORPUS["unimax_allocation"] = q_unimax_allocation
+ORACLES_CORPUS["unimax_allocation"] = SQL_UNIMAX_ALLOCATION

@@ -1867,3 +1867,136 @@ QUERIES_LLM["self_repeat_spans"] = q_self_repeat_spans
 ORACLES_LLM["self_repeat_spans"] = SQL_SELF_REPEAT_SPANS
 QUERIES_LLM["semantic_dedup"] = q_semantic_dedup
 ORACLES_LLM["semantic_dedup"] = SQL_SEMANTIC_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Round-16 registration (formerly queries_staged.py): Gopher repetition
+# filters (Rae et al. 2021 Table A1; the published repetition-quality
+# rung beside lm_score and the dedup ladder).  Gates in
+# tests/test_gopher.py.
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition signals over ``documents``
+    (``operators/text.gopher_repetition``): most-frequent-2/3-gram
+    char coverage, duplicated-3-gram word-interval coverage, and the
+    integer-exact composite flag at the paper's thresholds — joined to
+    ``source`` so per-source repetition pressure reads directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text.gopher_repetition(docs)
+    return (
+        rep.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            "n_chars",
+            "top2_cov",
+            "top3_cov",
+            "dup3_cov_words",
+            "top2_char_frac",
+            "top3_char_frac",
+            "dup3_word_frac",
+            "flagged_repetition",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_gopher_repetition() -> str:
+    from pyspark_pipelining_spark.operators.text import (
+        _GOPHER_KEY,
+        GOPHER_DUP3,
+        GOPHER_TOP2,
+        GOPHER_TOP3,
+    )
+
+    p2, q2 = GOPHER_TOP2
+    p3, q3 = GOPHER_TOP3
+    pd_, qd = GOPHER_DUP3
+    g3_parts = " || ' ' || ".join(f"w[CAST(i AS INT) + {j}]" for j in range(3))
+    return f"""
+WITH gw AS (
+    SELECT doc_id, source, length(text) AS n_chars,
+           string_split_regex(lower(text), ' +') AS w
+    FROM documents
+),
+base AS (SELECT doc_id, source, n_chars, len(w) AS n_words FROM gw),
+g2 AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+          FROM gw WHERE len(w) >= 2)
+),
+g3 AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, {g3_parts} AS g
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+          FROM gw WHERE len(w) >= 3)
+),
+t2 AS (
+    SELECT doc_id, CAST(max(k) % {_GOPHER_KEY} AS BIGINT) AS top2_cov
+    FROM (SELECT doc_id,
+                 count(*) * {_GOPHER_KEY} + count(*) * length(g) AS k
+          FROM g2 GROUP BY doc_id, g)
+    GROUP BY doc_id
+),
+t3 AS (
+    SELECT doc_id, CAST(max(k) % {_GOPHER_KEY} AS BIGINT) AS top3_cov
+    FROM (SELECT doc_id,
+                 count(*) * {_GOPHER_KEY} + count(*) * length(g) AS k
+          FROM g3 GROUP BY doc_id, g)
+    GROUP BY doc_id
+),
+dup AS (
+    SELECT doc_id, pos AS s, pos + 2 AS e
+    FROM (SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY doc_id, g) AS c
+          FROM g3)
+    WHERE c > 1
+),
+isl AS (
+    SELECT doc_id, s, e,
+           sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pm
+        FROM dup
+    )
+),
+d3 AS (
+    SELECT doc_id, CAST(sum(ext) AS BIGINT) AS dup3_cov_words
+    FROM (SELECT doc_id, isl, max(e) - min(s) + 1 AS ext
+          FROM isl GROUP BY doc_id, isl)
+    GROUP BY doc_id
+)
+SELECT b.doc_id, b.source,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(b.n_chars AS BIGINT) AS n_chars,
+       CAST(coalesce(t2.top2_cov, 0) AS BIGINT) AS top2_cov,
+       CAST(coalesce(t3.top3_cov, 0) AS BIGINT) AS top3_cov,
+       CAST(coalesce(d3.dup3_cov_words, 0) AS BIGINT) AS dup3_cov_words,
+       round(coalesce(t2.top2_cov, 0) / CAST(b.n_chars AS DOUBLE), 6) AS top2_char_frac,
+       round(coalesce(t3.top3_cov, 0) / CAST(b.n_chars AS DOUBLE), 6) AS top3_char_frac,
+       round(coalesce(d3.dup3_cov_words, 0) / CAST(b.n_words AS DOUBLE), 6) AS dup3_word_frac,
+       CAST(CASE WHEN coalesce(t2.top2_cov, 0) * {q2} > b.n_chars * {p2}
+                   OR coalesce(t3.top3_cov, 0) * {q3} > b.n_chars * {p3}
+                   OR coalesce(d3.dup3_cov_words, 0) * {qd} > b.n_words * {pd_}
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged_repetition
+FROM base b
+LEFT JOIN t2 ON b.doc_id = t2.doc_id
+LEFT JOIN t3 ON b.doc_id = t3.doc_id
+LEFT JOIN d3 ON b.doc_id = d3.doc_id
+ORDER BY b.doc_id
+"""
+
+
+SQL_GOPHER_REPETITION = _sql_gopher_repetition()
+
+QUERIES_LLM["gopher_repetition"] = q_gopher_repetition
+ORACLES_LLM["gopher_repetition"] = SQL_GOPHER_REPETITION

@@ -85,7 +85,7 @@ def test_plan_has_no_cartesian_or_row_udf(spark):
 def test_report_oracle_compare_smoke_and_sf001(spark):
     """Bit-exact against the DuckDB oracle at both local gate scales,
     and integer dtypes on every BIGINT column."""
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_corpus import (
         SQL_DECONTAMINATION_REPORT,
         q_decontamination_report,
     )
@@ -111,7 +111,7 @@ def test_report_covers_every_eval_doc_with_exact_union(spark):
     overlap/n_chars, and the flag is the exact 1/20 integer
     comparison."""
     from pyspark_pipelining_spark.queries_corpus import q_decontamination_spans
-    from pyspark_pipelining_spark.queries_staged import (
+    from pyspark_pipelining_spark.queries_corpus import (
         DECON_RATE_DEN,
         DECON_RATE_NUM,
         q_decontamination_report,
@@ -157,7 +157,7 @@ def test_report_covers_every_eval_doc_with_exact_union(spark):
 def test_report_plan_invariants(spark):
     """No cartesian / row-UDF; the split assignment stays a map-side
     expression (no extra join for it)."""
-    from pyspark_pipelining_spark.queries_staged import q_decontamination_report
+    from pyspark_pipelining_spark.queries_corpus import q_decontamination_report
 
     plan = (
         q_decontamination_report(spark, SF_SMOKE)

@@ -23,7 +23,7 @@ from pyspark_pipelining_spark.operators.text import (
     GOPHER_TOP3,
     gopher_repetition,
 )
-from pyspark_pipelining_spark.queries_staged import (
+from pyspark_pipelining_spark.queries_llm import (
     SQL_GOPHER_REPETITION,
     q_gopher_repetition,
 )

@@ -14,7 +14,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyspark_pipelining_spark.operators.corpus import unimax_allocation
-from pyspark_pipelining_spark.queries_staged import (
+from pyspark_pipelining_spark.queries_corpus import (
     SQL_UNIMAX_ALLOCATION,
     q_unimax_allocation,
 )
