@@ -58,39 +58,55 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation of
     customers from the order fact.
 
-    Each customer gets three quartile codes via ``ntile(4)`` with fully
-    deterministic ordering (metric, then customer key), concatenated to
-    a segment label like ``'1-4-2'``; the output is the segment-level
-    rollup.  Money is exact integer cents; recency is whole days from
-    the corpus max order date (a 1-row broadcast, never a collect).
+    Each customer gets three quartile codes (the ``ntile(4)``
+    semantics) with fully deterministic ordering (metric, then
+    customer key), concatenated to a segment label like ``'1-4-2'``;
+    the output is the segment-level rollup.  Money is exact integer
+    cents; recency is whole days from the corpus max order date (a
+    1-row broadcast, never a collect).
 
-    Scale note: the three ntile windows are global orderings over the
-    CUSTOMER aggregate (|customers| rows, not the fact) — the classic
-    quantile-cut shape.  At 10⁹+ customers the same cut semantics come
-    from a two-phase exact percentile over the integer metrics
-    (partial histograms → merged cut points → broadcast cut join);
-    the segment algebra downstream is unchanged.
+    Scale shape (r15 verdict item 2): each quartile code comes from
+    the two-phase exact distributed rank (``operators/rankcut``) —
+    integer value histogram, bucket-prefix offsets, broadcast cut
+    join — never a
+    single-task global ``ntile`` window; the three rank frames join
+    back on the customer key and the segment algebra downstream is
+    unchanged.  The customer aggregate is ``localCheckpoint``-ed once
+    (three downstream branches).
 
     Output: ``segment, n_customers, monetary_cents``.
     """
+    from pyspark_pipelining_spark.operators import rankcut
+
     per = orders.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("monetary"),
     )
     d0 = orders.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
-    per = per.crossJoin(F.broadcast(d0)).withColumn(
-        "recency", F.datediff("d0", "last_order")
+    per = (
+        per.crossJoin(F.broadcast(d0))
+        .withColumn("recency", F.datediff("d0", "last_order"))
+        .localCheckpoint(eager=True)
     )
-    w_r = Window.orderBy(F.asc("recency"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
-    seg = per.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4).over(w_r).alias("r"),
-        F.ntile(4).over(w_f).alias("f"),
-        F.ntile(4).over(w_m).alias("m"),
+
+    def tile(metric, asc, name):
+        ranked = rankcut.histogram_ranks(
+            per.select("o_custkey", metric), metric, "o_custkey", ascending=asc
+        )
+        return ranked.select(
+            "o_custkey",
+            rankcut.ntile_expr(F.col("rn"), F.col("n"), 4).alias(name),
+        )
+
+    r_t = tile("recency", True, "r")
+    f_t = tile("freq", False, "f")
+    m_t = tile("monetary", False, "m")
+    seg = (
+        per.select("o_custkey", "monetary")
+        .join(r_t, "o_custkey")
+        .join(f_t, "o_custkey")
+        .join(m_t, "o_custkey")
     )
     return (
         seg.select(

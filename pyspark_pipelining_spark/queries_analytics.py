@@ -441,16 +441,33 @@ ORDER BY s_suppkey
 
 
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer lifetime-value deciles via ntile(10) with a fully
-    deterministic ordering (exact cents, key tiebreak) — the decile
-    table every growth dashboard starts from."""
+    """Customer lifetime-value deciles with a fully deterministic
+    ordering (exact cents, key tiebreak) — the decile table every
+    growth dashboard starts from.
+
+    Scale shape (r15 verdict item 2): the decile comes from the
+    two-phase exact distributed rank (``operators/rankcut``) — integer
+    value histogram, bucket-prefix offsets, broadcast cut join — never
+    a single-task global ``ntile`` window; ``ntile_expr`` reconstructs
+    the identical bucket arithmetic from the exact row number, so the
+    unchanged ntile oracle stays bit-green."""
+    from pyspark_pipelining_spark.operators import rankcut
+
     o = load_table(spark, sf_dir, "orders")
     cents = o.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("v")
     )
-    w = Window.orderBy(F.desc("v"), F.asc("o_custkey"))
+    # the per-customer aggregate feeds three branches (bounds, counts,
+    # rank) — checkpoint once so the orders scan runs once (CLAUDE.md
+    # multi-branch rule; measured 2x at sf0.1)
+    cents = cents.localCheckpoint(eager=True)
+    ranked = rankcut.histogram_ranks(cents, "v", "o_custkey", ascending=False)
     return (
-        cents.select("o_custkey", "v", F.ntile(10).over(w).cast("long").alias("decile"))
+        ranked.select(
+            "o_custkey",
+            "v",
+            rankcut.ntile_expr(F.col("rn"), F.col("n"), 10).alias("decile"),
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

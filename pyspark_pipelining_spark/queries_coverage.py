@@ -476,18 +476,30 @@ def q_acctbal_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, over a tiebroken (balance, key) total order so both
     functions are exact rationals — identical IEEE in any engine.
 
-    Scale note: rank windows need a per-group total order, so each
-    nation sorts in one task chain; with billions of rows per group the
-    scale path is histogram cutpoints (`corpus.histogram_quantiles`,
-    used by `customer_quartiles`) rather than exact per-row ranks."""
+    Scale shape (r15 verdict item 2): per-nation ranks come from the
+    two-phase exact distributed rank (``operators/rankcut``) with
+    ``c_nationkey`` as the group key — integer balance histogram,
+    per-(nation, bucket) prefix offsets, broadcast cut join — so a
+    nation's rows spread over MANY tasks instead of the
+    |customers|/25-per-task window chain; the tiebroken order makes
+    ``percent_rank = (rn-1)/(n-1)`` and ``cume_dist = rn/n`` exact
+    rationals, bit-equal to the unchanged window-function oracle."""
+    from pyspark_pipelining_spark.operators import rankcut
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
+    ranked = rankcut.histogram_ranks(
+        c.select("c_custkey", "c_nationkey", "c_acctbal"),
+        "c_acctbal",
+        "c_custkey",
+        ascending=True,
+        group_cols=["c_nationkey"],
+    )
+    return ranked.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.percent_rank().over(w).alias("balance_pr"),
-        F.cume_dist().over(w).alias("balance_cd"),
+        rankcut.percent_rank_expr(F.col("rn"), F.col("n")).alias("balance_pr"),
+        (F.col("rn").cast("double") / F.col("n").cast("double")).alias("balance_cd"),
     ).orderBy("c_custkey")
 
 
