@@ -878,9 +878,14 @@ def ccnet_ppl_buckets(
        engines compute the identical integer (higher = better; CCNet's
        perplexity ordering with the sign flipped);
     2. integer histogram: ``bin = (score_q6 + offset) div bin_w``
-       (offset keeps the operand positive, so Spark's truncating
-       ``div`` ≡ DuckDB's flooring ``//``) — mirrors CCNet's practice
-       of binning perplexities to integers before taking percentiles;
+       (both Spark's ``div`` and DuckDB's ``//`` truncate toward zero
+       on BIGINT, so the engines agree for any operand sign — but a
+       sub-``-offset`` score would silently fold into bin 0's
+       neighborhood IDENTICALLY on both sides, the oracle-blind
+       failure class ``_gopher_pack`` guards against, so the
+       positivity envelope is enforced at runtime with a JVM-side
+       ``raise_error`` branch) — mirrors CCNet's practice of binning
+       perplexities to integers before taking percentiles;
     3. per-source cutoff bins: the smallest bins t1, t2 where the
        ascending cumulative count reaches 1/3 and 2/3 of the source's
        documents (``3·cum ≥ n`` / ``3·cum ≥ 2n`` — integer
@@ -913,7 +918,22 @@ def ccnet_ppl_buckets(
         .cast("long")
         .alias("score_q6"),
     )
-    binned = scored.withColumn(
+    # positivity envelope, enforced like _gopher_pack: a score below
+    # -offset would land in bin 0's neighborhood identically on both
+    # engines (oracle-blind), so fail the job loudly instead
+    guarded = F.when(
+        F.col("score_q6") + F.lit(int(offset)) >= 0, F.col("score_q6")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "ccnet_ppl_buckets: score_q6 %s below -offset "
+                f"{int(offset)}; bin arithmetic would fold sub-offset "
+                "scores together",
+                F.col("score_q6"),
+            )
+        ).cast("long")
+    )
+    binned = scored.withColumn("score_q6", guarded).withColumn(
         "bin", F.expr(f"(score_q6 + {int(offset)}) div {int(bin_w)}")
     )
     hist = binned.groupBy(source_col, "bin").agg(F.count(F.lit(1)).alias("c"))

@@ -833,10 +833,12 @@ def exact_substring_spans(
         # completeness is unproven for this mode, the combination is
         # rejected — self-repeat scans use full mode
         raise ValueError(f"scope={scope!r} is exact-mode only (winnow must be None)")
-    if xor_docs is not None and (scope != "cross" or (winnow is not None and winnow > 1)):
+    if xor_docs is not None and (scope != "cross" or winnow is not None):
         # the winnow candidate machinery assumes the symmetric
         # doc_a < doc_b pair space; the bipartite path has no need for
-        # it (the marked side already prunes harder than minimizers)
+        # it (the marked side already prunes harder than minimizers).
+        # winnow=1 is a no-op elsewhere but is rejected here too so the
+        # guard matches its message exactly (r15 ADVICE)
         raise ValueError("xor_docs requires scope='cross' and winnow=None")
     if spread:
         df = df.repartition(spread)

@@ -1234,11 +1234,13 @@ def ivf_topk_learned_q(
 
     Shape (all 1-row-lazy / broadcast, no unbounded window):
 
-    * corpus assignment is one map-side fold: the ≤ ``cells`` centroid
+    * corpus assignment is one map-side pass: the ≤ ``cells`` centroid
       rows collapse to a single array via ``collect_list`` (1-row lazy
       crossJoin, repo scalar convention — never ``.collect()``), and
-      per corpus row a left fold keeps the first minimum-distance cell
-      (array sorted by cell → ties break to the smallest cell id);
+      per corpus row ONE l2q fold per centroid builds a (d, cell)
+      struct array whose sorted head is the argmin (ties break to the
+      smallest cell id) — the probes shape, so no distance is ever
+      evaluated twice (r15 ADVICE);
     * probes: the same array sorted by (distance, cell), sliced to
       ``nprobe``, exploded — no per-query window;
     * candidate scoring: broadcast probe join on ``cell`` + exact
@@ -1263,28 +1265,30 @@ def ivf_topk_learned_q(
             lambda acc, x: acc + x,
         )
 
+    # one l2q fold per centroid: pre-transform to (d, cell) structs in
+    # a dedicated projection (the probes shape; the former fold-argmin
+    # re-evaluated each centroid's l2q twice per step — the
+    # CodegenFallback recomputation class the r15 ivf_assign rewrite
+    # removed), then the min element of the sorted struct array is the
+    # (distance, smallest-cell) argmin
     corpus = (
         spread(emb_df)
         .crossJoin(F.broadcast(cents_arr))
         .withColumn("_xq", quant(F.col(vec_col)))
         .withColumn(
-            "cell",
-            F.aggregate(
-                "cents",
-                F.struct(
-                    F.lit(None).cast("long").alias("d"),
-                    F.lit(-1).cast("int").alias("cell"),
-                ),
-                lambda acc, c: F.when(
-                    acc["d"].isNull() | (l2q(F.col("_xq"), c["centroid_q"]) < acc["d"]),
-                    F.struct(
+            "_dists",
+            F.array_sort(
+                F.transform(
+                    "cents",
+                    lambda c: F.struct(
                         l2q(F.col("_xq"), c["centroid_q"]).alias("d"),
                         c["cell"].cast("int").alias("cell"),
                     ),
-                ).otherwise(acc),
-            )["cell"],
+                )
+            ),
         )
-        .drop("_xq", "cents")
+        .withColumn("cell", F.col("_dists")[0]["cell"])
+        .drop("_xq", "cents", "_dists")
     )
     probes = (
         query_df.crossJoin(F.broadcast(cents_arr))

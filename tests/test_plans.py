@@ -1296,15 +1296,21 @@ def test_ivf_plane_dot_folds_evaluate_once_per_row(spark):
     corpus scores + 8 probe scores + cosine dot/norms and ranking ≈
     36; anything approaching the old 156 is the recomputation class."""
     from pyspark_pipelining_spark.queries import QUERIES
+    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
     from tests.conftest import SF_SMOKE
 
+    registry = {**QUERIES, **QUERIES_STAGED}
     for name, budget in (
         ("sim_ivf_topk", 50),
         ("sim_ivfpq_topk", 60),
         ("sim_ivfpq_rerank", 60),
+        # learned-centroid IVF: one l2q fold per centroid in a
+        # dedicated (d, cell)-struct projection (r15 ADVICE closed the
+        # double-eval fold); 6 folds today, headroom for norms
+        ("sim_ivf_learned_topk", 12),
     ):
         plan = (
-            QUERIES[name](spark, SF_SMOKE)
+            registry[name](spark, SF_SMOKE)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()

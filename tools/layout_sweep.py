@@ -37,11 +37,16 @@ HOSTILE = {
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
-    sf_dir = SF_DIR_DEFAULT
-    if "--sf" in argv:
-        sf_dir = argv[argv.index("--sf") + 1]
-        args = [a for a in args if a != sf_dir]
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="hostile-layout invariance sweep (positional query "
+        "names; default = the whole registry)"
+    )
+    parser.add_argument("queries", nargs="*")
+    parser.add_argument("--sf", default=SF_DIR_DEFAULT, dest="sf_dir")
+    ns = parser.parse_args(argv)
+    args, sf_dir = ns.queries, ns.sf_dir
 
     from pyspark_pipelining_spark.queries import QUERIES
     from pyspark_pipelining_spark.queries_staged import (
