@@ -1170,3 +1170,157 @@ def semantic_dedup(
             F.coalesce("dropped", F.lit(0)).cast("long").alias("dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity near-dup pressure (round-16; Penedo et al. 2023
+# RefinedWeb / Soldaini et al. 2024 Dolma run fuzzy dedup below the
+# document grain — repeated boilerplate paragraphs inside otherwise
+# distinct documents are invisible to doc-level MinHash)
+# ---------------------------------------------------------------------------
+
+#: composite paragraph id = doc_id * PARA_KEY + paragraph index; the
+#: envelope (docs under PARA_KEY paragraphs) is enforced at runtime
+PARA_KEY = 1_000_000
+
+
+def paragraph_chunks(
+    df: DataFrame,
+    words_per_para: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-width word windows as pseudo-paragraphs: this corpus is
+    single-line (no newline delimiters), so the paragraph grain is
+    ``words_per_para``-word chunks — the same unit choice a
+    tokenizer-sharded pipeline makes, and the window arithmetic is
+    identical if real newline paragraphs exist (swap the index source).
+
+    Output: ``pid`` (= id·PARA_KEY + chunk index, raise_error-guarded
+    against index overflow — the _gopher_pack envelope discipline),
+    ``doc_id``, ``para_idx``, ``text`` (the chunk's words re-joined
+    with single spaces, so re-tokenizing the chunk reproduces the word
+    slice exactly).  All map-side: split, sequence-explode, slice."""
+    from pyspark_pipelining_spark.operators.text import with_words
+
+    w = with_words(df, text_col).select(
+        F.col(id_col).alias("doc_id"), "words"
+    )
+    n_paras = F.ceil(F.size("words") / words_per_para).cast("long")
+    guarded_idx = F.when(F.col("pi") < PARA_KEY, F.col("pi")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "paragraph_chunks: paragraph index %s >= PARA_KEY "
+                f"{PARA_KEY}; composite pid would collide",
+                F.col("pi"),
+            )
+        ).cast("long")
+    )
+    return (
+        w.withColumn("np", n_paras)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("pi"),
+            "words",
+        )
+        .select(
+            (F.col("doc_id") * PARA_KEY + guarded_idx).alias("pid"),
+            "doc_id",
+            F.col("pi").alias("para_idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "words", F.col("pi") * words_per_para + 1, words_per_para
+                ),
+            ).alias("text"),
+        )
+    )
+
+
+def paragraph_dup_stats(
+    df: DataFrame,
+    words_per_para: int = 12,
+    min_est_num: int = 12,
+    num_hashes: int = 16,
+    bands: int = 8,
+    flag_num: int = 3,
+    flag_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document paragraph-level near-duplication pressure — the
+    RefinedWeb/Dolma recipe one grain below :func:`minhash_lsh_pairs`:
+    chunk every document into pseudo-paragraphs, MinHash-LSH the
+    CHUNKS (reusing the registered signature/banding machinery with
+    the composite pid as the unit id), keep cross-document candidate
+    pairs whose signature agreement reaches ``min_est_num``/
+    ``num_hashes``, and roll duplicated-paragraph counts back to the
+    document.
+
+    Output: ``doc_id, n_paras, n_dup_paras, dup_frac, flagged`` —
+    every input document appears (clean ones with zeros);
+    ``flagged`` is the exact integer comparison
+    ``n_dup_paras·flag_den ≥ flag_num·n_paras``.
+
+    Scale shape: chunking is map-side; the LSH self-join keys on
+    (band, band-signature) buckets exactly like the document-grain
+    query — paragraphs multiply the unit count by ~words/W but SHRINK
+    each unit's shingle set, so bucket sizes stay bounded; the rollup
+    is one pid→doc projection plus a doc-keyed aggregate, and the
+    final join back to the full document list is by the id key."""
+    chunks = paragraph_chunks(df, words_per_para, text_col, id_col)
+    pairs = minhash_lsh_pairs(
+        chunks.select(F.col("pid").alias("doc_id"), "text"),
+        num_hashes=num_hashes,
+        bands=bands,
+    ).filter(
+        F.col("est_jaccard") * num_hashes >= F.lit(min_est_num)
+    )
+    cross = pairs.filter(
+        (F.col("doc_1") - F.pmod("doc_1", F.lit(PARA_KEY)))
+        != (F.col("doc_2") - F.pmod("doc_2", F.lit(PARA_KEY)))
+    )
+    dup_paras = (
+        cross.select(F.col("doc_1").alias("pid"))
+        .unionByName(cross.select(F.col("doc_2").alias("pid")))
+        .distinct()
+        .select(
+            ((F.col("pid") - F.pmod("pid", F.lit(PARA_KEY))) / PARA_KEY)
+            .cast("long")
+            .alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_paras"))
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(dup_paras, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_dup_paras", F.lit(0)).cast("long").alias("n_dup_paras"),
+            F.when(
+                F.coalesce("n_paras", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_dup_paras", F.lit(0))
+                    / F.col("n_paras"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+            F.when(
+                (F.coalesce("n_paras", F.lit(0)) > 0)
+                & (
+                    F.coalesce("n_dup_paras", F.lit(0)) * flag_den
+                    >= F.lit(flag_num) * F.coalesce("n_paras", F.lit(0))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("flagged"),
+        )
+    )

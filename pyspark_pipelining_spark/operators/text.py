@@ -921,3 +921,100 @@ def quality_battery(df: DataFrame, text_col: str = "text") -> DataFrame:
             & (F.col("flag_repetition") == 0)
         ).cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (round-16): DCLM / fastText-style linear
+# classifier over hashed word-bigram bags (Li et al. 2024 "DataComp-LM"
+# filters with a fastText classifier; Joulin et al. 2016 fastText is a
+# LINEAR model over hashed n-grams — which is exactly why the FROZEN
+# model replays bit-identically in SQL while the training loop, like
+# the IVF k-means trainer, runs once offline:
+# tools/gen_fasttext_fixture.py)
+# ---------------------------------------------------------------------------
+
+#: hash-bucket count of the committed classifier fixture — must match
+#: tools/gen_fasttext_fixture.py BUCKETS (asserted in tests)
+FASTTEXT_BUCKETS = 4096
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    buckets: int = FASTTEXT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with a frozen linear hashed-bigram
+    classifier: ``score = (Σ_grams w[h(gram)])/n + bias`` with int64
+    ``w_q6`` weights, evaluated in exact integer arithmetic — ``kept``
+    is ``sum_q6 + bias_q6·n_grams > 0`` (the sign of the mean score),
+    so both engines agree bit-for-bit without ever forming the mean in
+    floating point; the reported ``score_q6`` is the one
+    correctly-rounded division the repo's lm_score convention uses.
+
+    ``weights`` is the committed fixture frame ``(bucket, w_q6)`` with
+    the bias at ``bucket = -1``.
+
+    Scale shape: the gram explode and md5 bucket hash are map-side; the
+    weight table is ``buckets``+1 rows, broadcast; the only
+    corpus-sized shuffle is the per-doc sum — a training-data pipeline
+    scores 100 TB with one scan, one broadcast join, one aggregate.
+
+    Output: ``doc_id, n_grams, sum_q6, score_q6, kept`` (docs too
+    short for a bigram appear with zeros and ``kept = 0``)."""
+    from pyspark_pipelining_spark.operators.dedup import portable_hash_id, word_ngrams
+
+    bias = weights.filter(F.col("bucket") == -1).select(
+        F.col("w_q6").alias("bias_q6")
+    )
+    w_tab = weights.filter(F.col("bucket") >= 0)
+    grams = (
+        word_ngrams(df.select(F.col(id_col).alias("doc_id"), text_col), 2)
+        .select("doc_id", F.explode("ngrams").alias("gram"))
+        .select("doc_id", portable_hash_id(F.col("gram"), buckets).alias("bucket"))
+    )
+    per_doc = (
+        grams.join(F.broadcast(w_tab), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w_q6").alias("sum_q6"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("sum_q6", F.lit(0)).cast("long").alias("sum_q6"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(
+                    (
+                        F.coalesce("sum_q6", F.lit(0))
+                        + F.col("bias_q6") * F.coalesce("n_grams", F.lit(0))
+                    )
+                    / F.coalesce("n_grams", F.lit(0))
+                )
+                .cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("score_q6"),
+            F.when(
+                (F.coalesce("n_grams", F.lit(0)) > 0)
+                & (
+                    F.coalesce("sum_q6", F.lit(0))
+                    + F.col("bias_q6") * F.coalesce("n_grams", F.lit(0))
+                    > 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("kept"),
+        )
+    )

@@ -352,6 +352,247 @@ ORACLES_STAGED["sim_ivf_learned_topk"] = SQL_SIM_IVF_LEARNED_TOPK
 
 
 # ---------------------------------------------------------------------------
+# Round-17 staging QUEUE (1) — paragraph-granularity MinHash dedup
+# (Penedo et al. 2023 RefinedWeb / Soldaini et al. 2024 Dolma run
+# fuzzy dedup BELOW the document grain; repeated boilerplate
+# paragraphs inside otherwise-distinct documents are invisible to the
+# registered doc-level dedup_minhash).  The corpus is single-line, so
+# the paragraph grain is fixed 12-word chunks (the unit swap is an
+# index-source change if real newline paragraphs exist —
+# operators/dedup.paragraph_chunks).  Oracle-paired; gates in
+# tests/test_paragraph_dedup.py.
+# ---------------------------------------------------------------------------
+
+PARA_W = 12
+#: minimum signature agreement (out of PARA_HASHES) for a candidate
+#: chunk pair to count as a near-dup — 12/16 = est_jaccard 0.75
+PARA_MIN_AGREE = 12
+PARA_HASHES, PARA_BANDS = 16, 8
+#: flag a doc when >= 3/10 of its paragraphs are near-duplicated
+PARA_FLAG_NUM, PARA_FLAG_DEN = 3, 10
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document paragraph-level near-duplication pressure over
+    ``documents`` (``operators/dedup.paragraph_dup_stats``): chunk
+    every doc into 12-word pseudo-paragraphs, MinHash-LSH the CHUNKS
+    (the registered signature/banding machinery keyed on the composite
+    ``doc_id·PARA_KEY + idx`` pid), keep cross-document pairs at
+    signature agreement ≥ 12/16, and roll duplicated-paragraph counts
+    back to every document (clean docs appear with zeros) — joined to
+    ``source`` so per-source boilerplate pressure reads directly."""
+    from pyspark_pipelining_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = dedup_ops.paragraph_dup_stats(
+        docs,
+        words_per_para=PARA_W,
+        min_est_num=PARA_MIN_AGREE,
+        num_hashes=PARA_HASHES,
+        bands=PARA_BANDS,
+        flag_num=PARA_FLAG_NUM,
+        flag_den=PARA_FLAG_DEN,
+    )
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_paras",
+            "n_dup_paras",
+            "dup_frac",
+            "flagged",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_paragraph_dedup() -> str:
+    from pyspark_pipelining_spark.operators.dedup import (
+        MERSENNE,
+        PARA_KEY,
+        minhash_coeffs,
+    )
+
+    w_, key = PARA_W, PARA_KEY
+    nh, bands = PARA_HASHES, PARA_BANDS
+    rows = nh // bands
+    coeffs = minhash_coeffs(nh)
+    mins = ",\n           ".join(
+        f"min((sid * {a} + {b}) % {MERSENNE}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(f"a.h{j} = b.h{j}" for j in range(bd * rows, (bd + 1) * rows))
+        + ")"
+        for bd in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(nh)
+    )
+    return f"""
+WITH wrds AS (
+    SELECT doc_id, source, string_split_regex(lower(text), ' +') AS w
+    FROM documents
+),
+paras AS (
+    SELECT doc_id, i AS para_idx, doc_id * {key} + i AS pid,
+           list_slice(w, CAST(i * {w_} + 1 AS BIGINT),
+                      least(len(w), CAST(i * {w_} + {w_} AS BIGINT))) AS pw
+    FROM (SELECT doc_id, w,
+                 unnest(range(0, (len(w) + {w_} - 1) // {w_})) AS i
+          FROM wrds)
+),
+pgrams AS (
+    SELECT pid,
+           list_transform(range(1, greatest(len(pw) - 1, 0) + 1),
+                          i -> pw[CAST(i AS INT)] || ' ' || pw[CAST(i AS INT) + 1])
+             AS ngrams
+    FROM paras
+),
+shing AS (SELECT DISTINCT pid, unnest(ngrams) AS shingle FROM pgrams),
+ds AS (
+    SELECT pid,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE} AS sid
+    FROM shing
+),
+sig AS (
+    SELECT pid,
+           {mins}
+    FROM ds GROUP BY pid
+),
+dup_pairs AS (
+    SELECT a.pid AS p1, b.pid AS p2
+    FROM sig a JOIN sig b
+      ON a.pid < b.pid AND a.pid // {key} != b.pid // {key}
+     AND ({band_match})
+    WHERE ({agree}) >= {PARA_MIN_AGREE}
+),
+dups AS (
+    SELECT pid // {key} AS doc_id, count(*) AS n_dup_paras
+    FROM (SELECT p1 AS pid FROM dup_pairs
+          UNION SELECT p2 FROM dup_pairs)
+    GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(u.n_dup_paras, 0) AS BIGINT) AS n_dup_paras,
+       CASE WHEN coalesce(t.n_paras, 0) > 0
+            THEN round(coalesce(u.n_dup_paras, 0) / CAST(t.n_paras AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_frac,
+       CAST(CASE WHEN coalesce(t.n_paras, 0) > 0
+                  AND coalesce(u.n_dup_paras, 0) * {PARA_FLAG_DEN}
+                      >= {PARA_FLAG_NUM} * coalesce(t.n_paras, 0)
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN dups u ON d.doc_id = u.doc_id
+ORDER BY d.doc_id
+"""
+
+
+SQL_PARAGRAPH_DEDUP = _sql_paragraph_dedup()
+
+
+# ---------------------------------------------------------------------------
+# Round-17 staging QUEUE (2) — DCLM / fastText-style model-based
+# quality filter (Li et al. 2024 "DataComp-LM" filters with a fastText
+# classifier; Joulin et al. 2016 fastText is LINEAR over hashed
+# n-gram bags, so the FROZEN model — trained once offline by
+# tools/gen_fasttext_fixture.py, int64-quantized, committed as
+# fixtures/fasttext/weights.parquet — replays bit-identically in SQL,
+# the sim_ivf_learned_topk trainer/scorer split).  Oracle-paired;
+# gates in tests/test_fasttext.py.
+# ---------------------------------------------------------------------------
+
+
+def _fasttext_fixture_path() -> str:
+    import os
+
+    from pyspark_pipelining_spark.sources.registry import fixtures_dir
+
+    return os.path.join(fixtures_dir("fasttext"), "weights.parquet")
+
+
+def q_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scores over ``documents``
+    (``operators/text.linear_quality_score``): every doc scored by the
+    committed frozen linear hashed-bigram classifier — exact int64
+    weight sums, ``kept`` = sign of the mean score as an integer
+    comparison, ``score_q6`` the one correctly-rounded division —
+    joined to ``source``/``lang`` so keep-rate by slice reads
+    directly."""
+    from pyspark_pipelining_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.read.parquet(_fasttext_fixture_path())
+    scored = text_ops.linear_quality_score(docs, weights)
+    return (
+        scored.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_grams",
+            "sum_q6",
+            "score_q6",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_fasttext_quality() -> str:
+    from pyspark_pipelining_spark.operators.text import FASTTEXT_BUCKETS
+    from pyspark_pipelining_spark.sources.registry import sql_str_literal
+
+    b = FASTTEXT_BUCKETS
+    path = sql_str_literal(_fasttext_fixture_path())
+    return f"""
+WITH wt AS (SELECT bucket, w_q6 FROM '{path}'),
+bias AS (SELECT w_q6 AS bias_q6 FROM wt WHERE bucket = -1),
+wrds AS (
+    SELECT doc_id, string_split_regex(lower(text), ' +') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % {b} AS bucket
+    FROM (
+        SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM wrds WHERE len(w) >= 2)
+    )
+),
+per AS (
+    SELECT doc_id, count(*) AS n_grams, sum(w_q6) AS sum_q6
+    FROM grams JOIN wt USING (bucket)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, d.lang,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.sum_q6, 0) AS BIGINT) AS sum_q6,
+       CAST(CASE WHEN coalesce(p.n_grams, 0) > 0
+            THEN CAST(round((coalesce(p.sum_q6, 0)
+                             + bias.bias_q6 * p.n_grams)
+                            / CAST(p.n_grams AS DOUBLE)) AS BIGINT)
+            ELSE 0 END AS BIGINT) AS score_q6,
+       CAST(CASE WHEN coalesce(p.n_grams, 0) > 0
+                  AND coalesce(p.sum_q6, 0) + bias.bias_q6 * p.n_grams > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents d
+LEFT JOIN per p ON d.doc_id = p.doc_id
+CROSS JOIN bias
+ORDER BY d.doc_id
+"""
+
+
+SQL_FASTTEXT_QUALITY = _sql_fasttext_quality()
+
+
+# ---------------------------------------------------------------------------
 # The QUEUE, formalized: built + oracle-paired + gate-covered queries
 # that are NOT driver-exposed yet (they enter QUERIES_STAGED at the
 # next reset, then register a round later).  Every local gate treats
@@ -362,8 +603,14 @@ ORACLES_STAGED["sim_ivf_learned_topk"] = SQL_SIM_IVF_LEARNED_TOPK
 # with the round-18 candidates.
 # ---------------------------------------------------------------------------
 
-QUERIES_QUEUED: dict[str, QueryFn] = {}
+QUERIES_QUEUED: dict[str, QueryFn] = {
+    "paragraph_dedup": q_paragraph_dedup,
+    "fasttext_quality": q_fasttext_quality,
+}
 
-ORACLES_QUEUED: dict[str, str] = {}
+ORACLES_QUEUED: dict[str, str] = {
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "fasttext_quality": SQL_FASTTEXT_QUALITY,
+}
 
 assert not set(QUERIES_QUEUED) & set(QUERIES_STAGED)

@@ -915,6 +915,16 @@ LAYOUT_SENSITIVE_STAGED = [
     "decontamination_report",
     "gopher_repetition",
     "unimax_allocation",
+    # round-16 staged trio: the per-source histogram cut, the
+    # battery's gram windows, and the learned-IVF cell join
+    "ccnet_ppl_buckets",
+    "quality_battery",
+    "sim_ivf_learned_topk",
+    # round-17 queue: the chunk-grain LSH band join and the broadcast
+    # weight-sum — the banding bucket and hash-sum shapes the sweep
+    # exists to pin
+    "paragraph_dedup",
+    "fasttext_quality",
 ]
 
 
@@ -926,12 +936,15 @@ def test_layout_invariance_sweep(spark):
     import pytest as _pytest
 
     from pyspark_pipelining_spark.queries import QUERIES
-    from pyspark_pipelining_spark.queries_staged import QUERIES_STAGED
+    from pyspark_pipelining_spark.queries_staged import (
+        QUERIES_QUEUED,
+        QUERIES_STAGED,
+    )
     from tests.conftest import SF_SMOKE
 
     from tests.conftest import in_rotation
 
-    registry = {**QUERIES, **QUERIES_STAGED}
+    registry = {**QUERIES, **QUERIES_STAGED, **QUERIES_QUEUED}
     # staged names keep resolving after they migrate into QUERIES at
     # the next round's registration — coverage never silently drops
     all_names = LAYOUT_SENSITIVE + LAYOUT_SENSITIVE_STAGED

@@ -88,6 +88,13 @@ TIER3_QUERIES = [
     "ccnet_ppl_buckets",
     "quality_battery",
     "sim_ivf_learned_topk",
+    # queued round 17 (the r15 verdict's r18-queue refill): the
+    # paragraph-grain LSH (unit count x words/W but shingle sets
+    # shrink — expected ~dedup_minhash-shaped with a higher constant)
+    # and the frozen linear classifier (map-side hash + broadcast
+    # weight join + one doc-keyed sum — expected ~lm_score-flat)
+    "paragraph_dedup",
+    "fasttext_quality",
 ]
 
 

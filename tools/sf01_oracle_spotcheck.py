@@ -105,6 +105,12 @@ SENSITIVE = [
     # L2² sums grow with nothing but stay worth one documented pass
     "ccnet_ppl_buckets",
     "sim_ivf_learned_topk",
+    # r16 queued: the paragraph-grain LSH multiplies the signature
+    # unit count ~8x at sf0.1 (md5 minhash arithmetic over far more
+    # collisions), and the classifier's int64 weight sums meet 10x
+    # more grams per bucket
+    "paragraph_dedup",
+    "fasttext_quality",
 ]
 
 
