@@ -65,14 +65,16 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     cents; recency is whole days from the corpus max order date (a
     1-row broadcast, never a collect).
 
-    Scale shape (r15 verdict item 2): each quartile code comes from
-    the two-phase exact distributed rank (``operators/rankcut``) —
-    integer value histogram, bucket-prefix offsets, broadcast cut
-    join — never a
-    single-task global ``ntile`` window; the three rank frames join
-    back on the customer key and the segment algebra downstream is
-    unchanged.  The customer aggregate is ``localCheckpoint``-ed once
-    (three downstream branches).
+    Scale shape (r15 verdict item 2): the quartile codes come from
+    ONE two-phase exact distributed rank (``operators/rankcut``) over
+    the MELTED (metric, value) frame — the three metrics explode to
+    3n rows (desc metrics sign-flipped so one ascending pass ranks
+    all three), ``histogram_ranks`` groups by metric with per-group
+    bucket bounds, and a 3-value pivot folds the tiles back to one
+    row per customer — never a single-task global ``ntile`` window,
+    and one rank pass instead of three (A/B at sf0.1: 2.16 → 1.59 s
+    median; README scale notes' melt lesson).  The customer aggregate
+    is ``localCheckpoint``-ed once (two downstream branches).
 
     Output: ``segment, n_customers, monetary_cents``.
     """
@@ -89,25 +91,37 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         .withColumn("recency", F.datediff("d0", "last_order"))
         .localCheckpoint(eager=True)
     )
-
-    def tile(metric, asc, name):
-        ranked = rankcut.histogram_ranks(
-            per.select("o_custkey", metric), metric, "o_custkey", ascending=asc
-        )
-        return ranked.select(
-            "o_custkey",
-            rankcut.ntile_expr(F.col("rn"), F.col("n"), 4).alias(name),
-        )
-
-    r_t = tile("recency", True, "r")
-    f_t = tile("freq", False, "f")
-    m_t = tile("monetary", False, "m")
-    seg = (
-        per.select("o_custkey", "monetary")
-        .join(r_t, "o_custkey")
-        .join(f_t, "o_custkey")
-        .join(m_t, "o_custkey")
+    melted = per.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("m"), F.col("recency").cast("long").alias("v")
+                ),
+                F.struct(
+                    F.lit("f").alias("m"), (-F.col("freq")).cast("long").alias("v")
+                ),
+                F.struct(
+                    F.lit("m").alias("m"),
+                    (-F.col("monetary")).cast("long").alias("v"),
+                ),
+            )
+        ).alias("x"),
+    ).select("o_custkey", F.col("x.m").alias("m"), F.col("x.v").alias("v"))
+    ranked = rankcut.histogram_ranks(
+        melted, "v", "o_custkey", ascending=True, group_cols=["m"]
     )
+    tiles = (
+        ranked.select(
+            "o_custkey",
+            "m",
+            rankcut.ntile_expr(F.col("rn"), F.col("n"), 4).alias("t"),
+        )
+        .groupBy("o_custkey")
+        .pivot("m", ["r", "f", "m"])
+        .agg(F.first("t"))
+    )
+    seg = per.select("o_custkey", "monetary").join(tiles, "o_custkey")
     return (
         seg.select(
             F.concat_ws("-", "r", "f", "m").alias("segment"), "monetary"

@@ -137,10 +137,11 @@ def histogram_ranks(
     cut join) and the default the quantile-cut queries ride.
 
     The bucket id is a PURE FUNCTION of the row (fixed-width integer
-    bucket over the global [min, max] value range, a 1-row lazy
-    crossJoin — never a collect), so unlike the range-partitioner
-    path no sampling pass and no checkpoint are needed, and the plan
-    is layout-invariant by construction:
+    bucket over the [min, max] value range — per group when grouped,
+    since groups may carry disjoint ranges; a 1-row lazy crossJoin /
+    group-keyed broadcast, never a collect), so unlike the
+    range-partitioner path no sampling pass and no checkpoint are
+    needed, and the plan is layout-invariant by construction:
 
     1. one map-side-combined groupBy builds the (group, bucket)
        histogram — bounded at groups × ``buckets`` rows;
@@ -167,9 +168,18 @@ def histogram_ranks(
         s = -s
     gcols = list(group_cols)
     base = df.withColumn("_rk_s", s)
-    bounds = base.agg(
-        F.min("_rk_s").alias("_rk_lo"), F.max("_rk_s").alias("_rk_hi")
-    )
+    # bounds are PER GROUP when grouped: groups may carry disjoint value
+    # ranges (e.g. three melted metrics ranked in one pass), and a
+    # global span would collapse a narrow group into one hot bucket —
+    # exactly the single-task shape this operator removes
+    if gcols:
+        bounds = base.groupBy(*gcols).agg(
+            F.min("_rk_s").alias("_rk_lo"), F.max("_rk_s").alias("_rk_hi")
+        )
+    else:
+        bounds = base.agg(
+            F.min("_rk_s").alias("_rk_lo"), F.max("_rk_s").alias("_rk_hi")
+        )
     # decimal(38,0) throughout so the widths are exact at any int64
     # range; the quotient's scale-limited rounding is MONOTONE in the
     # sort key, so bucket boundaries may shift a hair but ranks are
@@ -184,7 +194,10 @@ def histogram_ranks(
         * F.lit(buckets)
         / span
     ).cast("long")
-    keyed = base.crossJoin(F.broadcast(bounds)).withColumn("_rk_b", bucket)
+    if gcols:
+        keyed = base.join(F.broadcast(bounds), on=gcols).withColumn("_rk_b", bucket)
+    else:
+        keyed = base.crossJoin(F.broadcast(bounds)).withColumn("_rk_b", bucket)
 
     counts = keyed.groupBy(*gcols, "_rk_b").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
