@@ -250,12 +250,19 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     # materialize the pair pipeline ONCE before symmetrizing — the union
     # references it from both branches, and without the checkpoint the
     # full upstream (LSH join and all) would execute twice; the edge list
-    # is checkpointed too because every round joins against it
+    # is checkpointed too because every round joins against it.  Only
+    # `p` is EAGER: its two union branches would otherwise race-compute
+    # the LSH pipeline inside one job.  `edges` and every label frame
+    # are LAZY checkpoints — the next driver action (the init/per-block
+    # convergence sum) materializes them in the SAME job, so each block
+    # costs one action instead of two (checkpoint-count + sum); the
+    # lineage truncation is identical because LogicalRDD replaces the
+    # plan at construction time, not at materialization time.
     p = pairs.select("doc_1", "doc_2").localCheckpoint(eager=True)
     sym = p.select(F.col("doc_1").alias("src"), F.col("doc_2").alias("dst"))
     edges = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # fused round 0: every vertex appears as src in the symmetrized edge
     # list, so one groupBy yields both the vertex set and its first label
     labels = (
@@ -265,7 +272,7 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
             F.col("src").alias("doc_id"),
             F.least("src", "nbr_min").alias("cluster_id"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
 
@@ -291,7 +298,7 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         )
 
     for _ in range((max_iter + 1) // 2):
-        labels = one_round(one_round(labels)).localCheckpoint(eager=True)
+        labels = one_round(one_round(labels)).localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -53,8 +53,11 @@ def pagerank_int(
     """
     ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("to"))
     deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
-    # one materialized (src, dst, deg) edge table feeds every round
-    ed2 = ed.join(deg, on="id").localCheckpoint(eager=True)
+    # one materialized (src, dst, deg) edge table feeds every round.
+    # LAZY checkpoint: the node-count action right below materializes
+    # it in the same job (distinct() sits above the opaque RDD scan, so
+    # nothing is pruned), saving a full materialization pass per call.
+    ed2 = ed.join(deg, on="id").localCheckpoint(eager=False)
     # n as a driver scalar (the cluster_assignments convergence-check
     # pattern): it parameterizes integer constants the oracle mirrors
     n = ed2.select("id").distinct().count()
