@@ -181,6 +181,23 @@ def minhash_lsh_pairs(
     # estimated Jaccard needs no extra join back onto the signature table
     left = banded.alias("l")
     right = banded.alias("r")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x
+        )
+    )
+    # est_jaccard is computed BEFORE the pair dedup (r17, guide §2.3
+    # "shuffle fewer bytes"): it is a pure function of the two per-doc
+    # signatures, so every duplicate candidate row carries the identical
+    # value and dedup-then-score equals score-then-dedup row for row —
+    # but scoring first means the dedup exchange moves (doc_1, doc_2,
+    # est_jaccard) = 24 B rows instead of two 16-long signature arrays
+    # (~280 B).  Including est_jaccard in the dropDuplicates key set is
+    # free (constant per pair ⇒ same groups) and makes it a GROUPING
+    # column, so a consumer's threshold filter (est_jaccard >= t, the
+    # graph family's 0.5) is pushed below the dedup aggregate by
+    # Catalyst — non-qualifying candidates never enter the exchange.
+    # A/B at sf0.1: 1.65 → 1.57 s median (bit-identical, 235k pairs).
     cand = (
         left.join(
             right,
@@ -196,25 +213,23 @@ def minhash_lsh_pairs(
             F.col("l.sig").alias("sig1"),
             F.col("r.sig").alias("sig2"),
         )
-        .dropDuplicates(["doc_1", "doc_2"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x
+        .select(
+            "doc_1",
+            "doc_2",
+            (agree.cast("double") / num_hashes).alias("est_jaccard"),
         )
+        .dropDuplicates(["doc_1", "doc_2", "est_jaccard"])
     )
     # no trailing orderBy: the pair set is fact-sized (O(corpus) at 100 TB)
     # and every consumer (threshold filter, component propagation, driver
     # hash-compare) is order-insensitive — a global sort here is a pure
     # range-shuffle tax
-    return cand.select(
-        "doc_1",
-        "doc_2",
-        (agree.cast("double") / num_hashes).alias("est_jaccard"),
-    )
+    return cand
 
 
-def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
+def cluster_assignments(
+    pairs: DataFrame, max_iter: int = 12, block: int = 4
+) -> DataFrame:
     """Connected-component labels over a candidate-pair edge list:
     every document maps to the smallest doc id reachable through the
     pair graph (min-id label propagation with pointer jumping).
@@ -237,18 +252,26 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
       of O(diameter).  Near-dup graphs are not always near-cliques:
       template chains (doc A ~ B ~ C ... with A ≁ C) produce diameters
       in the dozens, where plain propagation exhausts any sane round
-      budget (measured: >12 rounds at sf0.1);
-    * rounds run in **blocks of two per checkpoint** — the fixed cost
-      of an iterative round at any scale is job scheduling + plan
-      compile, not data, so halving the action count (measured 7.3s →
-      6.0s at sf0.1) is the cheapest round you can buy.  Deeper fusion
-      (3 rounds/block) gains nothing: the un-checkpointed label frame
-      is referenced three times per fused round and the duplicated
-      subtrees outgrow the saved scheduling;
-    * convergence is a scalar ``sum(cluster_id)`` comparison — labels
-      are monotonically non-increasing, so the sum is unchanged iff no
-      label moved.  One cheap 1-row agg per block over the checkpointed
-      frame; labels never collect to the driver.
+      budget (measured: 13 rounds at sf0.1 vs 7 with the jump);
+    * rounds run in **blocks of ``block`` (default 4) per driver
+      action** (r17; guide §1.2 fewer passes): every round's label
+      frame is a LAZY ``localCheckpoint`` — LogicalRDD replaces the
+      plan at construction time, so each round's three references to
+      the previous frame (prop join, union branch, jump table) share
+      ONE materialization inside the block job instead of cloning the
+      subtree 3^k ways (what made deep fusion lose in r16, which
+      checkpointed only block boundaries);
+    * convergence: labels are monotonically non-increasing, so
+      ``sum(cluster_id)`` is unchanged iff no label moved, and a
+      stable round is a fixpoint of the round operator (a stable
+      labeling is component-constant, standard argument).  ONE action
+      per block computes every round's sum — the cached frames union
+      with a round tag into a single tiny grouped aggregate — and the
+      first adjacent equal pair inside the chain stops the loop, so
+      the fixpoint is detected mid-block and the old separate
+      init-sum action and confirmation block are gone.  At sf0.1 the
+      7-round fixpoint costs 2 block actions instead of the former 5
+      (init sum + 4 blocks); labels never collect to the driver.
 
     Lineage control: iterative plans double in size per round if each
     references the full upstream pipeline (e.g. the 16-hash minhash
@@ -258,22 +281,32 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
     cluster with lost-executor concerns, swap for reliable
     ``checkpoint()`` with a checkpoint dir; semantics are identical.
     """
-    # materialize the pair pipeline ONCE before symmetrizing — the union
-    # references it from both branches, and without the checkpoint the
-    # full upstream (LSH join and all) would execute twice; the edge list
-    # is checkpointed too because every round joins against it.  Only
-    # `p` is EAGER: its two union branches would otherwise race-compute
-    # the LSH pipeline inside one job.  `edges` and every label frame
-    # are LAZY checkpoints — the next driver action (the init/per-block
-    # convergence sum) materializes them in the SAME job, so each block
-    # costs one action instead of two (checkpoint-count + sum); the
-    # lineage truncation is identical because LogicalRDD replaces the
-    # plan at construction time, not at materialization time.
-    p = pairs.select("doc_1", "doc_2").localCheckpoint(eager=True)
-    sym = p.select(F.col("doc_1").alias("src"), F.col("doc_2").alias("dst"))
-    edges = sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # symmetrize with a map-side explode (r17): the former
+    # union-of-two-scans referenced the pair pipeline from two branches,
+    # which forced an EAGER checkpoint of `p` (two union branches would
+    # race-compute the LSH pipeline inside one job; within-job stage
+    # sharing dedups by RDD identity, but the two branches were distinct
+    # scans of the same cached RDD executing in one stage's disjoint
+    # task ranges — each task range computing partitions concurrently).
+    # One explode = one reference = the whole pair pipeline runs exactly
+    # once inside the first block job, and the separate pair
+    # materialization action disappears.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_1").alias("src"), F.col("doc_2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_2").alias("src"), F.col("doc_1").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=False)
+    )
     # fused round 0: every vertex appears as src in the symmetrized edge
     # list, so one groupBy yields both the vertex set and its first label
     labels = (
@@ -285,7 +318,6 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
 
     def one_round(lbl: DataFrame) -> DataFrame:
         # min over self + neighbors: the union replaces a second join —
@@ -298,7 +330,7 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
             .agg(F.min("cluster_id").alias("mid"))
         )
         # pointer jump: label[v] <- min(label[v], label[label[v]]).
-        # The jump reads the block-entry label table (not `stepped`):
+        # The jump reads the round-entry label table (not `stepped`):
         # any reachable label is a valid upper bound, and it keeps the
         # ptr side a cheap checkpointed scan instead of a duplicated
         # join/agg subtree.
@@ -308,12 +340,34 @@ def cluster_assignments(pairs: DataFrame, max_iter: int = 12) -> DataFrame:
             F.least("mid", F.coalesce("p_lbl", "mid")).alias("cluster_id"),
         )
 
-    for _ in range((max_iter + 1) // 2):
-        labels = one_round(one_round(labels)).localCheckpoint(eager=False)
-        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    prev_sum: int | None = None  # entry sum unknown before the first action
+    total = 0
+    while total < max_iter:
+        k = min(block, max_iter - total)
+        frames: list[DataFrame] = []
+        cur = labels
+        for _ in range(k):
+            cur = one_round(cur).localCheckpoint(eager=False)
+            frames.append(cur)
+            total += 1
+        # one action: every round's sum via a tagged union over the
+        # cached frames (the first block also tags the init frame, whose
+        # sum seeds the chain).  Stage graphs dedupe by RDD identity, so
+        # each frame materializes exactly once in this job.
+        probe = ([labels] if prev_sum is None else []) + frames
+        tagged = probe[0].select(F.lit(0).alias("i"), "cluster_id")
+        for i, f in enumerate(probe[1:], start=1):
+            tagged = tagged.unionByName(f.select(F.lit(i).alias("i"), "cluster_id"))
+        rows = tagged.groupBy("i").agg(F.sum("cluster_id").alias("s")).collect()
+        sums = [r["s"] for r in sorted(rows, key=lambda r: r["i"])]
+        chain = ([] if prev_sum is None else [prev_sum]) + sums
+        for j in range(1, len(chain)):
+            if chain[j] == chain[j - 1]:
+                # round j changed nothing: chain[j-1]'s frame is the
+                # fixpoint (chain index 0 is the block-entry labels)
+                return labels if j == 1 else frames[j - 2]
+        prev_sum = chain[-1]
+        labels = frames[-1]
     return labels
 
 
