@@ -602,15 +602,22 @@ def dsir_logweights(
     histograms cost none that grow with the corpus.  Totals enter via
     a 1-row lazy crossJoin (no ``collect``).
 
-    r16: the raw occurrence stream and the merged histogram are
-    persisted (``cache.keep`` scope).  Unpersisted, the raw
-    tokenize+hash pipeline executed THREE times (histogram → totals →
-    λ, plus the scoring join) — 14 parquet scans / 36 exchanges in the
-    formatted plan, 6 scans / ~20 exchanges after.  At sf0.1 the A/B
-    is wall-clock neutral (the duplicate passes ran stage-parallel on
-    idle cores); at 100 TB two redundant full-corpus tokenize passes
-    are the difference between one scan and three, so the persisted
-    shape wins where it matters.
+    r17 (revising r16; guide §5, r16 verdict item 1): only the
+    B-BOUNDED merged histogram is persisted.  The r16 shape also
+    persisted the corpus-sized raw occurrence stream to collapse the
+    histogram and scoring passes into one — but default-storage
+    caching of a per-occurrence frame is exactly the §5 anti-pattern
+    at 100 TB (the persist spills the whole stream to executor
+    memory/disk; writing + re-reading it costs about a full pass
+    anyway, plus cache pressure), and the measured sf0.1 A/B agrees:
+    histogram-only persist runs FASTER (1.89 vs 2.03 s median
+    interleaved; a pre-aggregated (doc, bucket, count) persist variant
+    was also measured and lost at 2.40 s — its extra (doc, bucket)
+    exchange outweighs the saved tokenize pass locally).  The raw
+    tokenize+hash pipeline therefore runs twice (histogram pass +
+    scoring pass) — two cheap map-side scans, stage-parallel on idle
+    cores — while the histogram → totals → λ triple-recompute stays
+    collapsed by the tiny histogram persist.
 
     Output: one row per RAW document — ``id_col``, ``n_grams``
     (bigram occurrences, BIGINT; 0-gram docs kept with weight 0),
@@ -636,14 +643,14 @@ def dsir_logweights(
             id_col, portable_hash_id(F.col("gram"), buckets).alias("bucket")
         )
 
-    # raw occurrences feed BOTH the histogram and the per-doc scoring
-    # join; the merged histogram frame feeds BOTH the totals and the λ
-    # projection.  Persist each once (cache.keep — released by the
-    # caller's bench/DAG scope) so the tokenize+hash pipeline runs once
-    # per side instead of three times for raw / twice for target —
-    # the r16 plan audit measured 14 parquet scans and 36 exchanges in
-    # this query's plan from exactly these re-executions.
-    raw_occs = cache.keep(occs(raw))
+    # the merged histogram frame feeds BOTH the totals and the λ
+    # projection — persist it once (cache.keep, ≤ B rows; released by
+    # the caller's bench/DAG scope).  The raw occurrence stream is
+    # deliberately NOT persisted (r17): its two consumers (histogram,
+    # scoring join) each re-run the map-side tokenize+hash scan, which
+    # is cheaper at every scale than caching a corpus-sized
+    # per-occurrence frame (see docstring for the measurements).
+    raw_occs = occs(raw)
     tgt_occs = occs(target)
     raw_hist = raw_occs.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt_hist = tgt_occs.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
