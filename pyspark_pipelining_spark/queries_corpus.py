@@ -1680,7 +1680,7 @@ DECON_GRAM_LEN = 16
 DECON_MIN = 24
 
 
-def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decontamination_spans_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination — the Lee et al. 2022
     decontamination shape, reusing the island machinery UNCHANGED
     (``operators/dedup.exact_substring_spans``, scope="cross"): find
@@ -1760,7 +1760,18 @@ def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("source_a"))
         .alias("train_source"),
         "span_len",
-    ).orderBy("eval_doc", "eval_start", "train_doc", "train_start")
+    )
+
+
+def q_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the trailing global sort is this query's OUTPUT contract only —
+    # internal consumers (decontamination_report) read the unordered
+    # frame so the range exchange + sort never run under their window
+    # (r17; guide §2.4: an orderBy used only for deterministic output
+    # is a pure range-shuffle tax for any re-aggregating consumer)
+    return _decontamination_spans_frame(spark, sf_dir).orderBy(
+        "eval_doc", "eval_start", "train_doc", "train_start"
+    )
 
 
 def _sql_decontamination_spans() -> str:
@@ -2002,7 +2013,7 @@ def q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (the benchmark set is small by construction)."""
     from pyspark.sql import Window
 
-    spans = q_decontamination_spans(spark, sf_dir).select(
+    spans = _decontamination_spans_frame(spark, sf_dir).select(
         "eval_doc",
         "eval_start",
         (F.col("eval_start") + F.col("span_len") - 1).alias("eval_end"),
