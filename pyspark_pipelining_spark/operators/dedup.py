@@ -947,6 +947,12 @@ def exact_substring_spans(
     # way, so the plan-dedup benefit is identical — lazy just folds the
     # materialization into the first consuming job instead of paying a
     # separate driver action (A/B at sf0.1: 3.28 → 3.14 s median).
+    # NOTE (r16 ADVICE): both self-join sides consume this list through
+    # broadcast exchanges; laziness relies on ReuseExchange deduping the
+    # two broadcasts (it does — one BroadcastExchange in the plan).  If
+    # an AQE plan change ever splits them, the worst case is the tiny
+    # aggregate RDD racing to compute twice inside one job — wasted
+    # work, never wrong results (the RDD is deterministic and cached).
     hot = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))

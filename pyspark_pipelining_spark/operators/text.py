@@ -704,19 +704,25 @@ def gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     longer within documents at either gate scale (probed; a constant
     column again).
 
-    Scale shape (r16 single-pass rewrite): the 2- and 3-grams explode
-    ONCE as a combined (n, pos, g) struct array — one scan, one
-    generate — and ONE (doc, n, gram)-keyed window count serves both
-    signal families: the packed top-gram key folds through a single
-    doc-keyed aggregate (per-occurrence max equals per-distinct-gram
-    max), and the duplicated-3-gram rows feed the island window
-    directly with their positions.  Shuffle ledger vs the per-family
-    version: the occurrence window replaces two partial-agg'd
-    (doc, gram) counts AND the separate occurrence window the dup pass
-    already paid — the corpus crosses the wire once as occurrences
-    instead of once as occurrences plus twice as gram partials, and
-    three document scans collapse to one.  (A/B at sf0.1: 2.82 →
-    2.10 s median; bit-identical at sf0.001 and sf0.1.)  Output:
+    Scale shape (r16 fused rewrite): the 2- and 3-grams explode as a
+    combined (n, pos, g) struct array, and a single LOGICAL
+    (doc, n, gram)-keyed window count serves both signal families: the
+    packed top-gram key folds through a doc-keyed aggregate
+    (per-occurrence max equals per-distinct-gram max), and the
+    duplicated-3-gram rows feed the island window directly with their
+    positions.  Because the ``occ`` subtree is deliberately NOT
+    persisted, Catalyst clones it into the tops and dup branches, so
+    the plan physically runs TWO gram-window passes instead of the
+    per-family version's three (locked shape: 4 scans / 2 generates /
+    4 windows) — persisting ``occ`` to get a single physical pass was
+    measured and LOST (interleaved sf0.1 medians 4.24 → 5.54 s under
+    identical ambient: the corpus-sized occurrence cache plus its
+    materialization barrier costs more than the second stage-parallel
+    window; the same §5 lesson as the DSIR occurrence stream).
+    Shuffle ledger vs the per-family version: the occurrence window
+    replaces two partial-agg'd (doc, gram) counts AND the separate
+    occurrence window the dup pass already paid.  (A/B at sf0.1:
+    2.82 → 2.10 s median; bit-identical at sf0.001 and sf0.1.)  Output:
     ``doc_id, n_words, n_chars, top2_char_frac, top3_char_frac,
     dup3_word_frac, flagged_repetition`` with exact BIGINT numerators
     kept (``top2_cov, top3_cov, dup3_cov_words``) so downstream joins
