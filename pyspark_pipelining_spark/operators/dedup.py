@@ -1362,9 +1362,12 @@ def paragraph_dup_stats(
         (F.col("doc_1") - F.pmod("doc_1", F.lit(PARA_KEY)))
         != (F.col("doc_2") - F.pmod("doc_2", F.lit(PARA_KEY)))
     )
+    # explode instead of union-of-two-projections: cross is the whole
+    # (unpersisted) paragraph-LSH pipeline, and a union references —
+    # and therefore clones — it once per branch; the explode emits both
+    # endpoints map-side from a single execution (guide §2.4).
     dup_paras = (
-        cross.select(F.col("doc_1").alias("pid"))
-        .unionByName(cross.select(F.col("doc_2").alias("pid")))
+        cross.select(F.explode(F.array("doc_1", "doc_2")).alias("pid"))
         .distinct()
         .select(
             ((F.col("pid") - F.pmod("pid", F.lit(PARA_KEY))) / PARA_KEY)

@@ -35,6 +35,34 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
+def symmetrize(
+    pairs: DataFrame,
+    a: str = "doc_1",
+    b: str = "doc_2",
+    src: str = "s",
+    dst: str = "d",
+) -> DataFrame:
+    """Both directions of an undirected pair list via ONE map-side
+    explode (r17, guide §2.4 / r16 verdict item 8): the former
+    ``select ∪ select-swapped`` referenced the pair frame from two
+    branches, so when the pair frame is an unpersisted expensive
+    pipeline (the LSH candidate join everywhere in this module),
+    Catalyst clones that whole subtree into both union branches and an
+    eager edge checkpoint executes it twice (ReuseExchange dedupes the
+    final dedup exchange when shapes align, but the post-exchange
+    aggregate and projections still run per branch).  One explode =
+    one reference = the upstream pipeline appears exactly once in the
+    materialization job.  Row multiset is identical to the union."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias(src), F.col(b).alias(dst)),
+                F.struct(F.col(b).alias(src), F.col(a).alias(dst)),
+            )
+        ).alias("_e")
+    ).select(f"_e.{src}", f"_e.{dst}")
+
+
 def pagerank_int(
     edges: DataFrame,
     src: str = "src",
@@ -129,10 +157,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ).select(F.col("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
     closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     tris = wedges.join(closing, on=["b", "c"])
-    corners = (
-        tris.select(F.col("a").alias("id"))
-        .unionByName(tris.select(F.col("b").alias("id")))
-        .unionByName(tris.select(F.col("c").alias("id")))
+    # one explode instead of a 3-way union of tris projections: the
+    # union referenced the wedge⋈closing join from three branches, so
+    # the join (and everything the ReusedExchange rule does not dedupe)
+    # executed once per corner; the explode emits all three corners
+    # map-side from a single join execution (guide §2.4).
+    corners = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
 
@@ -162,9 +193,7 @@ def node_jaccard(pairs: DataFrame) -> DataFrame:
     # measured ~11% at sf0.1 — but reuse is plan-shape-fragile and the
     # wedge join dominates anyway).
     p = pairs.select("doc_1", "doc_2").localCheckpoint(eager=True)
-    edges = p.unionByName(
-        p.select(F.col("doc_2").alias("doc_1"), F.col("doc_1").alias("doc_2"))
-    )
+    edges = symmetrize(p, "doc_1", "doc_2", "doc_1", "doc_2")
     deg = edges.groupBy("doc_1").agg(F.count(F.lit(1)).alias("deg"))
     ea = edges.select(F.col("doc_1").alias("a"), F.col("doc_2").alias("na"))
     eb = edges.select(F.col("doc_1").alias("b"), F.col("doc_2").alias("nb"))
@@ -219,10 +248,7 @@ def kcore_peel(
     Output: ``node, degree`` for nodes surviving all rounds, with their
     post-peel degree.
     """
-    und = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
-        pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
-    )
-    edges = und.localCheckpoint(eager=True)
+    edges = symmetrize(pairs, a, b).localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("s")
@@ -257,10 +283,7 @@ def kcore_fixpoint(
     each round).  Peeling is monotone so "edge count unchanged" is
     exactly "no node fell below k" — the fixpoint.
     """
-    und = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
-        pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
-    )
-    edges = und.localCheckpoint(eager=True)
+    edges = symmetrize(pairs, a, b).localCheckpoint(eager=True)
     n_edges = edges.count()
     for _ in range(max_rounds):
         deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
@@ -309,10 +332,7 @@ def lpa_communities(
     Output: ``node, community`` (community = converged-or-bounded
     label), one row per node appearing in ``pairs``.
     """
-    und = pairs.select(F.col(a).alias("s"), F.col(b).alias("d")).unionByName(
-        pairs.select(F.col(b).alias("s"), F.col(a).alias("d"))
-    )
-    edges = und.localCheckpoint(eager=True)
+    edges = symmetrize(pairs, a, b).localCheckpoint(eager=True)
     labels = edges.select(F.col("s").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )

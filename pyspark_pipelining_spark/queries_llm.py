@@ -1067,15 +1067,11 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic by integer arithmetic.  Nodes = documents appearing
     in an LSH pair at est Jaccard >= 0.5 (isolated documents carry no
     graph signal and are excluded by construction)."""
-    from pyspark_pipelining_spark.operators.graph import pagerank_int
+    from pyspark_pipelining_spark.operators.graph import pagerank_int, symmetrize
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    edges = pairs.select(
-        F.col("doc_1").alias("src"), F.col("doc_2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_2").alias("src"), F.col("doc_1").alias("dst"))
-    )
+    edges = symmetrize(pairs, "doc_1", "doc_2", "src", "dst")
     out = pagerank_int(edges, iters=3)
     return out.select(F.col("id").alias("doc_id"), "r")
 
@@ -1145,15 +1141,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (operators/graph.triangle_count): dense LSH cliques vs chance
     collisions.  Degree-ordered wedge enumeration keeps the join
     O(m^1.5) on any degree distribution."""
-    from pyspark_pipelining_spark.operators.graph import triangle_count
+    from pyspark_pipelining_spark.operators.graph import symmetrize, triangle_count
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
-    edges = pairs.select(
-        F.col("doc_1").alias("src"), F.col("doc_2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_2").alias("src"), F.col("doc_1").alias("dst"))
-    )
+    edges = symmetrize(pairs, "doc_1", "doc_2", "src", "dst")
     out = triangle_count(edges)
     return out.select(F.col("id").alias("doc_id"), "triangles")
 

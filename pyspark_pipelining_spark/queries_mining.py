@@ -498,10 +498,9 @@ def harmonic_2hop_from_edges(pairs: DataFrame) -> DataFrame:
     expansion is the wedge join, whose row count is exactly
     Σ_mid deg(mid)² (degree-bounded, the triangle-counting shape), and
     it collapses through distinct before the anti-join."""
-    und = pairs.select(
-        F.col("doc_1").alias("s"), F.col("doc_2").alias("d")
-    ).unionByName(pairs.select(F.col("doc_2").alias("s"), F.col("doc_1").alias("d")))
-    edges = und.localCheckpoint(eager=True)
+    from pyspark_pipelining_spark.operators.graph import symmetrize
+
+    edges = symmetrize(pairs).localCheckpoint(eager=True)
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("n1"))
     two = (
         edges.alias("e1")
